@@ -1,0 +1,125 @@
+"""Mean-field variational primitives over flat-named parameter pytrees.
+
+Redesign of the reference `models/bayes.py:65-214` (torch ParameterDicts).
+The variational state is an ordinary pytree {means, log_stds}; sampling is
+one `jax.random.normal` per leaf under the reparameterisation trick, KL is
+closed-form Gaussian-Gaussian, and everything vmaps over sample axes.
+
+DEVIATION (documented): the reference initialises posterior means at the
+*prior* means — zero by default (`models/bayes.py:93-96`) — which wipes out
+any pre-trained point estimate and is one reason its VI path is disabled
+(`train/train_hybrid.py:452-461`). We initialise posterior means at the
+current model parameter values.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Mapping, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hybrid_ode_tpu.dynamics.ode_core import BAYES_ODE_PARAM_NAMES
+
+
+class VariationalState(NamedTuple):
+    """Diagonal-Gaussian posterior q(psi) = N(means, exp(log_stds)^2)."""
+
+    means: Dict[str, jnp.ndarray]
+    log_stds: Dict[str, jnp.ndarray]
+
+
+def select_bayes_params(flat_params: Mapping[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Parameters receiving variational treatment: the 8 selected ODE params
+    + all NN params (parity: `models/hybrid_ode_nn.py:82-91`)."""
+    chosen = {}
+    for name, v in flat_params.items():
+        if name.startswith("ode_") and name[4:] in BAYES_ODE_PARAM_NAMES:
+            chosen[name] = v
+        elif name.startswith("nn_"):
+            chosen[name] = v
+    return chosen
+
+
+def init_variational(
+    flat_params: Mapping[str, jnp.ndarray],
+    prior_params: Optional[Mapping[str, Mapping[str, float]]] = None,
+) -> Tuple[VariationalState, Dict[str, Tuple[float, float]]]:
+    """Build (state, priors). priors maps name -> (prior_mean, prior_std);
+    defaults N(0, 1) as in the reference (`models/bayes.py:95-100`).
+
+    log_stds start at log(0.1 * prior_std) ("10% of prior std",
+    `models/bayes.py:100`).
+    """
+    prior_params = prior_params or {}
+    selected = select_bayes_params(flat_params)
+    means, log_stds, priors = {}, {}, {}
+    for name, value in selected.items():
+        pp = prior_params.get(name) or prior_params.get(name.split("_", 1)[1], {})
+        p_mean = float(pp.get("mean", 0.0))
+        p_std = float(pp.get("std", 1.0))
+        priors[name] = (p_mean, p_std)
+        means[name] = jnp.asarray(value)
+        log_stds[name] = jnp.full_like(jnp.asarray(value), math.log(p_std * 0.1))
+    return VariationalState(means=means, log_stds=log_stds), priors
+
+
+def sample_variational(
+    state: VariationalState, key: jax.Array
+) -> Dict[str, jnp.ndarray]:
+    """One reparameterised sample psi = mu + sigma * eps (all leaves)."""
+    leaves = sorted(state.means)
+    keys = jax.random.split(key, len(leaves))
+    out = {}
+    for k, name in zip(keys, leaves):
+        mu = state.means[name]
+        sigma = jnp.exp(state.log_stds[name])
+        out[name] = mu + sigma * jax.random.normal(k, mu.shape, mu.dtype)
+    return out
+
+
+def kl_divergence(
+    state: VariationalState, priors: Mapping[str, Tuple[float, float]]
+) -> jnp.ndarray:
+    """KL[q || p] summed over parameters, closed form between diagonal
+    Gaussians (parity: `models/bayes.py:129-155`)."""
+    kl = 0.0
+    for name in state.means:
+        mu = state.means[name]
+        log_std = state.log_stds[name]
+        p_mean, p_std = priors[name]
+        p_log_std = math.log(p_std)
+        term = (
+            p_log_std
+            - log_std
+            + (jnp.exp(log_std) ** 2 + (mu - p_mean) ** 2) / (2.0 * p_std**2)
+            - 0.5
+        )
+        kl = kl + jnp.sum(term)
+    return kl
+
+
+def flatten_variational(state: VariationalState) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Deterministic sorted flattening (parity: `models/bayes.py:157-175`)."""
+    names = sorted(state.means)
+    mu = jnp.concatenate([state.means[n].reshape(-1) for n in names])
+    log_sigma = jnp.concatenate([state.log_stds[n].reshape(-1) for n in names])
+    return mu, log_sigma
+
+
+def posterior_predictive(
+    state: VariationalState,
+    key: jax.Array,
+    forward_fn,
+    n_samples: int = 100,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Posterior-predictive mean/std via one vmapped batch of samples.
+
+    `forward_fn(flat_sample) -> trajectory`. The reference runs 100 serial
+    forward passes (`models/bayes.py:196-214`); here they are a single vmap.
+    """
+    keys = jax.random.split(key, n_samples)
+    samples = jax.vmap(lambda k: sample_variational(state, k))(keys)
+    preds = jax.vmap(forward_fn)(samples)
+    return preds.mean(axis=0), preds.std(axis=0)

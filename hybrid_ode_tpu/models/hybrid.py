@@ -1,0 +1,262 @@
+"""Hybrid mechanistic-ODE + NN-residual model: dx/dt = f_physio + g_NN.
+
+Functional redesign of the reference `models/hybrid_ode_nn.py:22-438`.
+Parameters are a nested pytree {'ode': {...}, 'nn': {...}} passed explicitly,
+so the reference's parameter-swapping machinery (`forward_with_params`,
+60 lines of buffer save/restore at `models/hybrid_ode_nn.py:381-438`) reduces
+to a dict merge, and VI/MCMC/Sobol all vmap over parameter axes for free.
+
+Loss parity (reference `models/hybrid_ode_nn.py:263-351`):
+    total = data_MSE + lambda1 * physics + lambda2 * reg
+  * data: MSE of trajectory vs observations, optionally masked for irregular
+    sampling (the reference's modification_report.md:60-64 intent — mask,
+    don't interpolate — which the reference code never implemented).
+  * physics: RHS-consistency at <=20 sampled time points. DELIBERATE
+    DEVIATION: the reference re-solves a 0.1 h mini-trajectory per sampled
+    point and finite-differences it (`hybrid_ode_nn.py:320-330`) — 20 extra
+    ODE solves per batch whose FD target is just a smeared RHS evaluation.
+    We use the manuscript's definition (model-predicted derivatives,
+    manuscript.tex:545): finite differences of the *predicted trajectory*
+    between adjacent observation times vs the hybrid RHS — no re-solve,
+    fully differentiable, vectorised over points and batch.
+  * reg: NN weight L2 (note the reference applies lambda2 twice — once inside
+    `regularization_loss(l2_weight=lambda2)` and once as the outer multiplier
+    `hybrid_ode_nn.py:342-345`; we reproduce lambda2^2 * sum(w^2) for parity).
+    With variational training the reg term is the negative ELBO handled by
+    `inference.vi`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hybrid_ode_tpu.dynamics.controls import Controls, eval_controls
+from hybrid_ode_tpu.dynamics.ode_core import make_ode_params, mechanistic_field
+from hybrid_ode_tpu.dynamics.residual import init_mlp_params, mlp_l2, residual_apply
+from hybrid_ode_tpu.solvers.api import odeint
+
+STATE_NAMES = ("Glucose", "Insulin", "Glucagon", "GLP1", "GE", "FFA")
+
+
+@dataclasses.dataclass(frozen=True)
+class HybridConfig:
+    """Static model/solver configuration (hashable: safe as a jit static arg)."""
+
+    nn_hidden: int = 64
+    nn_layers: int = 4
+    activation: str = "relu"
+    use_nn: bool = True
+    solver: str = "dopri5"
+    rtol: float = 1e-6
+    atol: float = 1e-8
+    mode: str = "scan"
+    max_steps_per_interval: int = 8
+    substeps: int = 4
+    adjoint: str = "discrete"
+    n_states: int = 6
+    n_physics_points: int = 20
+
+
+def init_hybrid_params(
+    key: jax.Array,
+    config: HybridConfig = HybridConfig(),
+    ode_params: Optional[Mapping[str, float]] = None,
+    dtype=jnp.float32,
+) -> Dict[str, Dict[str, jnp.ndarray]]:
+    """Initialise {'ode': 17 scalars, 'nn': zero-output MLP} parameter pytree."""
+    nn = init_mlp_params(
+        key,
+        input_dim=3 + config.n_states,
+        hidden_dim=config.nn_hidden,
+        output_dim=config.n_states,
+        n_layers=config.nn_layers,
+        dtype=dtype,
+    )
+    return {"ode": make_ode_params(ode_params, dtype=dtype), "nn": nn}
+
+
+def hybrid_field(
+    t: jnp.ndarray,
+    y: jnp.ndarray,
+    params: Mapping[str, Any],
+    controls: Optional[Controls],
+    config: HybridConfig,
+) -> jnp.ndarray:
+    """dx/dt = f_physio(t, x; theta) + g_NN(t, x, GLP1, tVNS; phi)."""
+    inputs = eval_controls(controls, t)
+    dy = mechanistic_field(t, y, params["ode"], inputs)
+    if config.use_nn:
+        # Parity: reference feeds the GLP1 *state* as the external-GLP1
+        # feature and tVNS from the inputs (`models/hybrid_ode_nn.py:125-129`).
+        glp1 = y[..., 3]
+        tvns = inputs.get("tVNS", jnp.zeros_like(glp1))
+        dy = dy + residual_apply(params["nn"], t, y, glp1, tvns, config.activation)
+    return dy
+
+
+def forward(
+    params: Mapping[str, Any],
+    y0: jnp.ndarray,
+    ts: jnp.ndarray,
+    controls: Optional[Controls] = None,
+    config: HybridConfig = HybridConfig(),
+    **solver_overrides,
+) -> jnp.ndarray:
+    """Solve one trajectory: (n,) x (T,) -> (T, n). Batch with vmap
+    (`batched_forward`) — the reference's serial per-sample Python loop
+    (`models/hybrid_ode_nn.py:184`) has no analogue here."""
+
+    def field(t, y, args):
+        p, c = args
+        return hybrid_field(t, y, p, c, config)
+
+    kw = dict(
+        solver=config.solver,
+        rtol=config.rtol,
+        atol=config.atol,
+        mode=config.mode,
+        max_steps_per_interval=config.max_steps_per_interval,
+        substeps=config.substeps,
+        adjoint=config.adjoint,
+    )
+    kw.update(solver_overrides)
+    return odeint(field, y0, ts, (params, controls), **kw)
+
+
+def batched_forward(
+    params: Mapping[str, Any],
+    y0: jnp.ndarray,          # (B, n)
+    ts: jnp.ndarray,          # (B, T) or (T,)
+    controls: Optional[Controls] = None,  # signals (B, T), ts (B, T) — or None
+    config: HybridConfig = HybridConfig(),
+    **solver_overrides,
+) -> jnp.ndarray:
+    """Batch of trajectories in one vmap: (B, n) -> (B, T, n)."""
+    if ts.ndim == 1:
+        ts = jnp.broadcast_to(ts[None, :], (y0.shape[0], ts.shape[0]))
+    ctrl_axes = None if controls is None else Controls(
+        ts=0, signals={k: 0 for k in controls.signals}
+    )
+    fn = lambda y0_, ts_, c_: forward(params, y0_, ts_, c_, config, **solver_overrides)
+    return jax.vmap(fn, in_axes=(0, 0, ctrl_axes))(y0, ts, controls)
+
+
+def controls_from_batch(batch: Mapping[str, Any]) -> Optional[Controls]:
+    """Build per-sample Controls from a data batch's external inputs."""
+    ext = batch.get("external_inputs")
+    if not ext:
+        return None
+    return Controls(ts=batch["time_points"], signals=dict(ext))
+
+
+def hybrid_loss(
+    params: Mapping[str, Any],
+    batch: Mapping[str, Any],
+    key: jax.Array,
+    config: HybridConfig = HybridConfig(),
+    lambda1: float = 1.0,
+    lambda2: float = 1.0,
+    use_physics_loss: bool = True,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Combined loss; returns (total, components dict).
+
+    batch keys: initial_state (B,n), observations (B,T,n), time_points (B,T),
+    external_inputs {name: (B,T)}, optional mask (B,T) for irregular sampling.
+    """
+    y0 = batch["initial_state"]
+    obs = batch["observations"]
+    ts = batch["time_points"]
+    controls = controls_from_batch(batch)
+    mask = batch.get("mask")
+
+    preds = batched_forward(params, y0, ts, controls, config)
+
+    if mask is None:
+        data_loss = jnp.mean((preds - obs) ** 2)
+    else:
+        w = mask[..., None]
+        data_loss = jnp.sum(w * (preds - obs) ** 2) / (
+            jnp.sum(w) * obs.shape[-1] + 1e-8
+        )
+
+    physics_loss = jnp.zeros((), preds.dtype)
+    if use_physics_loss and lambda1 > 0:
+        T = obs.shape[1]
+        n_pts = min(config.n_physics_points, T - 1)
+        idx = jax.random.permutation(key, T - 1)[:n_pts]  # shared across batch,
+        # like the reference's single randperm per batch (`hybrid_ode_nn.py:301`)
+
+        t_l = jnp.take(ts, idx, axis=1)          # (B, P)
+        t_r = jnp.take(ts, idx + 1, axis=1)
+        y_l = jnp.take(preds, idx, axis=1)       # (B, P, n)
+        y_r = jnp.take(preds, idx + 1, axis=1)
+        dt = (t_r - t_l)[..., None]
+        fd = (y_r - y_l) / jnp.where(dt == 0, 1.0, dt)
+
+        def rhs_at(t_b, y_b, c_b):  # per sample: (P,), (P,n)
+            return jax.vmap(lambda t, y: hybrid_field(t, y, params, c_b, config))(t_b, y_b)
+
+        ctrl_axes = None if controls is None else Controls(
+            ts=0, signals={k: 0 for k in controls.signals}
+        )
+        rhs = jax.vmap(rhs_at, in_axes=(0, 0, ctrl_axes))(t_l, y_l, controls)
+        physics_loss = jnp.mean((fd - rhs) ** 2)
+
+    reg_loss = jnp.zeros((), preds.dtype)
+    if lambda2 > 0 and config.use_nn:
+        reg_loss = mlp_l2(params["nn"], l2_weight=lambda2)
+
+    total = data_loss + lambda1 * physics_loss + lambda2 * reg_loss
+    return total, {"data": data_loss, "physics": physics_loss, "reg": reg_loss}
+
+
+# ---------------------------------------------------------------------------
+# Flat-named parameter views (VI / MCMC / checkpoint interop)
+# ---------------------------------------------------------------------------
+
+def params_to_flat(params: Mapping[str, Any]) -> Dict[str, jnp.ndarray]:
+    """Nested {'ode': {...}, 'nn': {...}} -> flat {'ode_a_GI': ..., 'nn_w0': ...}.
+
+    Naming parity with the reference's VI parameter registry
+    (`models/hybrid_ode_nn.py:84-91`)."""
+    flat = {f"ode_{k}": v for k, v in params["ode"].items()}
+    flat.update({f"nn_{k}": v for k, v in params["nn"].items()})
+    return flat
+
+
+def flat_to_params(
+    flat: Mapping[str, jnp.ndarray], template: Mapping[str, Any]
+) -> Dict[str, Dict[str, jnp.ndarray]]:
+    """Merge flat-named overrides onto a nested template pytree."""
+    out = {"ode": dict(template["ode"]), "nn": dict(template["nn"])}
+    for name, value in flat.items():
+        if name.startswith("ode_"):
+            out["ode"][name[4:]] = value
+        elif name.startswith("nn_"):
+            out["nn"][name[3:]] = value
+        else:
+            raise KeyError(f"unknown parameter prefix: {name}")
+    return out
+
+
+def forward_with_params(
+    flat_params: Mapping[str, jnp.ndarray],
+    template: Mapping[str, Any],
+    y0: jnp.ndarray,
+    ts: jnp.ndarray,
+    controls: Optional[Controls] = None,
+    config: HybridConfig = HybridConfig(),
+    **solver_overrides,
+) -> jnp.ndarray:
+    """API-parity helper: forward pass under substituted parameters.
+
+    The reference mutates-and-restores module buffers
+    (`models/hybrid_ode_nn.py:381-438`); functionally this is one dict merge."""
+    merged = flat_to_params(flat_params, template)
+    if y0.ndim == 2:
+        return batched_forward(merged, y0, ts, controls, config, **solver_overrides)
+    return forward(merged, y0, ts, controls, config, **solver_overrides)

@@ -1,0 +1,28 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-chip sharding is validated without TPU hardware the standard way:
+`--xla_force_host_platform_device_count=8` (SURVEY.md §4). Must run before
+jax is imported anywhere in the test process.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# Force CPU regardless of the ambient platform. The axon sitecustomize
+# registers the TPU platform at interpreter boot and prepends it to
+# jax_platforms, so the env var alone is not enough.
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def x64():
+    """Enable float64 within a test (for scipy-oracle comparisons)."""
+    with jax.enable_x64(True):
+        yield

@@ -1,0 +1,190 @@
+"""Solver verification against analytic solutions and the SciPy oracle.
+
+Tier the reference lacks entirely (SURVEY.md §4): the reference trusts
+scipy; we ARE the solver, so we gate against (a) closed-form solutions,
+(b) scipy solve_ivp in float64, (c) vmap consistency, (d) gradient flow.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.integrate import solve_ivp
+
+from hybrid_ode_tpu.solvers import odeint
+from hybrid_ode_tpu.dynamics import mechanistic_field, steady_state
+from hybrid_ode_tpu.dynamics.ode_core import make_ode_params
+
+
+def _linear_field(t, y, args):
+    lam = args["lam"]
+    return lam * y
+
+
+def _stiff_field(t, y, args):
+    # classic stiff test: y' = -50 (y - cos t)
+    return -50.0 * (y - jnp.cos(t))
+
+
+ADAPTIVE = ["dopri5", "dop853", "bosh3", "radau", "bdf"]
+ALL = ADAPTIVE + ["rk4"]
+
+
+@pytest.mark.parametrize("solver", ALL)
+def test_exponential_decay_exact(solver, x64):
+    """dy/dt = -y has y(t) = e^{-t}; every solver must nail it."""
+    y0 = jnp.ones(4, jnp.float64)
+    ts = jnp.linspace(0.0, 3.0, 13, dtype=jnp.float64)
+    args = {"lam": jnp.asarray(-1.0, jnp.float64)}
+    # BDF2 is order 2: meeting rtol=1e-8 over unit intervals takes ~70 steps
+    # per interval; give it a realistic tolerance instead of a huge budget.
+    rtol, atol = (1e-8, 1e-10) if solver != "bdf" else (1e-6, 1e-8)
+    ys = odeint(_linear_field, y0, ts, args, solver=solver, rtol=rtol, atol=atol,
+                substeps=64, max_steps_per_interval=128)
+    expected = np.exp(-np.asarray(ts))[:, None] * np.ones(4)
+    tol = 1e-6 if solver not in ("bdf",) else 1e-4
+    np.testing.assert_allclose(np.asarray(ys), expected, rtol=tol, atol=tol)
+
+
+@pytest.mark.parametrize("solver,scipy_method", [
+    ("dopri5", "RK45"),
+    ("dop853", "DOP853"),
+    ("radau", "Radau"),
+])
+def test_mechanistic_vs_scipy_oracle(solver, scipy_method, x64):
+    """Integrate the real 6-state field and compare against solve_ivp."""
+    params = make_ode_params(dtype=jnp.float64)
+    y0 = np.array([8.0, 100.0, 90.0, 20.0, 0.0, 1.2])
+    ts = np.linspace(0.0, 5.0, 61)
+
+    def f_np(t, y):
+        return np.asarray(mechanistic_field(t, jnp.asarray(y), params, None))
+
+    sol = solve_ivp(f_np, (ts[0], ts[-1]), y0, t_eval=ts, method=scipy_method,
+                    rtol=1e-9, atol=1e-11)
+    assert sol.success
+
+    ys = odeint(
+        lambda t, y, a: mechanistic_field(t, y, a, None),
+        jnp.asarray(y0), jnp.asarray(ts), params,
+        solver=solver, rtol=1e-8, atol=1e-10, max_steps_per_interval=64,
+    )
+    np.testing.assert_allclose(np.asarray(ys), sol.y.T, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("solver,rtol,atol,steps,tol", [
+    ("radau", 1e-7, 1e-9, 256, 1e-5),
+    # order-2 BDF needs ~(tol)^(1/3) steps through the fast transient;
+    # test it at a tolerance appropriate to its order
+    ("bdf", 1e-4, 1e-6, 512, 2e-3),
+])
+def test_stiff_problem(solver, rtol, atol, steps, tol, x64):
+    """Implicit solvers must handle a stiff linear problem accurately."""
+    y0 = jnp.array([0.0], jnp.float64)
+    ts = jnp.linspace(0.0, 2.0, 9, dtype=jnp.float64)
+    ys, stats = odeint(_stiff_field, y0, ts, None, solver=solver, rtol=rtol, atol=atol,
+                       max_steps_per_interval=steps, return_stats=True)
+    assert bool(stats.success)
+    # exact solution of y' = -50(y - cos t), y(0)=0
+    t = np.asarray(ts)
+    lam = 50.0
+    exact = (lam**2 / (lam**2 + 1)) * (np.cos(t) + np.sin(t) / lam - np.exp(-lam * t))
+    np.testing.assert_allclose(np.asarray(ys)[:, 0], exact, rtol=tol, atol=tol)
+
+
+def test_while_matches_scan():
+    """Fast inference path must agree with the differentiable path."""
+    params = make_ode_params()
+    y0 = steady_state(params) + 0.5
+    ts = jnp.linspace(0.0, 5.0, 21)
+    f = lambda t, y, a: mechanistic_field(t, y, a, None)
+    ys_scan = odeint(f, y0, ts, params, solver="dopri5", rtol=1e-5, atol=1e-7, mode="scan")
+    ys_while = odeint(f, y0, ts, params, solver="dopri5", rtol=1e-5, atol=1e-7, mode="while")
+    np.testing.assert_allclose(np.asarray(ys_scan), np.asarray(ys_while), rtol=1e-5, atol=1e-5)
+
+
+def test_vmap_consistency():
+    """vmapped batch solve == per-element solve (the reference's serial loop
+    `models/hybrid_ode_nn.py:184` becomes this single vmap)."""
+    params = make_ode_params()
+    key = jax.random.PRNGKey(0)
+    y0s = steady_state(params)[None, :] * (1.0 + 0.1 * jax.random.normal(key, (5, 6)))
+    y0s = jnp.abs(y0s)
+    ts = jnp.linspace(0.0, 5.0, 13)
+    f = lambda t, y, a: mechanistic_field(t, y, a, None)
+
+    batched = jax.vmap(lambda y0: odeint(f, y0, ts, params, solver="dopri5"))(y0s)
+    single = jnp.stack([odeint(f, y0s[i], ts, params, solver="dopri5") for i in range(5)])
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(single), rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("solver", ["dopri5", "rk4", "radau"])
+def test_gradients_flow(solver):
+    """Gradients flow through the integrator — the reference's central flaw
+    (no_grad integration) fixed by construction."""
+    params = make_ode_params()
+    ts = jnp.linspace(0.0, 2.0, 7)
+    f = lambda t, y, a: mechanistic_field(t, y, a, None)
+
+    def loss(p, y0):
+        ys = odeint(f, y0, ts, p, solver=solver, rtol=1e-4, atol=1e-6,
+                    max_steps_per_interval=12)
+        return jnp.sum(ys[-1] ** 2)
+
+    y0 = steady_state(params) + 0.3
+    g_params, g_y0 = jax.grad(loss, argnums=(0, 1))(params, y0)
+    assert jnp.all(jnp.isfinite(g_y0))
+    # a_GI influences insulin which influences glucose: must be nonzero
+    assert jnp.isfinite(g_params["a_GI"]) and g_params["a_GI"] != 0.0
+    assert jnp.all(jnp.isfinite(jnp.asarray(list(g_params.values()))))
+
+
+def test_gradient_matches_finite_difference(x64):
+    """Discrete-adjoint gradient vs central finite differences on a scalar param."""
+    params = make_ode_params(dtype=jnp.float64)
+    ts = jnp.linspace(0.0, 2.0, 5, dtype=jnp.float64)
+    y0 = (steady_state(params) + 0.3).astype(jnp.float64)
+    f = lambda t, y, a: mechanistic_field(t, y, a, None)
+
+    def loss_of(aGI):
+        p = dict(params, a_GI=aGI)
+        ys = odeint(f, y0, ts, p, solver="dopri5", rtol=1e-9, atol=1e-11,
+                    max_steps_per_interval=64)
+        return jnp.sum(ys[-1] ** 2)
+
+    a0 = jnp.asarray(0.0104, jnp.float64)
+    g_ad = jax.grad(loss_of)(a0)
+    eps = 1e-6
+    g_fd = (loss_of(a0 + eps) - loss_of(a0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g_ad), float(g_fd), rtol=1e-4)
+
+
+def test_backsolve_adjoint_close_to_discrete(x64):
+    """Continuous adjoint ~ discrete adjoint on a smooth problem."""
+    params = make_ode_params(dtype=jnp.float64)
+    ts = jnp.linspace(0.0, 1.5, 4, dtype=jnp.float64)
+    y0 = (steady_state(params) + 0.2).astype(jnp.float64)
+    f = lambda t, y, a: mechanistic_field(t, y, a, None)
+
+    def loss(p, adjoint):
+        ys = odeint(f, y0, ts, p, solver="dopri5", rtol=1e-9, atol=1e-11,
+                    max_steps_per_interval=64, adjoint=adjoint)
+        return jnp.sum(ys**2)
+
+    g_disc = jax.grad(lambda p: loss(p, "discrete"))(params)
+    g_back = jax.grad(lambda p: loss(p, "backsolve"))(params)
+    for k in g_disc:
+        np.testing.assert_allclose(
+            float(g_disc[k]), float(g_back[k]), rtol=1e-3, atol=1e-8,
+            err_msg=f"param {k}",
+        )
+
+
+def test_solver_stats():
+    params = make_ode_params()
+    y0 = steady_state(params)
+    ts = jnp.linspace(0.0, 5.0, 11)
+    f = lambda t, y, a: mechanistic_field(t, y, a, None)
+    ys, stats = odeint(f, y0, ts, params, solver="dopri5", return_stats=True)
+    assert bool(stats.success)
+    assert int(stats.n_accepted) >= 10
