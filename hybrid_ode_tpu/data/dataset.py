@@ -1,0 +1,232 @@
+"""Windowed glucose datasets as stacked device arrays.
+
+Redesign of the reference `GlucoseDataset` + `create_data_loaders`
+(`train/train_hybrid.py:43-222`): instead of a torch Dataset yielding python
+dicts per index, windows are built once with pandas/numpy and stacked into
+fixed-shape arrays — the natural shape for jit/vmap/sharded training. An
+epoch is a shuffled permutation over the leading axis.
+
+Parity details kept:
+  * state columns [glucose, insulin, glucagon, glp1] + placeholder ge=0.0,
+    ffa=1.0 when absent (`train_hybrid.py:72-81`)
+  * z-score normalisation computed over ALL windows (`:123-130`)
+  * time from time_minutes/60, time_hours, or an assumed 5-min grid (`:94-100`)
+  * sliding windows per subject: sequence_length 61, stride 30 (`:112-121`)
+  * 70/15/15 random split with a fixed seed (default 42, `:185-193`)
+
+New capability (SURVEY.md §7.4): observation masks. NaNs in state columns
+become mask=0 entries instead of crashing — native irregular-sampling support
+per the reference's *intended* behavior (modification_report.md:60-64).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+STATE_COLS = ["glucose_mmol_L", "insulin_pmol_L", "glucagon_pmol_L", "glp1_pmol_L"]
+
+
+@dataclasses.dataclass
+class GlucoseDataset:
+    """Stacked window arrays (numpy, moved to device per batch).
+
+    Attributes (N = number of windows, T = sequence_length):
+        initial_state: (N, 6)
+        observations:  (N, T, 6)
+        time_points:   (N, T)   hours
+        meal:          (N, T)
+        tvns:          (N, T)
+        mask:          (N, T)   1.0 where observed
+        state_mean/state_std: (6,) normalisation stats
+        subject_ids:   (N,)
+    """
+
+    initial_state: np.ndarray
+    observations: np.ndarray
+    time_points: np.ndarray
+    meal: np.ndarray
+    tvns: np.ndarray
+    mask: np.ndarray
+    state_mean: np.ndarray
+    state_std: np.ndarray
+    subject_ids: np.ndarray
+
+    def __len__(self) -> int:
+        return self.initial_state.shape[0]
+
+    def select(self, idx: np.ndarray) -> "GlucoseDataset":
+        return GlucoseDataset(
+            initial_state=self.initial_state[idx],
+            observations=self.observations[idx],
+            time_points=self.time_points[idx],
+            meal=self.meal[idx],
+            tvns=self.tvns[idx],
+            mask=self.mask[idx],
+            state_mean=self.state_mean,
+            state_std=self.state_std,
+            subject_ids=self.subject_ids[idx],
+        )
+
+    def batch(self, idx: np.ndarray) -> Dict:
+        """Assemble a training batch dict (the `hybrid_loss` contract)."""
+        return {
+            "initial_state": self.initial_state[idx],
+            "observations": self.observations[idx],
+            "time_points": self.time_points[idx],
+            "external_inputs": {"meal": self.meal[idx], "tVNS": self.tvns[idx]},
+            "mask": self.mask[idx],
+        }
+
+    def denormalize(self, states: np.ndarray) -> np.ndarray:
+        return states * self.state_std + self.state_mean
+
+
+def create_data_arrays(
+    data_path: str,
+    sequence_length: int = 61,
+    stride: int = 30,
+    normalize: bool = True,
+    dtype=np.float32,
+) -> GlucoseDataset:
+    """Load CSV/Parquet and build the window arrays."""
+    import pandas as pd
+
+    if str(data_path).endswith(".csv"):
+        df = pd.read_csv(data_path)
+    elif str(data_path).endswith(".parquet"):
+        df = pd.read_parquet(data_path)
+    else:
+        raise ValueError(f"unsupported file format: {data_path}")
+
+    if "ge" not in df.columns:
+        df["ge"] = 0.0
+    if "ffa" not in df.columns:
+        df["ffa"] = 1.0
+    state_cols = STATE_COLS + ["ge", "ffa"]
+
+    if "tvns" not in df.columns:
+        df["tvns"] = 0.0
+    has_meal = "meal_indicator" in df.columns
+
+    if "time_minutes" in df.columns:
+        df["time"] = df["time_minutes"] / 60.0
+    elif "time_hours" in df.columns:
+        df["time"] = df["time_hours"]
+    else:
+        df["time"] = np.arange(len(df)) * 5.0 / 60.0
+
+    windows = []
+    for sid, sub in df.groupby("subject_id"):
+        states = sub[state_cols].to_numpy(dtype=np.float64)
+        meal = (
+            sub["meal_indicator"].to_numpy(dtype=np.float64)
+            if has_meal
+            else np.zeros(len(sub))
+        )
+        tvns = sub["tvns"].to_numpy(dtype=np.float64)
+        time = sub["time"].to_numpy(dtype=np.float64)
+        for start in range(0, len(sub) - sequence_length + 1, stride):
+            end = start + sequence_length
+            windows.append((sid, states[start:end], meal[start:end], tvns[start:end], time[start:end]))
+
+    if not windows:
+        raise ValueError(
+            f"no windows: need >= {sequence_length} points per subject in {data_path}"
+        )
+
+    all_states = np.stack([w[1] for w in windows])  # (N, T, 6)
+    mask = np.isfinite(all_states).all(axis=-1).astype(np.float64)  # (N, T)
+    filled = np.nan_to_num(all_states, nan=0.0)
+
+    if normalize:
+        flat = filled.reshape(-1, filled.shape[-1])
+        flat_mask = mask.reshape(-1) > 0
+        mean = flat[flat_mask].mean(axis=0)
+        std = flat[flat_mask].std(axis=0) + 1e-6
+    else:
+        mean = np.zeros(len(state_cols))
+        std = np.ones(len(state_cols))
+
+    norm_states = (filled - mean) / std
+    # NaN rows were filled with zeros pre-normalisation; re-zero post-norm so
+    # masked entries don't carry the -mean/std offset.
+    norm_states = norm_states * mask[..., None]
+
+    return GlucoseDataset(
+        initial_state=norm_states[:, 0].astype(dtype),
+        observations=norm_states.astype(dtype),
+        time_points=np.stack([w[4] for w in windows]).astype(dtype),
+        meal=np.stack([w[2] for w in windows]).astype(dtype),
+        tvns=np.stack([w[3] for w in windows]).astype(dtype),
+        mask=mask.astype(dtype),
+        state_mean=mean.astype(dtype),
+        state_std=std.astype(dtype),
+        subject_ids=np.array([w[0] for w in windows]),
+    )
+
+
+def split_dataset(
+    ds: GlucoseDataset,
+    train_frac: float = 0.7,
+    val_frac: float = 0.15,
+    seed: int = 42,
+) -> Tuple[GlucoseDataset, GlucoseDataset, GlucoseDataset]:
+    """70/15/15 random split (parity: `train_hybrid.py:185-193`, seed 42)."""
+    n = len(ds)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    n_train = int(train_frac * n)
+    n_val = int(val_frac * n)
+    return (
+        ds.select(perm[:n_train]),
+        ds.select(perm[n_train : n_train + n_val]),
+        ds.select(perm[n_train + n_val :]),
+    )
+
+
+def batch_iterator(
+    ds: GlucoseDataset,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_remainder: bool = False,
+) -> Iterator[Dict]:
+    """Yield batch dicts; fixed shapes when drop_remainder (jit-cache friendly)."""
+    n = len(ds)
+    order = np.random.default_rng(seed).permutation(n) if shuffle else np.arange(n)
+    for start in range(0, n, batch_size):
+        idx = order[start : start + batch_size]
+        if drop_remainder and len(idx) < batch_size:
+            break
+        yield ds.batch(idx)
+
+
+def pad_batch(batch: Dict, batch_size: int) -> Tuple[Dict, np.ndarray]:
+    """Pad a ragged final batch up to batch_size (returns sample-validity mask).
+
+    Keeps every batch the same shape so jit compiles exactly once; the weight
+    mask removes padded samples from the loss.
+    """
+    b = batch["initial_state"].shape[0]
+    if b == batch_size:
+        return batch, np.ones(batch_size, np.float32)
+    pad = batch_size - b
+
+    def _pad(x):
+        reps = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+        return reps
+
+    padded = {
+        "initial_state": _pad(batch["initial_state"]),
+        "observations": _pad(batch["observations"]),
+        "time_points": _pad(batch["time_points"]),
+        "external_inputs": {k: _pad(v) for k, v in batch["external_inputs"].items()},
+        "mask": _pad(batch["mask"]),
+    }
+    valid = np.concatenate([np.ones(b, np.float32), np.zeros(pad, np.float32)])
+    # fold sample validity into the observation mask
+    padded["mask"] = padded["mask"] * valid[:, None]
+    return padded, valid

@@ -1,0 +1,23 @@
+from hybrid_ode_tpu.evals.metrics import (
+    compute_rmse,
+    compute_mae,
+    compute_r2,
+    compute_calibration_error,
+    compute_coverage,
+    compute_nll,
+    compute_crps,
+)
+from hybrid_ode_tpu.evals.evaluate import evaluate_model, evaluate_checkpoint, save_evaluation_results
+
+__all__ = [
+    "compute_rmse",
+    "compute_mae",
+    "compute_r2",
+    "compute_calibration_error",
+    "compute_coverage",
+    "compute_nll",
+    "compute_crps",
+    "evaluate_model",
+    "evaluate_checkpoint",
+    "save_evaluation_results",
+]

@@ -1,0 +1,201 @@
+"""Model evaluation: point + posterior-predictive metrics over a test set.
+
+Parity with the reference evaluation stack (`eval/evaluate.py:184-430`):
+RMSE/MAE/NRMSE overall and per state, calibration (ECE/MSIS/sharpness/
+coverage), checkpoint reconstruction, CSV+txt result writers, CLI — with the
+per-sample/per-posterior-sample loops collapsed into vmaps and the whole test
+set evaluated in a handful of compiled calls.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hybrid_ode_tpu.data.dataset import GlucoseDataset, batch_iterator, pad_batch
+from hybrid_ode_tpu.evals.metrics import (
+    STATE_NAMES,
+    compute_calibration_error,
+    compute_coverage,
+    compute_crps,
+    compute_mae,
+    compute_nll,
+    compute_r2,
+    compute_rmse,
+)
+from hybrid_ode_tpu.models.hybrid import (
+    HybridConfig,
+    batched_forward,
+    controls_from_batch,
+    flat_to_params,
+)
+
+logger = logging.getLogger("hybrid_ode_tpu.eval")
+
+
+def evaluate_model(
+    params: Any,
+    test_ds: GlucoseDataset,
+    config: HybridConfig,
+    batch_size: int = 32,
+    variational=None,          # optional (VariationalState-holding) VI trainer
+    n_posterior_samples: int = 100,
+    key: Optional[jax.Array] = None,
+    denormalize: bool = False,
+) -> Dict[str, float]:
+    """Evaluate on a dataset; uncertainty from the posterior when available,
+    else the reference's fixed sigma=0.1 placeholder (`evaluate.py:247`)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    preds_all, unc_all, targ_all, mask_all = [], [], [], []
+
+    fwd = jax.jit(
+        lambda p, y0, ts, c: batched_forward(p, y0, ts, c, config)
+    )
+
+    for batch in batch_iterator(test_ds, batch_size, shuffle=False):
+        b, valid = pad_batch(batch, batch_size)
+        controls = controls_from_batch(b)
+        nb = int(valid.sum())
+        if variational is not None:
+            key, sk = jax.random.split(key)
+            mean, std = variational.posterior_predictive(
+                sk, jnp.asarray(b["initial_state"]), jnp.asarray(b["time_points"]),
+                controls, n_samples=n_posterior_samples,
+            )
+            preds, unc = mean, std
+        else:
+            preds = fwd(params, jnp.asarray(b["initial_state"]), jnp.asarray(b["time_points"]), controls)
+            unc = jnp.ones_like(preds) * 0.1
+        preds_all.append(np.asarray(preds)[:nb])
+        unc_all.append(np.asarray(unc)[:nb])
+        targ_all.append(np.asarray(b["observations"])[:nb])
+        mask_all.append(np.asarray(b["mask"])[:nb])
+
+    preds = np.concatenate(preds_all)
+    unc = np.concatenate(unc_all)
+    targets = np.concatenate(targ_all)
+    mask = np.concatenate(mask_all)
+
+    if denormalize:
+        preds = preds * test_ds.state_std + test_ds.state_mean
+        targets = targets * test_ds.state_std + test_ds.state_mean
+        unc = unc * test_ds.state_std
+
+    metrics: Dict[str, float] = {}
+    metrics["rmse"] = compute_rmse(preds, targets, mask=mask)
+    metrics["mae"] = compute_mae(preds, targets, mask=mask)
+    metrics["r2"] = compute_r2(preds, targets, mask=mask)
+
+    rmse_ps = compute_rmse(preds, targets, per_state=True, mask=mask)
+    mae_ps = compute_mae(preds, targets, per_state=True, mask=mask)
+    for i, name in enumerate(STATE_NAMES):
+        metrics[f"rmse_{name.lower()}"] = float(rmse_ps[i])
+        metrics[f"mae_{name.lower()}"] = float(mae_ps[i])
+
+    if variational is not None:
+        metrics.update(compute_calibration_error(preds, unc, targets, mask=mask))
+        metrics["coverage_80"] = compute_coverage(preds, unc, targets, 0.8, mask=mask)
+        metrics["coverage_90"] = compute_coverage(preds, unc, targets, 0.9, mask=mask)
+        metrics["nll"] = compute_nll(preds, unc, targets, mask=mask)
+        metrics["crps"] = compute_crps(preds, unc, targets, mask=mask)
+
+    # normalized metrics (parity: evaluate.py:280-287)
+    m = np.broadcast_to(mask[..., None].astype(bool), targets.shape)
+    target_std = np.array(
+        [targets[..., i][m[..., i]].std() for i in range(targets.shape[-1])]
+    )
+    metrics["nrmse"] = float(metrics["rmse"] / max(np.mean(target_std), 1e-12))
+    for i, name in enumerate(STATE_NAMES):
+        metrics[f"nrmse_{name.lower()}"] = float(rmse_ps[i] / max(target_std[i], 1e-12))
+    return metrics
+
+
+def evaluate_checkpoint(
+    checkpoint_path: str,
+    test_ds: GlucoseDataset,
+    config: Optional[HybridConfig] = None,
+    batch_size: int = 32,
+) -> Dict[str, float]:
+    """Rebuild the model from a checkpoint's embedded config and evaluate
+    (parity: `evaluate.py:291-335`)."""
+    from hybrid_ode_tpu.utils.checkpoint import load_checkpoint
+
+    state, meta = load_checkpoint(checkpoint_path)
+    params = state["params"]
+    if config is None:
+        mcfg = meta.get("config", {}).get("model", {})
+        abl = meta.get("config", {}).get("ablation", {})
+        config = HybridConfig(
+            nn_hidden=mcfg.get("nn_hidden", 64),
+            nn_layers=mcfg.get("nn_layers", 4),
+            activation=mcfg.get("activation", "relu"),
+            use_nn=not abl.get("no_nn", False),
+            solver=mcfg.get("solver", "dopri5"),
+            rtol=mcfg.get("rtol", 1e-6),
+            atol=mcfg.get("atol", 1e-8),
+            mode=mcfg.get("mode", "scan"),
+            max_steps_per_interval=mcfg.get("max_steps_per_interval", 8),
+            substeps=mcfg.get("substeps", 4),
+        )
+    metrics = evaluate_model(params, test_ds, config, batch_size)
+    metrics["checkpoint_epoch"] = meta.get("epoch", -1)
+    metrics["checkpoint_val_loss"] = meta.get("val_loss", -1)
+    return metrics
+
+
+def save_evaluation_results(metrics: Dict[str, float], output_path: str) -> None:
+    """CSV + formatted text writers (parity: `evaluate.py:338-382`)."""
+    import pandas as pd
+
+    pd.DataFrame([metrics]).to_csv(output_path, index=False)
+    text_path = Path(output_path).with_suffix(".txt")
+    with open(text_path, "w") as f:
+        f.write("Model Evaluation Results\n")
+        f.write("=" * 50 + "\n\n")
+        f.write("Overall Metrics:\n")
+        f.write(f"  RMSE: {metrics['rmse']:.4f}\n")
+        f.write(f"  MAE: {metrics['mae']:.4f}\n")
+        f.write(f"  Normalized RMSE: {metrics['nrmse']:.4f}\n\n")
+        f.write("Per-State RMSE:\n")
+        for state in STATE_NAMES:
+            k = f"rmse_{state.lower()}"
+            if k in metrics:
+                f.write(f"  {state}: {metrics[k]:.4f}\n")
+        f.write("\n")
+        if "ece" in metrics:
+            f.write("Calibration Metrics:\n")
+            f.write(f"  Expected Calibration Error: {metrics['ece']:.4f}\n")
+            f.write(f"  95% Coverage: {metrics['coverage_95']:.4f}\n")
+            f.write(f"  Sharpness: {metrics['sharpness']:.4f}\n")
+            f.write(f"  MSIS: {metrics['msis']:.4f}\n")
+    logger.info("evaluation results saved to %s", output_path)
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    from hybrid_ode_tpu.data.dataset import create_data_arrays, split_dataset
+
+    logging.basicConfig(level=logging.INFO)
+    ap = argparse.ArgumentParser(description="Evaluate a trained checkpoint")
+    ap.add_argument("checkpoint", type=str)
+    ap.add_argument("--data", type=str, default="data/4gi_dataset.csv")
+    ap.add_argument("--output", type=str, default="evaluation_results.csv")
+    ap.add_argument("--sequence-length", type=int, default=61)
+    ap.add_argument("--stride", type=int, default=30)
+    args = ap.parse_args(argv)
+
+    ds = create_data_arrays(args.data, args.sequence_length, args.stride)
+    _, _, test_ds = split_dataset(ds, seed=42)
+    metrics = evaluate_checkpoint(args.checkpoint, test_ds)
+    save_evaluation_results(metrics, args.output)
+    print(f"RMSE: {metrics['rmse']:.4f}  MAE: {metrics['mae']:.4f}  NRMSE: {metrics['nrmse']:.4f}")
+
+
+if __name__ == "__main__":
+    main()

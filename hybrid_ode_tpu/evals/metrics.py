@@ -1,0 +1,162 @@
+"""Evaluation metrics: accuracy + uncertainty calibration.
+
+Parity with the reference metric suite (`eval/evaluate.py:25-181`) plus the
+UQ metrics the manuscript reports but the reference never implemented
+(coverage@q, NLL, CRPS — manuscript.tex:707-720). All metrics accept an
+optional observation mask for irregular sampling.
+
+Implementation notes vs the reference:
+  * the reference's ECE draws 10k Monte-Carlo z-scores to find thresholds
+    (`evaluate.py:137`) — we use the exact Gaussian quantile.
+  * everything is numpy on flattened arrays; these run once per evaluation,
+    not in the hot path.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Union
+
+import numpy as np
+from scipy.special import erf, erfinv
+
+STATE_NAMES = ("Glucose", "Insulin", "Glucagon", "GLP1", "GE", "FFA")
+
+
+def _mask_flat(x: np.ndarray, mask: Optional[np.ndarray]) -> np.ndarray:
+    x = np.asarray(x, np.float64)
+    if mask is None:
+        return x.reshape(-1)
+    m = np.broadcast_to(np.asarray(mask, bool)[..., None], x.shape)
+    return x[m]
+
+
+def compute_rmse(
+    predictions: np.ndarray,
+    targets: np.ndarray,
+    per_state: bool = False,
+    mask: Optional[np.ndarray] = None,
+) -> Union[float, np.ndarray]:
+    """RMSE overall or per state (parity: `evaluate.py:25-58`)."""
+    p = np.asarray(predictions, np.float64)
+    t = np.asarray(targets, np.float64)
+    if per_state:
+        out = np.zeros(p.shape[-1])
+        for i in range(p.shape[-1]):
+            pi = _mask_flat(p[..., i : i + 1], mask)
+            ti = _mask_flat(t[..., i : i + 1], mask)
+            out[i] = math.sqrt(np.mean((pi - ti) ** 2))
+        return out
+    pf, tf = _mask_flat(p, mask), _mask_flat(t, mask)
+    return float(math.sqrt(np.mean((pf - tf) ** 2)))
+
+
+def compute_mae(
+    predictions: np.ndarray,
+    targets: np.ndarray,
+    per_state: bool = False,
+    mask: Optional[np.ndarray] = None,
+) -> Union[float, np.ndarray]:
+    p = np.asarray(predictions, np.float64)
+    t = np.asarray(targets, np.float64)
+    if per_state:
+        out = np.zeros(p.shape[-1])
+        for i in range(p.shape[-1]):
+            pi = _mask_flat(p[..., i : i + 1], mask)
+            ti = _mask_flat(t[..., i : i + 1], mask)
+            out[i] = np.mean(np.abs(pi - ti))
+        return out
+    pf, tf = _mask_flat(p, mask), _mask_flat(t, mask)
+    return float(np.mean(np.abs(pf - tf)))
+
+
+def compute_r2(predictions: np.ndarray, targets: np.ndarray, mask: Optional[np.ndarray] = None) -> float:
+    pf, tf = _mask_flat(predictions, mask), _mask_flat(targets, mask)
+    ss_res = np.sum((tf - pf) ** 2)
+    ss_tot = np.sum((tf - tf.mean()) ** 2)
+    return float(1.0 - ss_res / max(ss_tot, 1e-12))
+
+
+def compute_calibration_error(
+    predictions: np.ndarray,
+    uncertainties: np.ndarray,
+    targets: np.ndarray,
+    n_bins: int = 10,
+    mask: Optional[np.ndarray] = None,
+) -> Dict[str, float]:
+    """ECE + MSIS + sharpness + 95% coverage (parity: `evaluate.py:97-181`)."""
+    pf = _mask_flat(predictions, mask)
+    uf = _mask_flat(uncertainties, mask)
+    tf = _mask_flat(targets, mask)
+
+    errors = np.abs(pf - tf)
+    normalized = errors / (uf + 1e-6)
+
+    confs = np.linspace(0.0, 1.0, n_bins + 1)[:-1]
+    expected, observed = [], []
+    for conf in confs:
+        # exact |z| quantile: P(|Z| <= z) = conf  =>  z = sqrt(2)*erfinv(conf)
+        threshold = math.sqrt(2.0) * erfinv(conf)
+        observed.append(float(np.mean(normalized <= threshold)))
+        expected.append(conf)
+    ece = float(np.mean(np.abs(np.array(expected) - np.array(observed))))
+
+    alpha = 0.05
+    z = 1.96
+    lower, upper = pf - z * uf, pf + z * uf
+    width = upper - lower
+    penalty = (2.0 / alpha) * (
+        (tf < lower) * (lower - tf) + (tf > upper) * (tf - upper)
+    )
+    msis = float(np.mean(width + penalty))
+    return {
+        "ece": ece,
+        "msis": msis,
+        "sharpness": float(np.mean(uf)),
+        "coverage_95": float(np.mean((tf >= lower) & (tf <= upper))),
+        "mean_normalized_error": float(np.mean(normalized)),
+    }
+
+
+def compute_coverage(
+    predictions: np.ndarray,
+    uncertainties: np.ndarray,
+    targets: np.ndarray,
+    level: float = 0.9,
+    mask: Optional[np.ndarray] = None,
+) -> float:
+    """Central-interval coverage at `level` (manuscript Cov@80/Cov@90)."""
+    pf = _mask_flat(predictions, mask)
+    uf = _mask_flat(uncertainties, mask)
+    tf = _mask_flat(targets, mask)
+    z = math.sqrt(2.0) * erfinv(level)
+    return float(np.mean(np.abs(tf - pf) <= z * uf))
+
+
+def compute_nll(
+    predictions: np.ndarray,
+    uncertainties: np.ndarray,
+    targets: np.ndarray,
+    mask: Optional[np.ndarray] = None,
+) -> float:
+    """Mean Gaussian negative log-likelihood."""
+    pf = _mask_flat(predictions, mask)
+    uf = np.maximum(_mask_flat(uncertainties, mask), 1e-6)
+    tf = _mask_flat(targets, mask)
+    return float(np.mean(0.5 * np.log(2 * np.pi * uf**2) + 0.5 * ((tf - pf) / uf) ** 2))
+
+
+def compute_crps(
+    predictions: np.ndarray,
+    uncertainties: np.ndarray,
+    targets: np.ndarray,
+    mask: Optional[np.ndarray] = None,
+) -> float:
+    """Closed-form CRPS for Gaussian predictive distributions."""
+    pf = _mask_flat(predictions, mask)
+    uf = np.maximum(_mask_flat(uncertainties, mask), 1e-6)
+    tf = _mask_flat(targets, mask)
+    z = (tf - pf) / uf
+    phi = np.exp(-0.5 * z**2) / math.sqrt(2 * math.pi)
+    Phi = 0.5 * (1 + erf(z / math.sqrt(2)))
+    return float(np.mean(uf * (z * (2 * Phi - 1) + 2 * phi - 1 / math.sqrt(math.pi))))

@@ -1,0 +1,555 @@
+"""Vectorized No-U-Turn Sampler (NUTS) — thousands of parallel chains on TPU.
+
+The reference's `run_nuts` is, by its own admission, a serial random-walk
+Metropolis placeholder (`inference/mcmc.py:24-25,127`), costing ~3000 full
+ODE solves run strictly serially. This module implements the real algorithm:
+
+  * multinomial NUTS with iterative tree doubling (Hoffman & Gelman 2014;
+    progressive biased sampling as in Stan). Each doubling expands the
+    trajectory by 2^depth leapfrog steps inside a `lax.scan`; sub-tree
+    U-turn conditions are checked with the checkpoint scheme of Phan &
+    Pradhan ("Iterative NUTS"), which needs only O(max_depth) saved states.
+  * dual-averaging step-size adaptation (target accept 0.8) and diagonal
+    mass-matrix (Welford) adaptation during warmup.
+  * chains are a `vmap` axis: 1k+ chains advance in lockstep, each NUTS
+    step one XLA program. Gradients of the log-posterior flow through the
+    ODE solve (solvers are differentiable by construction).
+
+API parity helpers: `compute_ess`, `posterior_summary`, `save_mcmc_results`,
+`load_mcmc_results` (reference `inference/mcmc.py:183-318`; ArviZ NetCDF is
+gated on arviz availability, falling back to npz).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.flatten_util import ravel_pytree
+
+logger = logging.getLogger("hybrid_ode_tpu.mcmc")
+
+# ---------------------------------------------------------------------------
+# Leapfrog + energy
+# ---------------------------------------------------------------------------
+
+
+class _LFState(NamedTuple):
+    q: jnp.ndarray
+    p: jnp.ndarray
+    grad: jnp.ndarray  # d logp / d q at q
+    logp: jnp.ndarray
+
+
+def _leapfrog(logp_and_grad: Callable, state: _LFState, eps, inv_mass):
+    p_half = state.p + 0.5 * eps * state.grad
+    q_new = state.q + eps * inv_mass * p_half
+    logp_new, grad_new = logp_and_grad(q_new)
+    p_new = p_half + 0.5 * eps * grad_new
+    return _LFState(q_new, p_new, grad_new, logp_new)
+
+
+def _energy(state: _LFState, inv_mass) -> jnp.ndarray:
+    return -state.logp + 0.5 * jnp.sum(inv_mass * state.p**2)
+
+
+def _is_turning(q_minus, p_minus, q_plus, p_plus, inv_mass) -> jnp.ndarray:
+    """Classic U-turn criterion across a span."""
+    dq = q_plus - q_minus
+    return (jnp.dot(dq, inv_mass * p_plus) < 0.0) | (jnp.dot(dq, inv_mass * p_minus) < 0.0)
+
+
+# ---------------------------------------------------------------------------
+# One NUTS transition for a single chain (vmapped by the driver)
+# ---------------------------------------------------------------------------
+
+
+def _nuts_step(
+    logp_and_grad: Callable,
+    q0: jnp.ndarray,
+    key: jax.Array,
+    eps: jnp.ndarray,
+    inv_mass: jnp.ndarray,
+    max_depth: int,
+):
+    """One NUTS transition. Returns (q_new, accept_stat, n_leapfrog, diverged)."""
+    dim = q0.shape[0]
+    key, pkey = jax.random.split(key)
+    logp0, grad0 = logp_and_grad(q0)
+    p0 = jax.random.normal(pkey, (dim,)) / jnp.sqrt(inv_mass)
+    init = _LFState(q0, p0, grad0, logp0)
+    H0 = _energy(init, inv_mass)
+
+    # Tree state carried across doublings.
+    class Tree(NamedTuple):
+        left: _LFState       # backward endpoint
+        right: _LFState      # forward endpoint
+        proposal_q: jnp.ndarray
+        log_weight: jnp.ndarray   # log sum of exp(-dH) over leaves
+        sum_alpha: jnp.ndarray    # sum of accept stats
+        n_leaves: jnp.ndarray
+        turning: jnp.ndarray
+        diverging: jnp.ndarray
+
+    tree = Tree(init, init, q0, jnp.asarray(0.0), jnp.asarray(0.0),
+                jnp.asarray(1, jnp.int32), jnp.asarray(False), jnp.asarray(False))
+
+    def build_subtree(carry_key, start: _LFState, direction, depth_steps):
+        """Expand 2^k leapfrog steps from `start` in `direction` with
+        iterative checkpoint U-turn checks."""
+        eps_signed = eps * direction
+        max_ck = max_depth + 1
+
+        def leaf_step(carry, i):
+            (state, key_c, q_ck, p_ck, prop_q, log_w, sum_a, turning, diverging) = carry
+            state_new = _leapfrog(logp_and_grad, state, eps_signed, inv_mass)
+            H_new = _energy(state_new, inv_mass)
+            dH = H0 - H_new  # > 0 means better
+            diverging_new = (~jnp.isfinite(dH)) | (dH < -1000.0)
+            log_w_leaf = jnp.where(diverging_new, -jnp.inf, dH)
+            alpha = jnp.minimum(1.0, jnp.exp(jnp.minimum(dH, 0.0)))
+
+            # multinomial progressive sampling within the subtree
+            key_c, uk = jax.random.split(key_c)
+            log_w_new = jnp.logaddexp(log_w, log_w_leaf)
+            take = jnp.log(jax.random.uniform(uk)) < (log_w_leaf - log_w_new)
+            prop_q_new = jnp.where(take, state_new.q, prop_q)
+
+            # --- checkpoint bookkeeping -----------------------------------
+            # store current state at every level j with i % 2^j == 0
+            levels = jnp.arange(max_ck)
+            store_mask = (i % (2 ** levels)) == 0
+            q_ck_new = jnp.where(store_mask[:, None], state_new.q[None, :], q_ck)
+            p_ck_new = jnp.where(store_mask[:, None], state_new.p[None, :], p_ck)
+            # NOTE: checkpoints want the state at the START of each span;
+            # span [s, e] with s = i: its start state is the leaf AFTER s-1
+            # steps... we define spans over *post-step* states, checking
+            # between the stored state (first leaf of span) and the current
+            # leaf (last leaf of span) — the standard iterative scheme.
+            # check spans ending at leaf i: levels j >= 1 with (i+1) % 2^j == 0
+            check_mask = (((i + 1) % (2 ** levels)) == 0) & (levels >= 1)
+
+            def check_level(j):
+                return _is_turning(
+                    jnp.where(direction > 0, q_ck_new[j], state_new.q),
+                    jnp.where(direction > 0, p_ck_new[j], state_new.p),
+                    jnp.where(direction > 0, state_new.q, q_ck_new[j]),
+                    jnp.where(direction > 0, state_new.p, p_ck_new[j]),
+                    inv_mass,
+                )
+
+            span_turns = jax.vmap(check_level)(jnp.arange(max_ck))
+            turning_new = turning | jnp.any(span_turns & check_mask)
+
+            carry_new = (
+                state_new, key_c, q_ck_new, p_ck_new, prop_q_new,
+                log_w_new, sum_a + alpha, turning_new, diverging | diverging_new,
+            )
+            return carry_new, None
+
+        q_ck0 = jnp.zeros((max_ck, dim), q0.dtype)
+        p_ck0 = jnp.zeros((max_ck, dim), q0.dtype)
+        carry0 = (
+            start, carry_key, q_ck0, p_ck0, start.q,
+            -jnp.inf, jnp.asarray(0.0), jnp.asarray(False), jnp.asarray(False),
+        )
+        (state_f, key_f, _, _, prop_q, log_w, sum_a, turning, diverging), _ = lax.scan(
+            leaf_step, carry0, jnp.arange(depth_steps, dtype=jnp.int32)
+        )
+        return key_f, state_f, prop_q, log_w, sum_a, turning, diverging
+
+    # --- outer doubling loop (static unroll over max_depth) ---------------
+    def doubling(tree: Tree, key, depth):
+        key, dkey, mkey, skey = jax.random.split(key, 4)
+        direction = jnp.where(jax.random.bernoulli(dkey), 1.0, -1.0)
+        start = jax.tree.map(
+            lambda l, r: jnp.where(direction > 0, r, l), tree.left, tree.right
+        )
+        # flip momentum/grad sign handling: leapfrog with signed eps from the
+        # chosen endpoint continues the trajectory in that direction.
+        n_steps = 2 ** depth
+        key, state_f, prop_q, log_w, sum_a, turning_sub, diverging = build_subtree(
+            skey, start, direction, n_steps
+        )
+        # merge proposal: biased progressive (favor the new subtree)
+        log_w_total = jnp.logaddexp(tree.log_weight, log_w)
+        take_new = jnp.log(jax.random.uniform(mkey)) < (log_w - tree.log_weight)
+        proposal_q = jnp.where(take_new & ~turning_sub & ~diverging, prop_q, tree.proposal_q)
+
+        left_new = jax.tree.map(
+            lambda cur, new: jnp.where(direction > 0, cur, new), tree.left, state_f
+        )
+        right_new = jax.tree.map(
+            lambda cur, new: jnp.where(direction > 0, new, cur), tree.right, state_f
+        )
+        turning_total = _is_turning(
+            left_new.q, left_new.p, right_new.q, right_new.p, inv_mass
+        )
+        done_now = turning_sub | diverging
+        # if the subtree itself turned/diverged, the expansion is DISCARDED
+        # (endpoints unchanged), and sampling stops.
+        tree_new = Tree(
+            left=jax.tree.map(lambda old, new: jnp.where(done_now, old, new), tree.left, left_new),
+            right=jax.tree.map(lambda old, new: jnp.where(done_now, old, new), tree.right, right_new),
+            proposal_q=proposal_q,
+            log_weight=jnp.where(done_now, tree.log_weight, log_w_total),
+            sum_alpha=tree.sum_alpha + sum_a,
+            n_leaves=tree.n_leaves + jnp.asarray(n_steps, jnp.int32),
+            turning=tree.turning | turning_sub | turning_total,
+            diverging=tree.diverging | diverging,
+        )
+        return tree_new, key
+
+    key_loop = key
+    done = jnp.asarray(False)
+    n_leapfrog = jnp.asarray(0, jnp.int32)
+    for depth in range(max_depth):
+        # masked doubling: once done, carry the tree through unchanged
+        tree_next, key_loop = doubling(tree, key_loop, depth)
+        n_leapfrog = n_leapfrog + jnp.where(done, 0, 2 ** depth)
+        tree = jax.tree.map(
+            lambda old, new: jnp.where(done, old, new), tree, tree_next
+        )
+        done = done | tree.turning | tree.diverging
+
+    accept_stat = tree.sum_alpha / jnp.maximum(tree.n_leaves.astype(jnp.float32) - 1.0, 1.0)
+    return tree.proposal_q, accept_stat, n_leapfrog, tree.diverging
+
+
+# ---------------------------------------------------------------------------
+# Dual averaging
+# ---------------------------------------------------------------------------
+
+
+class _DAState(NamedTuple):
+    log_eps: jnp.ndarray
+    log_eps_bar: jnp.ndarray
+    h_bar: jnp.ndarray
+    mu: jnp.ndarray
+    count: jnp.ndarray
+
+
+def _da_init(eps0: float) -> _DAState:
+    return _DAState(
+        log_eps=jnp.log(jnp.asarray(eps0)),
+        log_eps_bar=jnp.asarray(0.0),
+        h_bar=jnp.asarray(0.0),
+        mu=jnp.log(10.0 * jnp.asarray(eps0)),
+        count=jnp.asarray(0.0),
+    )
+
+
+def _da_update(da: _DAState, accept_stat, target=0.8, gamma=0.05, t0=10.0, kappa=0.75):
+    count = da.count + 1.0
+    h_bar = (1.0 - 1.0 / (count + t0)) * da.h_bar + (target - accept_stat) / (count + t0)
+    log_eps = da.mu - jnp.sqrt(count) / gamma * h_bar
+    w = count ** (-kappa)
+    log_eps_bar = w * log_eps + (1.0 - w) * da.log_eps_bar
+    return _DAState(log_eps, log_eps_bar, h_bar, da.mu, count)
+
+
+# ---------------------------------------------------------------------------
+# Public driver
+# ---------------------------------------------------------------------------
+
+
+def nuts_sample(
+    logp_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    q_init: jnp.ndarray,            # (n_chains, dim)
+    key: jax.Array,
+    num_samples: int = 1000,
+    num_warmup: int = 500,
+    max_depth: int = 6,
+    target_accept: float = 0.8,
+    init_step_size: float = 0.1,
+    adapt_mass: bool = True,
+    thin: int = 1,
+) -> Dict[str, np.ndarray]:
+    """Run vectorized NUTS; returns dict with 'samples' (chains, draws, dim),
+    'accept_stat', 'diverging', 'step_size', 'inv_mass'."""
+    n_chains, dim = q_init.shape
+
+    def logp_and_grad(q):
+        return jax.value_and_grad(logp_fn)(q)
+
+    def one_transition(q, k, eps, inv_mass):
+        return _nuts_step(logp_and_grad, q, k, eps, inv_mass, max_depth)
+
+    vstep = jax.vmap(one_transition, in_axes=(0, 0, 0, None))
+
+    # ---- warmup: dual averaging + Welford mass adaptation ----------------
+    inv_mass = jnp.ones((dim,))
+    da0 = jax.vmap(lambda _: _da_init(init_step_size))(jnp.arange(n_chains))
+
+    def warmup_step(carry, k):
+        q, da, inv_m, mean, m2, cnt = carry
+        keys = jax.random.split(k, n_chains)
+        eps = jnp.exp(da.log_eps)
+        q_new, astat, _, _ = vstep(q, keys, eps, inv_m)
+        da_new = jax.vmap(_da_update, in_axes=(0, 0, None))(da, astat, target_accept)
+        # Welford over all chains' positions
+        cnt_new = cnt + n_chains
+        delta = q_new - mean[None, :]
+        mean_new = mean + jnp.sum(delta, axis=0) / cnt_new
+        m2_new = m2 + jnp.sum(delta * (q_new - mean_new[None, :]), axis=0)
+        return (q_new, da_new, inv_m, mean_new, m2_new, cnt_new), astat
+
+    half = num_warmup // 2
+    carry = (q_init, da0, inv_mass, jnp.zeros(dim), jnp.zeros(dim), jnp.asarray(0.0))
+    key, k1, k2, k3 = jax.random.split(key, 4)
+    carry, _ = lax.scan(warmup_step, carry, jax.random.split(k1, max(half, 1)))
+    q, da, inv_mass, mean, m2, cnt = carry
+    if adapt_mass and num_warmup > 10:
+        var = m2 / jnp.maximum(cnt - 1.0, 1.0)
+        inv_mass = jnp.maximum(var, 1e-6)
+        # restart dual averaging around the current step size
+        da = jax.vmap(lambda le: _DAState(le, jnp.asarray(0.0), jnp.asarray(0.0),
+                                          le + jnp.log(10.0), jnp.asarray(0.0)))(da.log_eps)
+    carry = (q, da, inv_mass, jnp.zeros(dim), jnp.zeros(dim), jnp.asarray(0.0))
+    carry, _ = lax.scan(warmup_step, carry, jax.random.split(k2, max(num_warmup - half, 1)))
+    q, da, inv_mass, _, _, _ = carry
+    eps_final = jnp.exp(da.log_eps_bar)
+
+    # ---- sampling ---------------------------------------------------------
+    def sample_step(q, k):
+        keys = jax.random.split(k, n_chains)
+        q_new, astat, n_lf, div = vstep(q, keys, eps_final, inv_mass)
+        return q_new, (q_new, astat, div, n_lf)
+
+    def thin_step(q, k):
+        ks = jax.random.split(k, thin)
+        q, outs = lax.scan(sample_step, q, ks)
+        q_s, astat, div, n_lf = outs
+        return q, (q_s[-1], astat[-1], div[-1], jnp.sum(n_lf))
+
+    q_final, (samples, astats, divs, n_lfs) = lax.scan(
+        thin_step, q, jax.random.split(k3, num_samples)
+    )
+
+    return {
+        "samples": np.asarray(jnp.swapaxes(samples, 0, 1)),  # (chains, draws, dim)
+        "accept_stat": np.asarray(astats),
+        "diverging": np.asarray(divs),
+        "n_leapfrog": np.asarray(n_lfs),
+        "step_size": np.asarray(eps_final),
+        "inv_mass": np.asarray(inv_mass),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Model-facing entry point (reference API parity: run_nuts)
+# ---------------------------------------------------------------------------
+
+#: Gaussian priors on ODE parameters (reference `inference/mcmc.py:60-68`)
+ODE_PARAM_PRIORS = {
+    "a_GI": (0.0104, 0.002),
+    "k_I": (0.025, 0.005),
+    "rho": (0.003, 0.001),
+    "E_max": (0.1, 0.02),
+    "V_max": (9.0, 2.0),
+    "K_m": (7.0, 1.5),
+    "k_L": (0.02, 0.005),
+}
+
+
+def run_nuts(
+    params: Any,
+    batch: Dict,
+    config,
+    key: Optional[jax.Array] = None,
+    num_samples: int = 1000,
+    num_warmup: int = 500,
+    n_chains: int = 8,
+    max_depth: int = 6,
+    target_accept: float = 0.8,
+    noise_sigma: float = 1.0,
+    include_nn: bool = False,
+    jitter: float = 0.01,
+) -> Dict[str, np.ndarray]:
+    """Posterior over hybrid-model parameters given one data batch.
+
+    Deviation from reference: samples the 7 ODE parameters with the
+    reference's informative priors (`inference/mcmc.py:60-68`); NN weights
+    (N(0,1) priors, `:77-81`) are opt-in via include_nn — sampling ~13k NN
+    dims with a placeholder RW-Metropolis was never meaningful in the
+    reference, while NUTS handles it but at real cost.
+
+    Returns dict of per-parameter sample arrays, shape (chains*draws,) —
+    flattened-chain layout matching the reference's npz output (`:166-168`).
+    """
+    from hybrid_ode_tpu.models.hybrid import batched_forward, controls_from_batch, flat_to_params
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    sample_names = [f"ode_{n}" for n in ODE_PARAM_PRIORS]
+    base = {n: jnp.asarray(params["ode"][n[4:]]) for n in sample_names}
+    if include_nn:
+        base.update({f"nn_{k}": v for k, v in params["nn"].items()})
+    q0_flat, unravel = ravel_pytree(base)
+    dim = q0_flat.shape[0]
+
+    obs = batch["observations"]
+    mask = batch.get("mask")
+    controls = controls_from_batch(batch)
+    n_factor = obs.shape[-1]
+
+    def logp_fn(q):
+        flat = unravel(q)
+        lp = 0.0
+        for name, (mu, sd) in ODE_PARAM_PRIORS.items():
+            v = flat[f"ode_{name}"]
+            lp = lp + (-0.5 * ((v - mu) / sd) ** 2 - 0.5 * jnp.log(2 * jnp.pi * sd**2))
+        if include_nn:
+            for k, v in flat.items():
+                if k.startswith("nn_"):
+                    lp = lp - 0.5 * jnp.sum(v**2) - 0.5 * v.size * jnp.log(2 * jnp.pi)
+        merged = flat_to_params(flat, params)
+        preds = batched_forward(
+            merged, batch["initial_state"], batch["time_points"], controls, config
+        )
+        se = ((obs - preds) / noise_sigma) ** 2
+        if mask is not None:
+            se = se * mask[..., None]
+            n_obs = jnp.sum(mask) * n_factor
+        else:
+            n_obs = float(np.prod(obs.shape))
+        lp = lp - 0.5 * jnp.sum(se) - 0.5 * n_obs * jnp.log(2 * jnp.pi * noise_sigma**2)
+        return jnp.sum(lp)
+
+    key, ik = jax.random.split(key)
+    q_init = q0_flat[None, :] + jitter * jax.random.normal(ik, (n_chains, dim))
+
+    logger.info(
+        "NUTS: %d chains x (%d warmup + %d samples), dim=%d, max_depth=%d",
+        n_chains, num_warmup, num_samples, dim, max_depth,
+    )
+    out = nuts_sample(
+        logp_fn, q_init, key,
+        num_samples=num_samples, num_warmup=num_warmup,
+        max_depth=max_depth, target_accept=target_accept,
+    )
+
+    # unflatten per-parameter: (chains, draws, dim) -> {name: (chains*draws, ...)}
+    # ravel_pytree ordering is deterministic; recover slices via an index map
+    flat_samples = out["samples"].reshape(-1, dim)
+    per_param: Dict[str, np.ndarray] = {}
+    template = unravel(jnp.arange(dim, dtype=jnp.float32))
+    for name, idx_arr in template.items():
+        idxs = np.asarray(idx_arr, np.int64).reshape(-1).astype(int)
+        vals = flat_samples[:, idxs].reshape((-1,) + np.asarray(idx_arr).shape)
+        per_param[name] = vals.squeeze()
+    per_param["_accept_stat"] = out["accept_stat"]
+    per_param["_diverging"] = out["diverging"]
+    per_param["_step_size"] = out["step_size"]
+    return per_param
+
+
+# ---------------------------------------------------------------------------
+# Diagnostics + persistence (reference parity: mcmc.py:183-318)
+# ---------------------------------------------------------------------------
+
+
+def compute_ess(x: np.ndarray) -> float:
+    """Effective sample size via initial-positive-sequence autocorrelation."""
+    x = np.asarray(x, np.float64).reshape(-1)
+    n = len(x)
+    if n < 4:
+        return float(n)
+    xc = x - x.mean()
+    c0 = xc.var()
+    if c0 == 0:
+        return float(n)
+    acf = []
+    for k in range(min(n // 4, 200)):
+        ck = np.mean(xc[: n - k] * xc[k:]) if k > 0 else c0
+        acf.append(ck / c0)
+    s = 0.0
+    for k, rho in enumerate(acf):
+        if k > 0 and rho < 0:
+            break
+        s += rho if k == 0 else 2 * rho
+    return float(n / max(s, 1.0))
+
+
+def split_rhat(samples: np.ndarray) -> float:
+    """Split-R̂ over (chains, draws) — a diagnostic the reference lacks."""
+    s = np.asarray(samples, np.float64)
+    if s.ndim == 1:
+        s = s[None, :]
+    c, d = s.shape
+    half = d // 2
+    if half < 2:
+        return float("nan")
+    chains = np.concatenate([s[:, :half], s[:, half : 2 * half]], axis=0)
+    m, n = chains.shape
+    chain_means = chains.mean(axis=1)
+    B = n * chain_means.var(ddof=1)
+    W = chains.var(axis=1, ddof=1).mean()
+    if W == 0:
+        return 1.0
+    var_plus = (n - 1) / n * W + B / n
+    return float(np.sqrt(var_plus / W))
+
+
+def posterior_summary(samples: Dict[str, np.ndarray]) -> Dict[str, Dict[str, Any]]:
+    """Mean/std/median/2.5%/97.5% quantiles per parameter (parity :218-249)."""
+    out = {}
+    for name, vals in samples.items():
+        if name.startswith("_"):
+            continue
+        v = np.asarray(vals)
+        out[name] = {
+            "mean": np.mean(v, axis=0),
+            "std": np.std(v, axis=0),
+            "median": np.median(v, axis=0),
+            "q025": np.percentile(v, 2.5, axis=0),
+            "q975": np.percentile(v, 97.5, axis=0),
+        }
+    return out
+
+
+def save_mcmc_results(samples: Dict[str, np.ndarray], path: str, metadata: Optional[Dict] = None):
+    """Save samples: ArviZ NetCDF when arviz is importable, else npz+json."""
+    try:
+        import arviz as az
+
+        data_vars = {}
+        for name, values in samples.items():
+            v = np.asarray(values)
+            data_vars[name.lstrip("_")] = v.reshape((1,) + v.shape)
+        idata = az.from_dict(posterior=data_vars)
+        if metadata:
+            for k, v in metadata.items():
+                idata.posterior.attrs[k] = v
+        idata.to_netcdf(path)
+    except ImportError:
+        import json
+
+        np.savez(path if str(path).endswith(".npz") else str(path) + ".npz", **samples)
+        if metadata:
+            with open(str(path) + ".meta.json", "w") as f:
+                json.dump(metadata, f, default=str)
+    logger.info("MCMC results saved to %s", path)
+
+
+def load_mcmc_results(path: str) -> Tuple[Dict[str, np.ndarray], Dict]:
+    try:
+        import arviz as az
+
+        idata = az.from_netcdf(path)
+        samples = {k: np.asarray(idata.posterior[k].values).squeeze(0) for k in idata.posterior.data_vars}
+        return samples, dict(idata.posterior.attrs)
+    except ImportError:
+        import json
+        from pathlib import Path
+
+        p = path if str(path).endswith(".npz") else str(path) + ".npz"
+        data = np.load(p)
+        samples = {k: data[k] for k in data.files}
+        meta_path = Path(str(path) + ".meta.json")
+        meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+        return samples, meta

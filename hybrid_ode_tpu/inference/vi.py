@@ -1,0 +1,265 @@
+"""Mean-field variational inference — actually functional, fully jitted.
+
+The reference's VI trainer exists (`inference/vi.py:19-340`) but the CLI
+disables it ("currently under development", `train/train_hybrid.py:452-461`).
+This implementation works: the ELBO's Monte-Carlo likelihood term vmaps the
+MC samples (the reference runs 5 serial full-model forwards per batch,
+`inference/vi.py:88-100`), the KL is closed form, and one training step is a
+single compiled program differentiating through the ODE solve into the
+variational means AND log-stds.
+
+ELBO (parity with `inference/vi.py:60-118`):
+    ELBO = E_q[log p(x | psi)] - KL[q(psi) || p(psi)]
+    log p(x|psi) = -0.5 sum((x - x_hat)^2 / sigma^2)
+                   - 0.5 * n_obs * log(2 pi sigma^2)
+Supports KL annealing (config `vi_settings.kl_annealing` — declared but never
+consumed by the reference; consumed here).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from hybrid_ode_tpu.data.dataset import GlucoseDataset, batch_iterator, pad_batch
+from hybrid_ode_tpu.models.bayes import (
+    VariationalState,
+    init_variational,
+    kl_divergence,
+    sample_variational,
+)
+from hybrid_ode_tpu.models.hybrid import (
+    HybridConfig,
+    batched_forward,
+    controls_from_batch,
+    flat_to_params,
+    params_to_flat,
+)
+from hybrid_ode_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+logger = logging.getLogger("hybrid_ode_tpu.vi")
+
+
+def elbo(
+    vstate: VariationalState,
+    priors: Dict[str, Tuple[float, float]],
+    template_params: Any,
+    batch: Dict,
+    key: jax.Array,
+    config: HybridConfig,
+    n_samples: int = 5,
+    noise_sigma: float = 1.0,
+    kl_scale: float = 1.0,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Monte-Carlo ELBO with vmapped samples; returns (elbo, components)."""
+    obs = batch["observations"]
+    mask = batch.get("mask")
+    controls = controls_from_batch(batch)
+
+    kl = kl_divergence(vstate, priors)
+
+    def one_sample(k):
+        flat = sample_variational(vstate, k)
+        params = flat_to_params(flat, template_params)
+        preds = batched_forward(
+            params, batch["initial_state"], batch["time_points"], controls, config
+        )
+        se = ((obs - preds) / noise_sigma) ** 2
+        if mask is not None:
+            se = se * mask[..., None]
+        return -0.5 * jnp.sum(se)
+
+    keys = jax.random.split(key, n_samples)
+    log_lik = jnp.mean(jax.vmap(one_sample)(keys))
+    if mask is not None:
+        n_obs = jnp.sum(batch["mask"]) * obs.shape[-1]
+    else:
+        n_obs = float(np.prod(obs.shape))
+    log_lik = log_lik - 0.5 * n_obs * jnp.log(2.0 * jnp.pi * noise_sigma**2)
+
+    value = log_lik - kl_scale * kl
+    return value, {"elbo": value, "kl": kl, "log_likelihood": log_lik}
+
+
+class VariationalInference:
+    """VI trainer over a VariationalState (API parity: reference
+    `inference/vi.py` — train/train_step/elbo/sample_posterior/
+    posterior_predictive/save_checkpoint/load_checkpoint)."""
+
+    def __init__(
+        self,
+        template_params: Any,
+        config: HybridConfig,
+        prior_params: Optional[Dict[str, Dict[str, float]]] = None,
+        learning_rate: float = 1e-3,
+        n_samples: int = 5,
+        noise_sigma: float = 1.0,
+        kl_annealing: bool = False,
+        annealing_epochs: int = 50,
+    ):
+        self.template = template_params
+        self.config = config
+        self.n_samples = n_samples
+        self.noise_sigma = noise_sigma
+        self.kl_annealing = kl_annealing
+        self.annealing_epochs = annealing_epochs
+
+        flat = params_to_flat(template_params)
+        self.vstate, self.priors = init_variational(flat, prior_params)
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(5.0), optax.adam(learning_rate)
+        )
+        self.opt_state = self.optimizer.init(self.vstate)
+        self.history = {"elbo": [], "kl": [], "log_likelihood": []}
+        self._train_step = None
+        self._eval_elbo = None
+
+    # -- jitted kernels ----------------------------------------------------
+    def _build(self):
+        cfg, ns, sigma = self.config, self.n_samples, self.noise_sigma
+        priors, template, optimizer = self.priors, self.template, self.optimizer
+
+        def loss_fn(vstate, batch, key, kl_scale):
+            value, comps = elbo(vstate, priors, template, batch, key, cfg, ns, sigma, kl_scale)
+            return -value, comps
+
+        def train_step(vstate, opt_state, batch, key, kl_scale):
+            (loss, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                vstate, batch, key, kl_scale
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, vstate)
+            vstate = optax.apply_updates(vstate, updates)
+            return vstate, opt_state, loss, comps
+
+        self._train_step = jax.jit(train_step)
+        self._eval_elbo = jax.jit(
+            lambda vstate, batch, key: elbo(vstate, priors, template, batch, key, cfg, ns, sigma)
+        )
+
+    # -- public API ---------------------------------------------------------
+    def train_step(self, batch: Dict, key: jax.Array, kl_scale: float = 1.0) -> Dict[str, float]:
+        if self._train_step is None:
+            self._build()
+        self.vstate, self.opt_state, loss, comps = self._train_step(
+            self.vstate, self.opt_state, batch, key, jnp.asarray(kl_scale, jnp.float32)
+        )
+        return {
+            "loss": float(loss),
+            "elbo": float(comps["elbo"]),
+            "kl": float(comps["kl"]),
+            "log_likelihood": float(comps["log_likelihood"]),
+        }
+
+    def train(
+        self,
+        train_ds: GlucoseDataset,
+        val_ds: Optional[GlucoseDataset] = None,
+        epochs: int = 100,
+        batch_size: int = 16,
+        early_stopping_patience: int = 10,
+        seed: int = 0,
+        log_every: int = 10,
+    ) -> Dict[str, list]:
+        key = jax.random.PRNGKey(seed)
+        best_val = -float("inf")
+        best_state = self.vstate
+        patience = 0
+        for epoch in range(epochs):
+            kl_scale = (
+                min(1.0, (epoch + 1) / self.annealing_epochs) if self.kl_annealing else 1.0
+            )
+            t0 = time.time()
+            acc = {"elbo": 0.0, "kl": 0.0, "log_likelihood": 0.0}
+            nb = 0
+            for batch in batch_iterator(train_ds, batch_size, shuffle=True, seed=seed + epoch):
+                batch, _ = pad_batch(batch, batch_size)
+                key, sk = jax.random.split(key)
+                m = self.train_step(batch, sk, kl_scale)
+                for k in acc:
+                    acc[k] += m[k]
+                nb += 1
+            for k in acc:
+                acc[k] /= max(nb, 1)
+                self.history[k].append(acc[k])
+
+            val_elbo = None
+            if val_ds is not None and len(val_ds):
+                vtotal, vb = 0.0, 0
+                for batch in batch_iterator(val_ds, batch_size, shuffle=False):
+                    batch, _ = pad_batch(batch, batch_size)
+                    key, sk = jax.random.split(key)
+                    v, _ = self._eval_elbo(self.vstate, batch, sk)
+                    vtotal += float(v)
+                    vb += 1
+                val_elbo = vtotal / max(vb, 1)
+                if val_elbo > best_val:
+                    best_val = val_elbo
+                    best_state = self.vstate
+                    patience = 0
+                else:
+                    patience += 1
+                if patience >= early_stopping_patience:
+                    logger.info("VI early stopping at epoch %d", epoch)
+                    break
+            if (epoch + 1) % log_every == 0:
+                logger.info(
+                    "VI epoch %d: ELBO=%.2f KL=%.2f LL=%.2f val=%s (%.2fs)",
+                    epoch, acc["elbo"], acc["kl"], acc["log_likelihood"],
+                    f"{val_elbo:.2f}" if val_elbo is not None else "-", time.time() - t0,
+                )
+        if val_ds is not None and len(val_ds):
+            self.vstate = best_state
+        return self.history
+
+    def sample_posterior(self, key: jax.Array, n_samples: int = 100):
+        keys = jax.random.split(key, n_samples)
+        return jax.vmap(lambda k: sample_variational(self.vstate, k))(keys)
+
+    def posterior_predictive(
+        self,
+        key: jax.Array,
+        initial_state: jnp.ndarray,
+        time_points: jnp.ndarray,
+        controls=None,
+        n_samples: int = 100,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Vmapped posterior predictive (reference loops serially,
+        `inference/vi.py:291-312`)."""
+        cfg, template = self.config, self.template
+
+        def fwd(flat):
+            params = flat_to_params(flat, template)
+            if initial_state.ndim == 2:
+                return batched_forward(params, initial_state, time_points, controls, cfg)
+            from hybrid_ode_tpu.models.hybrid import forward
+
+            return forward(params, initial_state, time_points, controls, cfg)
+
+        keys = jax.random.split(key, n_samples)
+        samples = jax.vmap(lambda k: sample_variational(self.vstate, k))(keys)
+        preds = jax.jit(jax.vmap(fwd))(samples)
+        return preds.mean(axis=0), preds.std(axis=0)
+
+    def save_checkpoint(self, path: str) -> None:
+        save_checkpoint(
+            path,
+            {"vstate": self.vstate, "opt_state": self.opt_state},
+            {"history": self.history, "priors": {k: list(v) for k, v in self.priors.items()}},
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        state, meta = load_checkpoint(path)
+        loaded = state["vstate"]
+        self.vstate = VariationalState(
+            means=dict(loaded["means"] if isinstance(loaded, dict) else loaded.means),
+            log_stds=dict(loaded["log_stds"] if isinstance(loaded, dict) else loaded.log_stds),
+        )
+        self.opt_state = state["opt_state"]
+        self.history = meta.get("history", self.history)

@@ -1,0 +1,10 @@
+from hybrid_ode_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from hybrid_ode_tpu.parallel.train_parallel import make_parallel_train_step, parallel_cohort_sim
+
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "make_parallel_train_step",
+    "parallel_cohort_sim",
+]

@@ -1,0 +1,183 @@
+"""Training CLI — flag parity with the reference (`train/train_hybrid.py:307-328`).
+
+    python -m hybrid_ode_tpu.train.cli --config configs/4gi_baseline.yaml
+
+Flags: --config --data --solver --vi --mcmc --no-nn --no-bayes --no-physics
+--experiment-name --seed (+ TPU-build extras: --epochs --batch-size
+--mcmc-chains --platform).
+
+Behavioral upgrades over the reference, kept behind the same flags:
+  * --vi actually trains variational parameters (the reference logs a warning
+    and falls back to point training, `train_hybrid.py:452-461`).
+  * --mcmc runs vectorized NUTS over parallel chains after a MAP pretrain
+    (reference: serial random-walk Metropolis, `inference/mcmc.py:127`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from datetime import datetime
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger("hybrid_ode_tpu.cli")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train hybrid ODE-NN model (TPU-native)")
+    p.add_argument("--config", type=str, default="configs/default.yaml")
+    p.add_argument("--data", type=str, default=None,
+                   help="Path to data file (default: config's data.path)")
+    p.add_argument("--solver", type=str, default=None,
+                   choices=["dopri5", "rk45", "dop853", "radau", "bdf", "rk4", "bosh3", "euler"])
+    p.add_argument("--vi", action="store_true", help="Variational inference")
+    p.add_argument("--mcmc", action="store_true", help="NUTS sampling after MAP pretrain")
+    p.add_argument("--no-nn", dest="no_nn", action="store_true")
+    p.add_argument("--no-bayes", dest="no_bayes", action="store_true")
+    p.add_argument("--no-physics", dest="no_physics", action="store_true")
+    p.add_argument("--experiment-name", type=str, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--mcmc-chains", type=int, default=8)
+    p.add_argument("--mcmc-samples", type=int, default=1000)
+    p.add_argument("--mcmc-warmup", type=int, default=500)
+    return p
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s")
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from hybrid_ode_tpu.data.dataset import create_data_arrays, split_dataset
+    from hybrid_ode_tpu.models.hybrid import HybridConfig, init_hybrid_params
+    from hybrid_ode_tpu.train.loop import train_model
+    from hybrid_ode_tpu.utils.config import load_config, merge_cli_overrides, save_config
+
+    cfg = merge_cli_overrides(load_config(args.config), args)
+    seed = cfg.get("seed", 0)
+
+    # experiment naming (parity: train_hybrid.py:384-397)
+    if args.experiment_name:
+        experiment = args.experiment_name
+    else:
+        experiment = f"hybrid_ode_nn_{datetime.now().strftime('%Y%m%d_%H%M%S')}"
+        if args.vi:
+            experiment += "_vi"
+        elif args.mcmc:
+            experiment += "_mcmc"
+        if cfg["ablation"]["no_nn"]:
+            experiment += "_no_nn"
+        if cfg["ablation"]["no_bayes"]:
+            experiment += "_no_bayes"
+
+    log_dir = Path("runs") / experiment
+    ckpt_dir = Path("checkpoints") / experiment
+    log_dir.mkdir(parents=True, exist_ok=True)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    save_config(cfg, ckpt_dir / "config.yaml")
+
+    logger.info("devices: %s", jax.devices())
+    logger.info("experiment: %s", experiment)
+
+    ds = create_data_arrays(
+        cfg["data"]["path"],
+        sequence_length=cfg["data"].get("sequence_length", 61),
+        stride=cfg["data"].get("stride", 30),
+        normalize=cfg["data"].get("normalize", True),
+    )
+    train_ds, val_ds, test_ds = split_dataset(ds, seed=42)
+    logger.info("dataset: %d windows (train %d / val %d / test %d)",
+                len(ds), len(train_ds), len(val_ds), len(test_ds))
+
+    use_variational = args.vi and not cfg["ablation"]["no_bayes"]
+
+    if use_variational:
+        _run_vi(cfg, args, train_ds, val_ds, ckpt_dir, seed)
+    elif args.mcmc and not cfg["ablation"]["no_bayes"]:
+        _run_mcmc(cfg, args, train_ds, val_ds, ckpt_dir, log_dir, seed)
+    else:
+        result = train_model(cfg, train_ds, val_ds, str(ckpt_dir), str(log_dir))
+        logger.info("training done: best val loss %.4f over %d epochs",
+                    result.best_val_loss, result.epochs_run)
+
+
+def _model_config(cfg, use_nn=True):
+    from hybrid_ode_tpu.models.hybrid import HybridConfig
+
+    m = cfg["model"]
+    return HybridConfig(
+        nn_hidden=m["nn_hidden"], nn_layers=m["nn_layers"],
+        activation=m.get("activation", "relu"), use_nn=use_nn,
+        solver=m["solver"], rtol=m.get("rtol", 1e-6), atol=m.get("atol", 1e-8),
+        mode=m.get("mode", "scan"),
+        max_steps_per_interval=m.get("max_steps_per_interval", 8),
+        substeps=m.get("substeps", 4),
+    )
+
+
+def _run_vi(cfg, args, train_ds, val_ds, ckpt_dir, seed):
+    import jax
+
+    from hybrid_ode_tpu.inference.vi import VariationalInference
+    from hybrid_ode_tpu.models.hybrid import init_hybrid_params
+    from hybrid_ode_tpu.train.loop import train_model
+
+    # short MAP pretrain so posterior means start sensibly
+    logger.info("VI: MAP pretrain (<=20 epochs)")
+    pre = train_model(cfg, train_ds, val_ds, None, None, max_epochs=min(20, cfg["training"]["epochs"]))
+
+    vcfg = cfg.get("vi_settings") or {}
+    vi = VariationalInference(
+        pre.params,
+        _model_config(cfg, use_nn=not cfg["ablation"]["no_nn"]),
+        prior_params=cfg.get("ode_param_priors"),
+        learning_rate=cfg["training"]["learning_rate"],
+        n_samples=vcfg.get("n_samples", 5),
+        kl_annealing=vcfg.get("kl_annealing", False),
+        annealing_epochs=vcfg.get("annealing_epochs", 50),
+    )
+    vi.train(
+        train_ds, val_ds,
+        epochs=cfg["training"]["epochs"],
+        batch_size=cfg["training"]["batch_size"],
+        early_stopping_patience=cfg["training"].get("early_stopping_patience", 10),
+        seed=seed,
+    )
+    vi.save_checkpoint(str(Path(ckpt_dir) / "vi_model"))
+    logger.info("VI training complete; checkpoint at %s", ckpt_dir)
+
+
+def _run_mcmc(cfg, args, train_ds, val_ds, ckpt_dir, log_dir, seed):
+    import jax
+
+    from hybrid_ode_tpu.data.dataset import batch_iterator
+    from hybrid_ode_tpu.inference.mcmc import posterior_summary, run_nuts, save_mcmc_results
+    from hybrid_ode_tpu.train.loop import train_model
+
+    logger.info("MCMC: MAP pretrain (<=50 epochs, parity train_hybrid.py:463-494)")
+    pre = train_model(cfg, train_ds, val_ds, str(ckpt_dir), str(log_dir),
+                      max_epochs=min(50, cfg["training"]["epochs"]))
+
+    batch = next(batch_iterator(val_ds, cfg["training"]["batch_size"], shuffle=False))
+    samples = run_nuts(
+        pre.params, batch, _model_config(cfg, use_nn=not cfg["ablation"]["no_nn"]),
+        key=jax.random.PRNGKey(seed),
+        num_samples=args.mcmc_samples, num_warmup=args.mcmc_warmup,
+        n_chains=args.mcmc_chains,
+    )
+    np.savez(Path(ckpt_dir) / "mcmc_samples.npz", **samples)
+    save_mcmc_results(samples, str(Path(ckpt_dir) / "mcmc_results"))
+    summ = posterior_summary(samples)
+    for name, st in summ.items():
+        logger.info("  %s: mean=%.4g std=%.3g [%.4g, %.4g]",
+                    name, st["mean"], st["std"], st["q025"], st["q975"])
+
+
+if __name__ == "__main__":
+    main()
