@@ -1,0 +1,292 @@
+"""Publication figures and tables (parity: reference `plots/plot_all.py`).
+
+  Fig 1: predicted vs observed time series (G / I / GLP-1, 3 subjects, meal
+         markers) — `plot_all.py:37-121`.
+  Fig 2: Sobol sensitivity bar charts over 3 outputs (glucose AUC, insulin
+         peak, GLP-1 response) — `plot_all.py:124-220`, with the 1024-sample
+         Saltelli sweep vmapped instead of the reference's serial loop.
+  Fig 3: posterior-predictive bands (95% CI + ±1 SD, 100 samples) with
+         fallback to Fig 1 when no posterior exists — `plot_all.py:227-341`.
+  Tables III-V: overall / per-state / ablation CSV + LaTeX —
+         `plot_all.py:344-406`.
+
+matplotlib is imported lazily with the Agg backend (headless TPU hosts).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hybrid_ode_tpu.data.dataset import GlucoseDataset
+from hybrid_ode_tpu.dynamics.controls import Controls
+from hybrid_ode_tpu.models.hybrid import (
+    HybridConfig,
+    batched_forward,
+    forward,
+)
+from hybrid_ode_tpu.plots.sobol import DEFAULT_PROBLEM, sobol_sensitivity
+
+logger = logging.getLogger("hybrid_ode_tpu.plots")
+
+_PLOT_STATES = [(0, "Glucose"), (1, "Insulin"), (3, "GLP-1")]
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_fig1_predictions(
+    params: Any,
+    ds: GlucoseDataset,
+    config: HybridConfig,
+    save_path: str = "results/figures/fig1_predictions.png",
+    n_subjects: int = 3,
+) -> str:
+    """Predicted vs observed trajectories for the first n subjects."""
+    plt = _plt()
+    n = min(n_subjects, len(ds))
+    batch = ds.batch(np.arange(n))
+    controls = Controls(ts=jnp.asarray(batch["time_points"]),
+                        signals={k: jnp.asarray(v) for k, v in batch["external_inputs"].items()})
+    preds = np.asarray(
+        batched_forward(params, jnp.asarray(batch["initial_state"]),
+                        jnp.asarray(batch["time_points"]), controls, config)
+    )
+
+    fig, axes = plt.subplots(len(_PLOT_STATES), n, figsize=(5 * n, 9), squeeze=False)
+    for col in range(n):
+        t = batch["time_points"][col]
+        meal_times = t[batch["external_inputs"]["meal"][col] > 0]
+        for row, (sidx, name) in enumerate(_PLOT_STATES):
+            ax = axes[row][col]
+            ax.plot(t, batch["observations"][col, :, sidx], "k.", ms=4, label="observed")
+            ax.plot(t, preds[col, :, sidx], "b-", lw=1.5, label="predicted")
+            for mt in meal_times:
+                ax.axvline(mt, color="r", ls="--", alpha=0.4)
+            if row == 0:
+                ax.set_title(f"Subject {col}")
+            if col == 0:
+                ax.set_ylabel(f"{name} (normalized)")
+            if row == len(_PLOT_STATES) - 1:
+                ax.set_xlabel("Time (hours)")
+            if row == 0 and col == 0:
+                ax.legend(fontsize=8)
+    fig.suptitle("Hybrid ODE-NN predictions vs observations")
+    fig.tight_layout()
+    Path(save_path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(save_path, dpi=150)
+    plt.close(fig)
+    logger.info("fig1 saved to %s", save_path)
+    return save_path
+
+
+def plot_fig2_sensitivity(
+    params: Any,
+    config: HybridConfig,
+    save_path: str = "results/figures/fig2_sensitivity.png",
+    n_samples: int = 1024,
+    seed: int = 0,
+) -> Dict[str, np.ndarray]:
+    """Sobol sensitivity of [glucose AUC, insulin peak, GLP-1 response].
+
+    Simulation protocol parity (`plot_all.py:163-196`): initial state at
+    basal values, 75 mmol meal bolus at t=30 min, 5 h horizon, 61 points.
+    """
+    plt = _plt()
+    ts = jnp.linspace(0.0, 5.0, 61)
+    meal = jnp.zeros(61).at[6].set(75.0)
+    controls = Controls(ts=ts, signals={"meal": meal, "tVNS": jnp.zeros(61)})
+    y0 = jnp.array([5.0, 60.0, 80.0, 0.0, 0.0, 1.0])
+    # fixed-grid solver for the sweep: bounded uniform cost under vmap
+    sweep_cfg = HybridConfig(
+        nn_hidden=config.nn_hidden, nn_layers=config.nn_layers,
+        activation=config.activation, use_nn=config.use_nn,
+        solver="rk4", substeps=6, mode="scan",
+    )
+
+    def simulate(overrides: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        p = {"ode": dict(params["ode"]), "nn": params["nn"]}
+        for k, v in overrides.items():
+            p["ode"][k] = v
+        traj = forward(p, y0, ts, controls, sweep_cfg)
+        auc = jnp.trapezoid(traj[:, 0], dx=5.0 / 60.0)
+        ipeak = jnp.max(traj[:, 1])
+        glp1_resp = jnp.mean(traj[6:, 3])
+        return jnp.stack([auc, ipeak, glp1_resp])
+
+    res = sobol_sensitivity(simulate, DEFAULT_PROBLEM, n=n_samples, seed=seed)
+
+    output_names = ["Glucose AUC", "Insulin Peak", "GLP-1 Response"]
+    fig, axes = plt.subplots(1, 3, figsize=(15, 5))
+    for j, out_name in enumerate(output_names):
+        ax = axes[j]
+        vals = res["S1"][:, j]
+        ax.bar(res["names"], vals)
+        ax.set_xlabel("Parameters")
+        ax.set_ylabel("First-order Sobol Index")
+        ax.set_title(f"Sensitivity: {out_name}")
+        ax.set_xticklabels(res["names"], rotation=45)
+        for i, v in enumerate(vals):
+            ax.text(i, v + 0.01, f"{v:.3f}", ha="center", fontsize=7)
+    fig.tight_layout()
+    Path(save_path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(save_path, dpi=150)
+    plt.close(fig)
+    logger.info("fig2 saved to %s", save_path)
+    return res
+
+
+def plot_fig3_posterior_bands(
+    params: Any,
+    ds: GlucoseDataset,
+    config: HybridConfig,
+    variational=None,
+    save_path: str = "results/figures/fig3_posterior.png",
+    n_samples: int = 100,
+    key: Optional[jax.Array] = None,
+) -> str:
+    """Posterior predictive bands; falls back to Fig 1 without a posterior
+    (parity: `plot_all.py:240-243`)."""
+    if variational is None:
+        logger.warning("no variational posterior — falling back to fig1")
+        return plot_fig1_predictions(params, ds, config, save_path)
+
+    plt = _plt()
+    key = key if key is not None else jax.random.PRNGKey(0)
+    n = min(3, len(ds))
+    batch = ds.batch(np.arange(n))
+    controls = Controls(ts=jnp.asarray(batch["time_points"]),
+                        signals={k: jnp.asarray(v) for k, v in batch["external_inputs"].items()})
+    mean, std = variational.posterior_predictive(
+        key, jnp.asarray(batch["initial_state"]), jnp.asarray(batch["time_points"]),
+        controls, n_samples=n_samples,
+    )
+    mean, std = np.asarray(mean), np.asarray(std)
+
+    fig, axes = plt.subplots(len(_PLOT_STATES), n, figsize=(5 * n, 9), squeeze=False)
+    for col in range(n):
+        t = batch["time_points"][col]
+        for row, (sidx, name) in enumerate(_PLOT_STATES):
+            ax = axes[row][col]
+            m, s = mean[col, :, sidx], std[col, :, sidx]
+            ax.fill_between(t, m - 1.96 * s, m + 1.96 * s, alpha=0.2, color="b", label="95% CI")
+            ax.fill_between(t, m - s, m + s, alpha=0.3, color="b", label="±1 SD")
+            ax.plot(t, m, "b-", lw=1.2, label="posterior mean")
+            ax.plot(t, batch["observations"][col, :, sidx], "k.", ms=4, label="observed")
+            if col == 0:
+                ax.set_ylabel(f"{name} (normalized)")
+            if row == len(_PLOT_STATES) - 1:
+                ax.set_xlabel("Time (hours)")
+            if row == 0 and col == 0:
+                ax.legend(fontsize=7)
+    fig.suptitle("Posterior predictive distribution (VI)")
+    fig.tight_layout()
+    Path(save_path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(save_path, dpi=150)
+    plt.close(fig)
+    logger.info("fig3 saved to %s", save_path)
+    return save_path
+
+
+def generate_performance_tables(
+    metrics_by_model: Dict[str, Dict[str, float]],
+    out_dir: str = "results/tables",
+) -> None:
+    """Tables III (overall), IV (per-state), V (ablations) as CSV + LaTeX
+    (parity: `plot_all.py:344-406`)."""
+    import pandas as pd
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    # Table III: overall metrics per model
+    rows = []
+    for model_name, m in metrics_by_model.items():
+        rows.append({
+            "Model": model_name,
+            "RMSE": m.get("rmse"), "MAE": m.get("mae"), "NRMSE": m.get("nrmse"),
+            "R2": m.get("r2"), "ECE": m.get("ece"), "Coverage95": m.get("coverage_95"),
+        })
+    t3 = pd.DataFrame(rows)
+    t3.to_csv(out / "table3_overall.csv", index=False)
+    (out / "table3_overall.tex").write_text(t3.to_latex(index=False, float_format="%.4f", na_rep="-"))
+
+    # Table IV: per-state RMSE per model
+    from hybrid_ode_tpu.evals.metrics import STATE_NAMES
+
+    rows = []
+    for model_name, m in metrics_by_model.items():
+        row = {"Model": model_name}
+        for s in STATE_NAMES:
+            row[s] = m.get(f"rmse_{s.lower()}")
+        rows.append(row)
+    t4 = pd.DataFrame(rows)
+    t4.to_csv(out / "table4_per_state.csv", index=False)
+    (out / "table4_per_state.tex").write_text(t4.to_latex(index=False, float_format="%.4f", na_rep="-"))
+
+    # Table V: ablation comparison (whatever models were passed in)
+    t5 = t3[["Model", "RMSE", "MAE", "ECE"]]
+    t5.to_csv(out / "table5_ablation.csv", index=False)
+    (out / "table5_ablation.tex").write_text(t5.to_latex(index=False, float_format="%.4f", na_rep="-"))
+    logger.info("tables written to %s", out)
+
+
+def main(argv=None) -> None:
+    """CLI orchestrator (parity: `plot_all.py:409-495`)."""
+    import argparse
+
+    from hybrid_ode_tpu.data.dataset import create_data_arrays, split_dataset
+    from hybrid_ode_tpu.evals.evaluate import evaluate_model
+    from hybrid_ode_tpu.utils.checkpoint import load_checkpoint
+
+    logging.basicConfig(level=logging.INFO)
+    ap = argparse.ArgumentParser(description="Generate figures and tables")
+    ap.add_argument("--checkpoint", type=str, required=True)
+    ap.add_argument("--data", type=str, default="data/4gi_dataset.csv")
+    ap.add_argument("--figures", type=str, default="all",
+                    choices=["all", "fig1", "fig2", "fig3", "tables"])
+    ap.add_argument("--out-dir", type=str, default="results")
+    ap.add_argument("--sobol-samples", type=int, default=1024)
+    args = ap.parse_args(argv)
+
+    state, meta = load_checkpoint(args.checkpoint)
+    params = state["params"]
+    mcfg = meta.get("config", {}).get("model", {})
+    abl = meta.get("config", {}).get("ablation", {})
+    config = HybridConfig(
+        nn_hidden=mcfg.get("nn_hidden", 64), nn_layers=mcfg.get("nn_layers", 4),
+        use_nn=not abl.get("no_nn", False), solver=mcfg.get("solver", "dopri5"),
+        rtol=mcfg.get("rtol", 1e-6), atol=mcfg.get("atol", 1e-8),
+        mode=mcfg.get("mode", "scan"),
+        max_steps_per_interval=mcfg.get("max_steps_per_interval", 8),
+    )
+
+    ds = create_data_arrays(args.data)
+    _, _, test_ds = split_dataset(ds, seed=42)
+    figdir = Path(args.out_dir) / "figures"
+
+    if args.figures in ("all", "fig1"):
+        plot_fig1_predictions(params, test_ds, config, str(figdir / "fig1_predictions.png"))
+    if args.figures in ("all", "fig2"):
+        plot_fig2_sensitivity(params, config, str(figdir / "fig2_sensitivity.png"),
+                              n_samples=args.sobol_samples)
+    if args.figures in ("all", "fig3"):
+        plot_fig3_posterior_bands(params, test_ds, config, None, str(figdir / "fig3_posterior.png"))
+    if args.figures in ("all", "tables"):
+        metrics = evaluate_model(params, test_ds, config)
+        generate_performance_tables({"Hybrid ODE-NN": metrics}, str(Path(args.out_dir) / "tables"))
+
+
+if __name__ == "__main__":
+    main()

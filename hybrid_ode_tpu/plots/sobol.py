@@ -1,0 +1,125 @@
+"""Native Sobol/Saltelli global sensitivity analysis — one vmapped batch.
+
+The reference depends on SALib and runs 1024*(d+2) forward simulations in a
+serial Python loop with in-place model-buffer mutation
+(`plots/plot_all.py:156-196`). Here Saltelli sampling is generated from a
+scrambled Sobol QMC sequence (scipy.stats.qmc) and ALL simulations run as a
+single vmap over the parameter axis — the functional parameter pytree makes
+"set model parameters" a non-event.
+
+Estimators (Saltelli 2010 / Jansen 1999):
+    S1_i = mean(f_B * (f_ABi - f_A)) / V
+    ST_i = 0.5 * mean((f_A - f_ABi)^2) / V
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+#: Parameter names and bounds used by the reference's Figure 2
+#: (`plots/plot_all.py:139-148`).
+DEFAULT_PROBLEM: Dict[str, Tuple[float, float]] = {
+    "a_GI": (0.008, 0.012),
+    "k_I": (0.02, 0.03),
+    "rho": (0.002, 0.004),
+    "E_max": (0.08, 0.12),
+    "V_max": (7.0, 11.0),
+    "K_m": (5.5, 8.5),
+    "k_L": (0.015, 0.025),
+}
+
+
+def saltelli_sample(
+    bounds: Sequence[Tuple[float, float]], n: int, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Generate (A, B, AB) Saltelli matrices: A,B (n,d); AB (d,n,d) where
+    AB[i] is A with column i replaced from B. Uses a scrambled Sobol
+    sequence for the base matrices (n rounded up to a power of two)."""
+    from scipy.stats import qmc
+
+    d = len(bounds)
+    m = int(np.ceil(np.log2(max(n, 2))))
+    sampler = qmc.Sobol(2 * d, scramble=True, seed=seed)
+    base = sampler.random_base2(m)[:n]  # (n, 2d) in [0,1)
+    lo = np.array([b[0] for b in bounds])
+    hi = np.array([b[1] for b in bounds])
+    A = lo + base[:, :d] * (hi - lo)
+    B = lo + base[:, d:] * (hi - lo)
+    AB = np.repeat(A[None, :, :], d, axis=0)
+    for i in range(d):
+        AB[i, :, i] = B[:, i]
+    return A, B, AB
+
+
+def sobol_analyze(f_A: np.ndarray, f_B: np.ndarray, f_AB: np.ndarray) -> Dict[str, np.ndarray]:
+    """First-order and total Sobol indices from model evaluations.
+
+    f_A, f_B: (n,); f_AB: (d, n). Returns {'S1': (d,), 'ST': (d,)}.
+    """
+    f_all = np.concatenate([f_A, f_B])
+    mu = float(f_all.mean())
+    V = float(np.var(f_all))
+    # Degenerate output: if the model output barely varies across the sweep,
+    # the 1/V-scaled estimators amplify pure Monte-Carlo noise into garbage
+    # (indices far outside [0,1]) — report zeros instead.
+    if V < 1e-10 * max(mu**2, 1e-12):
+        d = f_AB.shape[0]
+        return {"S1": np.zeros(d), "ST": np.zeros(d)}
+    f_A = f_A - mu
+    f_B = f_B - mu
+    f_AB = f_AB - mu
+    S1 = np.array([np.mean(f_B * (f_AB[i] - f_A)) / V for i in range(f_AB.shape[0])])
+    ST = np.array([0.5 * np.mean((f_A - f_AB[i]) ** 2) / V for i in range(f_AB.shape[0])])
+    return {"S1": S1, "ST": ST}
+
+
+def sobol_sensitivity(
+    simulate: Callable[[Dict[str, jnp.ndarray]], jnp.ndarray],
+    problem: Dict[str, Tuple[float, float]] = None,
+    n: int = 1024,
+    seed: int = 0,
+    batch_size: int = 4096,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """End-to-end GSA: vmap `simulate` over all n*(d+2) Saltelli rows.
+
+    simulate: dict of scalar parameter overrides -> (n_outputs,) array of
+    scalar model outputs (e.g. [glucose AUC, insulin peak, GLP-1 response]).
+
+    Returns {'S1': (d, n_outputs), 'ST': (d, n_outputs), 'names': [...]}.
+    """
+    problem = problem or DEFAULT_PROBLEM
+    names: List[str] = list(problem)
+    bounds = [problem[k] for k in names]
+    d = len(names)
+
+    A, B, AB = saltelli_sample(bounds, n, seed)
+    rows = np.concatenate([A, B, AB.reshape(d * A.shape[0], d)], axis=0)  # (n(d+2), d)
+
+    def sim_row(row):
+        overrides = {name: row[i] for i, name in enumerate(names)}
+        return simulate(overrides)
+
+    sim_batch = jax.jit(jax.vmap(sim_row))
+    outs = []
+    for start in range(0, rows.shape[0], batch_size):
+        chunk = jnp.asarray(rows[start : start + batch_size], jnp.float32)
+        outs.append(np.asarray(sim_batch(chunk)))
+    Y = np.concatenate(outs)  # (n(d+2), n_outputs)
+
+    n_actual = A.shape[0]
+    f_A = Y[:n_actual]
+    f_B = Y[n_actual : 2 * n_actual]
+    f_AB = Y[2 * n_actual :].reshape(d, n_actual, -1)
+
+    n_out = Y.shape[-1]
+    S1 = np.zeros((d, n_out))
+    ST = np.zeros((d, n_out))
+    for j in range(n_out):
+        res = sobol_analyze(f_A[:, j], f_B[:, j], f_AB[:, :, j])
+        S1[:, j] = res["S1"]
+        ST[:, j] = res["ST"]
+    return {"S1": S1, "ST": ST, "names": names}

@@ -1,0 +1,192 @@
+"""Inference-tier tests: VI trains an ELBO that improves; NUTS samples
+correctly from known distributions; diagnostics behave.
+
+The reference SKIPS its VI gradient test ("interface needs refactoring",
+tests/test_gradient_correctness.py:172-173) and cannot test its MCMC because
+it is a placeholder. Both are exercised for real here.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybrid_ode_tpu.inference.mcmc import (
+    compute_ess,
+    nuts_sample,
+    posterior_summary,
+    run_nuts,
+    save_mcmc_results,
+    load_mcmc_results,
+    split_rhat,
+)
+from hybrid_ode_tpu.inference.vi import VariationalInference, elbo
+from hybrid_ode_tpu.models.bayes import (
+    init_variational,
+    kl_divergence,
+    sample_variational,
+    flatten_variational,
+    select_bayes_params,
+)
+from hybrid_ode_tpu.models.hybrid import HybridConfig, init_hybrid_params, params_to_flat
+
+
+FAST = HybridConfig(solver="rk4", substeps=2, nn_hidden=8, nn_layers=2, mode="scan")
+
+
+def _tiny_batch(key, B=4, T=8):
+    base = jnp.array([8.0, 100.0, 90.0, 20.0, 0.0, 1.2])
+    y0 = jnp.abs(base[None, :] * (1 + 0.05 * jax.random.normal(key, (B, 6))))
+    ts = jnp.broadcast_to(jnp.linspace(0.0, 1.0, T), (B, T))
+    return {
+        "initial_state": y0,
+        "observations": jnp.ones((B, T, 6)) * base[None, None, :],
+        "time_points": ts,
+        "external_inputs": {"meal": jnp.zeros((B, T)), "tVNS": jnp.zeros((B, T))},
+        "mask": jnp.ones((B, T)),
+    }
+
+
+# --------------------------------------------------------------------------
+# Variational primitives
+# --------------------------------------------------------------------------
+
+def test_variational_selection_and_kl():
+    params = init_hybrid_params(jax.random.PRNGKey(0), FAST)
+    flat = params_to_flat(params)
+    chosen = select_bayes_params(flat)
+    # 8 selected ODE params + all NN params (reference hybrid_ode_nn.py:83)
+    assert sum(1 for k in chosen if k.startswith("ode_")) == 8
+    assert all(k.startswith(("ode_", "nn_")) for k in chosen)
+
+    vstate, priors = init_variational(flat, {"a_GI": {"mean": 0.0104, "std": 0.002}})
+    assert priors["ode_a_GI"] == (0.0104, 0.002)
+    kl = kl_divergence(vstate, priors)
+    assert np.isfinite(float(kl)) and float(kl) > 0
+
+    # sampling is reparameterised and deterministic per key
+    s1 = sample_variational(vstate, jax.random.PRNGKey(1))
+    s2 = sample_variational(vstate, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(s1["ode_a_GI"]), np.asarray(s2["ode_a_GI"]))
+
+    mu, log_sigma = flatten_variational(vstate)
+    assert mu.shape == log_sigma.shape
+
+
+def test_elbo_finite_and_differentiable():
+    params = init_hybrid_params(jax.random.PRNGKey(0), FAST)
+    vstate, priors = init_variational(params_to_flat(params))
+    batch = _tiny_batch(jax.random.PRNGKey(2))
+    value, comps = elbo(vstate, priors, params, batch, jax.random.PRNGKey(3), FAST, n_samples=2)
+    assert np.isfinite(float(value))
+
+    g = jax.grad(lambda vs: -elbo(vs, priors, params, batch, jax.random.PRNGKey(3), FAST, 2)[0])(vstate)
+    gn = sum(float(jnp.abs(v).sum()) for v in jax.tree.leaves(g))
+    assert np.isfinite(gn) and gn > 0
+
+
+def test_vi_training_improves_elbo():
+    params = init_hybrid_params(jax.random.PRNGKey(0), FAST)
+    import pandas as pd
+
+    from hybrid_ode_tpu.data.dataset import GlucoseDataset
+
+    # build a tiny in-memory dataset directly
+    B, T = 8, 8
+    key = jax.random.PRNGKey(5)
+    batch = _tiny_batch(key, B, T)
+    ds = GlucoseDataset(
+        initial_state=np.asarray(batch["initial_state"]),
+        observations=np.asarray(batch["observations"]),
+        time_points=np.asarray(batch["time_points"]),
+        meal=np.zeros((B, T), np.float32),
+        tvns=np.zeros((B, T), np.float32),
+        mask=np.ones((B, T), np.float32),
+        state_mean=np.zeros(6, np.float32),
+        state_std=np.ones(6, np.float32),
+        subject_ids=np.arange(B),
+    )
+    vi = VariationalInference(params, FAST, n_samples=2, learning_rate=1e-2)
+    hist = vi.train(ds, None, epochs=5, batch_size=8, seed=0)
+    assert len(hist["elbo"]) == 5
+    assert hist["elbo"][-1] > hist["elbo"][0]  # ELBO improves
+
+    # posterior predictive shapes
+    mean, std = vi.posterior_predictive(
+        jax.random.PRNGKey(9), jnp.asarray(ds.initial_state),
+        jnp.asarray(ds.time_points), None, n_samples=4,
+    )
+    assert mean.shape == (B, T, 6) and std.shape == (B, T, 6)
+    assert np.isfinite(np.asarray(mean)).all()
+
+
+def test_vi_checkpoint_roundtrip(tmp_path):
+    params = init_hybrid_params(jax.random.PRNGKey(0), FAST)
+    vi = VariationalInference(params, FAST, n_samples=2)
+    vi.save_checkpoint(str(tmp_path / "vi"))
+    vi2 = VariationalInference(params, FAST, n_samples=2)
+    vi2.load_checkpoint(str(tmp_path / "vi"))
+    for k in vi.vstate.means:
+        np.testing.assert_array_equal(
+            np.asarray(vi.vstate.means[k]), np.asarray(vi2.vstate.means[k])
+        )
+
+
+# --------------------------------------------------------------------------
+# NUTS
+# --------------------------------------------------------------------------
+
+def test_nuts_standard_normal():
+    logp = lambda q: -0.5 * jnp.sum(q**2)
+    key = jax.random.PRNGKey(0)
+    q0 = jax.random.normal(key, (16, 2))
+    out = nuts_sample(logp, q0, key, num_samples=400, num_warmup=200, max_depth=5)
+    s = out["samples"].reshape(-1, 2)
+    assert abs(s.mean()) < 0.1
+    assert abs(s.var() - 1.0) < 0.15
+    assert out["diverging"].mean() < 0.01
+    for i in range(2):
+        assert split_rhat(out["samples"][:, :, i]) < 1.05
+
+
+def test_nuts_correlated_gaussian():
+    cov = np.array([[1.0, 0.8], [0.8, 2.0]])
+    prec = jnp.asarray(np.linalg.inv(cov))
+    mu = jnp.array([1.0, -1.0])
+    logp = lambda q: -0.5 * (q - mu) @ prec @ (q - mu)
+    key = jax.random.PRNGKey(1)
+    out = nuts_sample(logp, jax.random.normal(key, (16, 2)), key,
+                      num_samples=500, num_warmup=300, max_depth=6)
+    s = out["samples"].reshape(-1, 2)
+    np.testing.assert_allclose(s.mean(0), np.asarray(mu), atol=0.12)
+    np.testing.assert_allclose(np.cov(s.T), cov, atol=0.35)
+
+
+def test_run_nuts_on_hybrid_model():
+    """End-to-end posterior over ODE params through the differentiable solve."""
+    params = init_hybrid_params(jax.random.PRNGKey(0), FAST)
+    batch = _tiny_batch(jax.random.PRNGKey(2), B=2, T=5)
+    samples = run_nuts(params, batch, FAST, key=jax.random.PRNGKey(0),
+                       num_samples=30, num_warmup=30, n_chains=4, max_depth=4)
+    assert "ode_a_GI" in samples
+    assert samples["ode_a_GI"].shape == (4 * 30,)
+    assert np.isfinite(samples["ode_a_GI"]).all()
+    # posterior should stay in a plausible range around the prior
+    assert 0.0 < samples["ode_a_GI"].mean() < 0.05
+
+    summ = posterior_summary(samples)
+    assert "ode_a_GI" in summ and "q975" in summ["ode_a_GI"]
+
+
+def test_ess_and_persistence(tmp_path):
+    rng = np.random.default_rng(0)
+    iid = rng.standard_normal(1000)
+    assert compute_ess(iid) > 300
+    # strongly autocorrelated chain has low ESS
+    ar = np.cumsum(rng.standard_normal(1000)) / 10
+    assert compute_ess(ar) < compute_ess(iid)
+
+    samples = {"a": rng.standard_normal(100), "_diverging": np.zeros(100)}
+    save_mcmc_results(samples, str(tmp_path / "mcmc"))
+    loaded, meta = load_mcmc_results(str(tmp_path / "mcmc"))
+    np.testing.assert_allclose(loaded["a"], samples["a"])

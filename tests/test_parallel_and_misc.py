@@ -1,0 +1,216 @@
+"""Multi-device sharding tests (8-device virtual CPU mesh) + Sobol, MIMIC,
+metrics, and config coverage."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybrid_ode_tpu.models.hybrid import HybridConfig, init_hybrid_params
+
+FAST = HybridConfig(solver="rk4", substeps=2, nn_hidden=8, nn_layers=2, mode="scan")
+
+
+# --------------------------------------------------------------------------
+# Parallel / sharding
+# --------------------------------------------------------------------------
+
+def test_mesh_has_8_devices():
+    from hybrid_ode_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8  # conftest forces 8 virtual CPU devices
+
+
+def test_sharded_train_step_matches_single_device():
+    """DP-sharded step must produce the same loss as the unsharded step —
+    the consistency gate SURVEY.md §4 calls for."""
+    from hybrid_ode_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from hybrid_ode_tpu.parallel.train_parallel import make_parallel_train_step
+    from hybrid_ode_tpu.train.loop import TrainState, make_optimizer, make_train_step
+
+    B, T = 16, 6
+    key = jax.random.PRNGKey(0)
+    base = jnp.array([8.0, 100.0, 90.0, 20.0, 0.0, 1.2])
+    batch = {
+        "initial_state": np.abs(np.asarray(base)[None, :] * (1 + 0.05 * np.random.default_rng(0).standard_normal((B, 6)))).astype(np.float32),
+        "observations": np.ones((B, T, 6), np.float32),
+        "time_points": np.broadcast_to(np.linspace(0, 1, T, dtype=np.float32), (B, T)).copy(),
+        "external_inputs": {"meal": np.zeros((B, T), np.float32), "tVNS": np.zeros((B, T), np.float32)},
+        "mask": np.ones((B, T), np.float32),
+    }
+    opt = make_optimizer(1e-3, 1, 1, 5.0)
+
+    # fresh params per path: the single-device step donates its TrainState
+    # (buffers are deleted after the call), so the pytrees must not be shared
+    params = init_hybrid_params(jax.random.PRNGKey(1), FAST)
+    single = make_train_step(opt, FAST, 1.0, 0.01, True)
+    s0 = TrainState(params, opt.init(params), jnp.asarray(0, jnp.int32))
+    _, m_single = single(s0, batch, key)
+
+    params = init_hybrid_params(jax.random.PRNGKey(1), FAST)
+    mesh = make_mesh(8)
+    pstep = make_parallel_train_step(mesh, opt, FAST, 1.0, 0.01, True)
+    sp = TrainState(
+        replicate(mesh, params), replicate(mesh, opt.init(params)),
+        replicate(mesh, jnp.asarray(0, jnp.int32)),
+    )
+    _, m_par = pstep(sp, shard_batch(mesh, batch), jax.device_put(
+        key, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())))
+
+    np.testing.assert_allclose(float(m_single["loss"]), float(m_par["loss"]), rtol=1e-4)
+
+
+def test_shard_map_cohort_sim():
+    from hybrid_ode_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from hybrid_ode_tpu.parallel.train_parallel import parallel_cohort_sim
+
+    mesh = make_mesh(8)
+    params = init_hybrid_params(jax.random.PRNGKey(0), FAST)
+    y0s = np.abs(np.random.default_rng(0).standard_normal((16, 6)).astype(np.float32)) + 1.0
+    ts = jnp.linspace(0.0, 1.0, 5)
+    sim = parallel_cohort_sim(mesh, FAST)
+    out = sim(replicate(mesh, params), shard_batch(mesh, y0s),
+              jax.device_put(ts, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())))
+    assert out.shape == (16, 5, 6)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+# --------------------------------------------------------------------------
+# Sobol
+# --------------------------------------------------------------------------
+
+def test_sobol_ishigami():
+    """Estimators must recover the analytic Ishigami indices."""
+    from hybrid_ode_tpu.plots.sobol import sobol_sensitivity
+
+    a_, b_ = 7.0, 0.1
+    problem = {"x1": (-math.pi, math.pi), "x2": (-math.pi, math.pi), "x3": (-math.pi, math.pi)}
+
+    def sim(ov):
+        x1, x2, x3 = ov["x1"], ov["x2"], ov["x3"]
+        return jnp.stack([jnp.sin(x1) + a_ * jnp.sin(x2) ** 2 + b_ * x3**4 * jnp.sin(x1)])
+
+    res = sobol_sensitivity(sim, problem, n=2048, seed=0)
+    np.testing.assert_allclose(res["S1"][:, 0], [0.3139, 0.4424, 0.0], atol=0.05)
+    np.testing.assert_allclose(res["ST"][:, 0], [0.558, 0.442, 0.244], atol=0.05)
+
+
+def test_sobol_degenerate_output_guarded():
+    from hybrid_ode_tpu.plots.sobol import sobol_sensitivity
+
+    problem = {"x1": (0.0, 1.0), "x2": (0.0, 1.0)}
+    sim = lambda ov: jnp.stack([jnp.asarray(42.0) + 0.0 * ov["x1"]])
+    res = sobol_sensitivity(sim, problem, n=128, seed=0)
+    np.testing.assert_array_equal(res["S1"], 0.0)
+
+
+# --------------------------------------------------------------------------
+# MIMIC pipeline
+# --------------------------------------------------------------------------
+
+def test_mimic_pipeline(tmp_path):
+    from hybrid_ode_tpu.data.mimic import MIMICDownloader
+
+    dl = MIMICDownloader(output_dir=str(tmp_path))
+    path = dl.run(n_patients=5, grid_minutes=10.0, interpolate=False, seed=1)
+    import pandas as pd
+
+    df = pd.read_parquet(path)
+    assert df["subject_id"].nunique() == 5
+    # masked mode leaves NaNs for unobserved slots
+    assert df["glucose_mmol_L"].isna().any()
+
+    # interpolated mode fills everything
+    path2 = dl.run(n_patients=5, grid_minutes=10.0, interpolate=True, seed=1)
+    df2 = pd.read_parquet(path2)
+    assert not df2["glucose_mmol_L"].isna().any()
+
+    # embedded metadata survives
+    import pyarrow.parquet as pq
+
+    meta = pq.read_table(path2).schema.metadata
+    assert b"generator" in meta
+
+
+def test_mimic_outlier_cleaning(tmp_path):
+    from hybrid_ode_tpu.data.mimic import MIMICDownloader
+
+    dl = MIMICDownloader(output_dir=str(tmp_path))
+    df = dl.download_tables(n_patients=5, seed=0)
+    df.loc[0, "glucose_mmol_L"] = 1000.0
+    cleaned = dl.clean(dl.interpolate_to_grid(df, 10.0, True), outlier_threshold=5.0)
+    assert cleaned["glucose_mmol_L"].max() < 1000.0
+
+
+# --------------------------------------------------------------------------
+# Metrics
+# --------------------------------------------------------------------------
+
+def test_metrics_basic():
+    from hybrid_ode_tpu.evals.metrics import (
+        compute_calibration_error,
+        compute_coverage,
+        compute_crps,
+        compute_mae,
+        compute_nll,
+        compute_r2,
+        compute_rmse,
+    )
+
+    rng = np.random.default_rng(0)
+    t = rng.standard_normal((10, 20, 6))
+    p = t + 0.1 * rng.standard_normal((10, 20, 6))
+    assert compute_rmse(p, t) == pytest.approx(0.1, rel=0.1)
+    assert compute_mae(p, t) == pytest.approx(0.08, rel=0.15)
+    assert compute_r2(p, t) > 0.98
+    per_state = compute_rmse(p, t, per_state=True)
+    assert per_state.shape == (6,)
+
+    # perfectly calibrated: unc == true error scale
+    unc = np.full_like(p, 0.1)
+    cal = compute_calibration_error(p, unc, t)
+    assert cal["ece"] < 0.05
+    assert 0.9 < cal["coverage_95"] <= 1.0
+    assert compute_coverage(p, unc, t, 0.8) == pytest.approx(0.8, abs=0.05)
+    assert np.isfinite(compute_nll(p, unc, t))
+    assert compute_crps(p, unc, t) == pytest.approx(0.056, abs=0.02)
+
+
+def test_metrics_respect_mask():
+    from hybrid_ode_tpu.evals.metrics import compute_rmse
+
+    t = np.zeros((2, 4, 6))
+    p = np.zeros((2, 4, 6))
+    p[0, 0] = 100.0  # huge error, masked out
+    mask = np.ones((2, 4))
+    mask[0, 0] = 0.0
+    assert compute_rmse(p, t, mask=mask) == 0.0
+
+
+# --------------------------------------------------------------------------
+# Config
+# --------------------------------------------------------------------------
+
+def test_config_load_and_overrides(tmp_path):
+    from hybrid_ode_tpu.utils.config import load_config, merge_cli_overrides
+
+    cfg = load_config("configs/4gi_vi.yaml")
+    assert cfg["model"]["use_variational"] is True
+    assert cfg["ode_param_priors"]["a_GI"]["std"] == 0.002
+    assert cfg["vi_settings"]["n_samples"] == 5
+
+    class A:
+        data = "x.csv"; solver = "radau"; no_nn = False; no_bayes = True
+        no_physics = False; epochs = 7; batch_size = 4; seed = 3; vi = False
+
+    cfg = merge_cli_overrides(cfg, A())
+    assert cfg["model"]["solver"] == "radau"
+    assert cfg["training"]["lambda2"] == 0.0  # no_bayes zeroes lambda2
+    assert cfg["training"]["epochs"] == 7
+
+    # missing file falls back to defaults (reference behavior)
+    cfg = load_config(str(tmp_path / "missing.yaml"))
+    assert cfg["training"]["epochs"] == 300
