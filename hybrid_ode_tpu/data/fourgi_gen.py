@@ -162,6 +162,16 @@ def generate_4gi_dataset(
                     "glucagon_pmol_L": np.asarray(noisy["glucagon"][sid]),
                     "gip_pmol_L": np.asarray(noisy["gip"][sid]),
                     "meal_indicator": meal_indicator,
+                    # noiseless simulator truth (extra columns the reference
+                    # lacks; ignored by the dataset loader, used by
+                    # truth-referenced evaluation — the measurement-noise
+                    # floor at noise_cv=0.1 is ~0.65 mmol/L glucose, so
+                    # sub-noise RMSE claims are only checkable against truth)
+                    "glucose_true_mmol_L": np.asarray(conc["glucose"][sid]),
+                    "insulin_true_pmol_L": np.asarray(conc["insulin"][sid]),
+                    "glp1_true_pmol_L": np.asarray(conc["glp1"][sid]),
+                    "glucagon_true_pmol_L": np.asarray(conc["glucagon"][sid]),
+                    "gip_true_pmol_L": np.asarray(conc["gip"][sid]),
                 }
             )
         )

@@ -59,6 +59,12 @@ class HybridConfig:
     adjoint: str = "discrete"
     n_states: int = 6
     n_physics_points: int = 20
+    # multiple shooting: split each window into `shooting_segments` pieces,
+    # each integrated from the OBSERVED state at its left edge. Densifies the
+    # gradient signal and avoids long-horizon blow-up — a capability the
+    # reference lacks (it always integrates the full window from t0).
+    # 1 = single shooting (reference-parity default).
+    shooting_segments: int = 1
 
 
 def init_hybrid_params(
@@ -145,6 +151,44 @@ def batched_forward(
     return jax.vmap(fn, in_axes=(0, 0, ctrl_axes))(y0, ts, controls)
 
 
+def segment_batch(batch: Mapping[str, Any], k: int) -> Dict[str, Any]:
+    """Multiple-shooting view: split each (T-point) window into k segments,
+    each re-initialised from the OBSERVED state at its left edge.
+
+    Returns a virtual batch of B*k windows with (T-1)/k + 1 points each.
+    Requires (T-1) % k == 0.
+    """
+    obs = batch["observations"]          # (B, T, n)
+    ts = batch["time_points"]            # (B, T)
+    B, T = ts.shape
+    if (T - 1) % k != 0:
+        raise ValueError(f"shooting_segments={k} must divide T-1={T-1}")
+    L = (T - 1) // k
+    # segment point indices: (k, L+1) -> s*L + [0..L]
+    idx = (jnp.arange(k)[:, None] * L + jnp.arange(L + 1)[None, :]).reshape(-1)
+
+    def seg(x, point_axis=1):
+        xs = jnp.take(x, idx, axis=point_axis)  # (B, k*(L+1), ...)
+        new_shape = x.shape[:point_axis] + (k, L + 1) + x.shape[point_axis + 1 :]
+        xs = xs.reshape(new_shape)
+        # merge (B, k) -> B*k leading axis
+        return xs.reshape((B * k, L + 1) + x.shape[point_axis + 1 :])
+
+    out: Dict[str, Any] = {
+        "observations": seg(obs),
+        "time_points": seg(ts),
+        "external_inputs": {name: seg(v) for name, v in (batch.get("external_inputs") or {}).items()},
+    }
+    out["initial_state"] = out["observations"][:, 0]
+    if batch.get("mask") is not None:
+        m = seg(batch["mask"])
+        # a segment whose left-edge state is unobserved can't be shot from it:
+        # zero its whole contribution
+        m = m * m[:, :1]
+        out["mask"] = m
+    return out
+
+
 def controls_from_batch(batch: Mapping[str, Any]) -> Optional[Controls]:
     """Build per-sample Controls from a data batch's external inputs."""
     ext = batch.get("external_inputs")
@@ -167,6 +211,9 @@ def hybrid_loss(
     batch keys: initial_state (B,n), observations (B,T,n), time_points (B,T),
     external_inputs {name: (B,T)}, optional mask (B,T) for irregular sampling.
     """
+    if config.shooting_segments > 1:
+        batch = segment_batch(batch, config.shooting_segments)
+
     y0 = batch["initial_state"]
     obs = batch["observations"]
     ts = batch["time_points"]
@@ -196,6 +243,13 @@ def hybrid_loss(
         y_r = jnp.take(preds, idx + 1, axis=1)
         dt = (t_r - t_l)[..., None]
         fd = (y_r - y_l) / jnp.where(dt == 0, 1.0, dt)
+        # Compare the finite difference against the RHS at the interval
+        # MIDPOINT (t_mid, (y_l+y_r)/2): O(h^2)-consistent pairing. The
+        # reference pairs FD with the left-endpoint RHS (O(h) bias,
+        # `hybrid_ode_nn.py:324-330`), which systematically penalises sharp
+        # meal transients and measurably degrades the fit.
+        t_m = 0.5 * (t_l + t_r)
+        y_m = 0.5 * (y_l + y_r)
 
         def rhs_at(t_b, y_b, c_b):  # per sample: (P,), (P,n)
             return jax.vmap(lambda t, y: hybrid_field(t, y, params, c_b, config))(t_b, y_b)
@@ -203,7 +257,7 @@ def hybrid_loss(
         ctrl_axes = None if controls is None else Controls(
             ts=0, signals={k: 0 for k in controls.signals}
         )
-        rhs = jax.vmap(rhs_at, in_axes=(0, 0, ctrl_axes))(t_l, y_l, controls)
+        rhs = jax.vmap(rhs_at, in_axes=(0, 0, ctrl_axes))(t_m, y_m, controls)
         physics_loss = jnp.mean((fd - rhs) ** 2)
 
     reg_loss = jnp.zeros((), preds.dtype)

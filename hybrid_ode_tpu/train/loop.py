@@ -141,6 +141,7 @@ def train_model(
         mode=mcfg.get("mode", "scan"),
         max_steps_per_interval=mcfg.get("max_steps_per_interval", 8),
         substeps=mcfg.get("substeps", 4),
+        shooting_segments=mcfg.get("shooting_segments", 1),
     )
 
     key = jax.random.PRNGKey(cfg.get("seed", 0))
@@ -167,7 +168,7 @@ def train_model(
     mlogger = MetricsLogger(log_dir, cfg["logging"].get("tensorboard", False)) if log_dir else None
 
     best_val = float("inf")
-    best_params = state.params
+    best_params = jax.tree.map(lambda x: jnp.array(x), state.params)
     patience = tcfg.get("early_stopping_patience", 20)
     patience_counter = 0
     history = {"train_loss": [], "val_loss": [], "epoch_time": []}
@@ -205,7 +206,9 @@ def train_model(
 
         if val_loss < best_val:
             best_val = val_loss
-            best_params = state.params
+            # deep-copy: train_step donates its input state, so holding a
+            # reference would point at deleted buffers after the next step
+            best_params = jax.tree.map(lambda x: jnp.array(x), state.params)
             patience_counter = 0
             if checkpoint_dir:
                 save_checkpoint(

@@ -1,0 +1,151 @@
+"""Hybrid-model unit tests: composition, functional param substitution,
+multiple shooting, loss component semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybrid_ode_tpu.dynamics.controls import Controls
+from hybrid_ode_tpu.models.hybrid import (
+    HybridConfig,
+    batched_forward,
+    flat_to_params,
+    forward,
+    forward_with_params,
+    hybrid_field,
+    hybrid_loss,
+    init_hybrid_params,
+    params_to_flat,
+    segment_batch,
+)
+
+FAST = HybridConfig(solver="rk4", substeps=2, nn_hidden=8, nn_layers=2, mode="scan")
+PHYS = jnp.array([8.0, 100.0, 90.0, 20.0, 0.0, 1.2])
+
+
+def _batch(B=4, T=9):
+    key = jax.random.PRNGKey(0)
+    y0 = jnp.abs(PHYS[None, :] * (1 + 0.05 * jax.random.normal(key, (B, 6))))
+    ts = jnp.broadcast_to(jnp.linspace(0.0, 2.0, T), (B, T))
+    return {
+        "initial_state": y0,
+        "observations": jnp.broadcast_to(PHYS, (B, T, 6)) * 1.01,
+        "time_points": ts,
+        "external_inputs": {"meal": jnp.zeros((B, T)).at[:, 2].set(1.0), "tVNS": jnp.zeros((B, T))},
+        "mask": jnp.ones((B, T)),
+    }
+
+
+def test_hybrid_field_is_sum_of_parts():
+    params = init_hybrid_params(jax.random.PRNGKey(0), FAST)
+    params["nn"]["w2"] = 0.01 * jax.random.normal(jax.random.PRNGKey(1), params["nn"]["w2"].shape)
+    from hybrid_ode_tpu.dynamics.ode_core import mechanistic_field
+    from hybrid_ode_tpu.dynamics.residual import residual_apply
+
+    t = jnp.asarray(0.5)
+    mech = mechanistic_field(t, PHYS, params["ode"], {})
+    res = residual_apply(params["nn"], t, PHYS, PHYS[3], jnp.asarray(0.0))
+    total = hybrid_field(t, PHYS, params, None, FAST)
+    np.testing.assert_allclose(np.asarray(total), np.asarray(mech + res), rtol=1e-6)
+
+    # use_nn=False drops the residual (ablation parity)
+    cfg_no_nn = HybridConfig(solver="rk4", substeps=2, nn_hidden=8, nn_layers=2, use_nn=False)
+    total_no_nn = hybrid_field(t, PHYS, params, None, cfg_no_nn)
+    np.testing.assert_allclose(np.asarray(total_no_nn), np.asarray(mech), rtol=1e-6)
+
+
+def test_flat_params_roundtrip_and_forward_with_params():
+    params = init_hybrid_params(jax.random.PRNGKey(0), FAST)
+    flat = params_to_flat(params)
+    assert "ode_a_GI" in flat and "nn_w0" in flat
+    rebuilt = flat_to_params(flat, params)
+    for grp in ("ode", "nn"):
+        for k in params[grp]:
+            np.testing.assert_array_equal(np.asarray(params[grp][k]), np.asarray(rebuilt[grp][k]))
+
+    # substituting a parameter changes the forward output
+    ts = jnp.linspace(0.0, 2.0, 5)
+    base_traj = forward(params, PHYS, ts, None, FAST)
+    new_traj = forward_with_params({"ode_k_I": jnp.asarray(0.5)}, params, PHYS, ts, None, FAST)
+    assert float(jnp.max(jnp.abs(base_traj - new_traj))) > 1e-4
+    # and the template is untouched (no mutation — unlike the reference's
+    # buffer swap at hybrid_ode_nn.py:381-438)
+    assert float(params["ode"]["k_I"]) == pytest.approx(0.025)
+
+    with pytest.raises(KeyError):
+        flat_to_params({"bogus_x": jnp.asarray(1.0)}, params)
+
+
+def test_segment_batch_shapes_and_edges():
+    batch = _batch(B=3, T=9)
+    seg = segment_batch(batch, 4)  # (9-1)/4 = 2 intervals per segment
+    assert seg["observations"].shape == (12, 3, 6)
+    assert seg["time_points"].shape == (12, 3)
+    # left edges are the observed states
+    np.testing.assert_array_equal(
+        np.asarray(seg["initial_state"]), np.asarray(seg["observations"][:, 0])
+    )
+    # segment time grids are contiguous slices
+    np.testing.assert_allclose(np.asarray(seg["time_points"][0]), [0.0, 0.25, 0.5])
+    np.testing.assert_allclose(np.asarray(seg["time_points"][1]), [0.5, 0.75, 1.0])
+
+    with pytest.raises(ValueError):
+        segment_batch(batch, 3)  # 8 % 3 != 0
+
+
+def test_segment_batch_mask_kills_unobserved_left_edges():
+    batch = dict(_batch(B=2, T=9))
+    mask = np.ones((2, 9), np.float32)
+    mask[0, 4] = 0.0  # left edge of segment 2 (k=2 -> edges at 0 and 4)
+    batch["mask"] = jnp.asarray(mask)
+    seg = segment_batch(batch, 2)
+    m = np.asarray(seg["mask"]).reshape(2, 2, 5)  # (B, k, L+1)
+    assert m[0, 1].sum() == 0.0  # whole segment zeroed
+    # point 4 is shared: it is also the (unobserved) right edge of segment 1
+    assert m[0, 0].sum() == 4.0
+    assert m[1].sum() == 10.0
+
+
+def test_shooting_loss_runs_and_differs():
+    params = init_hybrid_params(jax.random.PRNGKey(0), FAST)
+    batch = _batch(B=4, T=9)
+    key = jax.random.PRNGKey(1)
+    cfg_shoot = HybridConfig(solver="rk4", substeps=2, nn_hidden=8, nn_layers=2,
+                             mode="scan", shooting_segments=4)
+    l1, _ = hybrid_loss(params, batch, key, FAST)
+    l2, _ = hybrid_loss(params, batch, key, cfg_shoot)
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+    g = jax.grad(lambda p: hybrid_loss(p, batch, key, cfg_shoot)[0])(params)
+    assert np.isfinite(float(jnp.abs(g["nn"]["w2"]).sum()))
+
+
+def test_physics_loss_midpoint_consistency():
+    """On a solver-generated trajectory the midpoint physics residual must be
+    tiny (O(h^2) consistency of FD vs midpoint RHS)."""
+    params = init_hybrid_params(jax.random.PRNGKey(0), FAST)
+    batch = _batch(B=2, T=9)
+    # observations = actual model trajectory => physics term ~ discretisation only
+    controls = Controls(ts=batch["time_points"],
+                        signals={k: v for k, v in batch["external_inputs"].items()})
+    traj = batched_forward(params, batch["initial_state"], batch["time_points"], controls, FAST)
+    batch["observations"] = traj
+    _, comps = hybrid_loss(params, batch, jax.random.PRNGKey(0), FAST, lambda1=1.0)
+    # normalized by state scale ~100s; physics mse should be small vs data scale
+    assert float(comps["physics"]) < 1.0
+
+
+def test_loss_mask_excludes_points():
+    params = init_hybrid_params(jax.random.PRNGKey(0), FAST)
+    batch = dict(_batch(B=2, T=9))
+    # corrupt one masked-out observation; loss must not change
+    key = jax.random.PRNGKey(0)
+    mask = np.ones((2, 9), np.float32)
+    mask[0, 3] = 0.0
+    batch["mask"] = jnp.asarray(mask)
+    l1, _ = hybrid_loss(params, batch, key, FAST, use_physics_loss=False)
+    obs = np.asarray(batch["observations"]).copy()
+    obs[0, 3] = 1e6
+    batch["observations"] = jnp.asarray(obs)
+    l2, _ = hybrid_loss(params, batch, key, FAST, use_physics_loss=False)
+    assert float(l1) == pytest.approx(float(l2), rel=1e-6)
