@@ -123,9 +123,14 @@ def train_model(
     log_dir: Optional[str] = None,
     params: Any = None,
     max_epochs: Optional[int] = None,
+    resume_from: Optional[str] = None,
 ) -> TrainResult:
     """Standard (point-estimate) training with best/final checkpoints and
-    early stopping (parity: `train_hybrid.py:518-561`)."""
+    early stopping (parity: `train_hybrid.py:518-561`).
+
+    resume_from: path to a prior checkpoint directory — restores params AND
+    optimizer state and continues (mid-training resume; the reference can
+    only restart from scratch, SURVEY.md §5)."""
     tcfg = cfg["training"]
     mcfg = cfg["model"]
     abl = cfg["ablation"]
@@ -164,7 +169,21 @@ def train_model(
     train_step = make_train_step(optimizer, config, lambda1, lambda2, use_physics)
     eval_step = make_eval_step(config, lambda1, lambda2, use_physics)
 
-    state = TrainState(params, optimizer.init(params), jnp.asarray(0, jnp.int32))
+    start_epoch = 0
+    if resume_from is not None:
+        from hybrid_ode_tpu.utils.checkpoint import load_checkpoint
+
+        saved, meta = load_checkpoint(resume_from)
+        params = saved["params"]
+        opt_state = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(optimizer.init(params)),
+            jax.tree_util.tree_leaves(saved["opt_state"]),
+        )
+        state = TrainState(params, opt_state, jnp.asarray(0, jnp.int32))
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        logger.info("resumed from %s at epoch %d", resume_from, start_epoch)
+    else:
+        state = TrainState(params, optimizer.init(params), jnp.asarray(0, jnp.int32))
     mlogger = MetricsLogger(log_dir, cfg["logging"].get("tensorboard", False)) if log_dir else None
 
     best_val = float("inf")
@@ -174,7 +193,7 @@ def train_model(
     history = {"train_loss": [], "val_loss": [], "epoch_time": []}
     epoch = -1
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         key, ek = jax.random.split(key)
         total, nb = 0.0, 0

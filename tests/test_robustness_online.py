@@ -1,0 +1,63 @@
+"""Robustness sweeps + online adaptation (manuscript features with no
+reference code — SURVEY.md §6 parity targets)."""
+
+import numpy as np
+import jax
+import pytest
+
+from hybrid_ode_tpu.data.dataset import create_data_arrays, split_dataset
+from hybrid_ode_tpu.models.hybrid import HybridConfig, init_hybrid_params
+from hybrid_ode_tpu.evals.robustness import missing_data_sweep, noise_sweep, robustness_report
+from hybrid_ode_tpu.train.online import adapt_subject, online_adaptation_eval
+from tests.test_training import make_test_csv
+
+FAST = HybridConfig(solver="rk4", substeps=2, nn_hidden=8, nn_layers=2, mode="scan")
+
+
+@pytest.fixture(scope="module")
+def ds(tmp_path_factory):
+    path = make_test_csv(tmp_path_factory.mktemp("rob") / "d.csv", n_subjects=2, n_points=41)
+    return create_data_arrays(str(path), sequence_length=21, stride=20)
+
+
+def test_missing_data_sweep(ds):
+    params = init_hybrid_params(jax.random.PRNGKey(0), FAST)
+    res = missing_data_sweep(params, ds, FAST, fractions=(0.1, 0.5))
+    assert set(res) == {0.1, 0.5}
+    assert all(np.isfinite(v) and v > 0 for v in res.values())
+
+
+def test_noise_sweep_monotone_tendency(ds):
+    params = init_hybrid_params(jax.random.PRNGKey(0), FAST)
+    res = noise_sweep(params, ds, FAST, noise_multipliers=(0.0, 4.0))
+    assert np.isfinite(res[0.0]) and np.isfinite(res[4.0])
+    assert res[4.0] >= res[0.0] * 0.5  # heavy noise should not *improve* much
+
+
+def test_robustness_report(tmp_path, ds):
+    params = init_hybrid_params(jax.random.PRNGKey(0), FAST)
+    rep = robustness_report(params, ds, FAST, str(tmp_path / "rob.json"))
+    assert "missing_data" in rep and "initial_noise" in rep
+    assert (tmp_path / "rob.json").exists()
+
+
+def test_adapt_subject_reduces_fit_loss(ds):
+    params = init_hybrid_params(jax.random.PRNGKey(0), FAST)
+    window = {
+        "observations": ds.observations[0],
+        "time_points": ds.time_points[0],
+        "external_inputs": {"meal": ds.meal[0], "tVNS": ds.tvns[0]},
+        "mask": ds.mask[0],
+    }
+    adapted = adapt_subject(params, window, FAST, reveal_points=10, adapt_steps=20,
+                            learning_rate=1e-2)
+    # NN params moved, ODE frozen
+    assert float(np.abs(np.asarray(adapted["nn"]["w2"]) - np.asarray(params["nn"]["w2"])).sum()) > 0
+    np.testing.assert_array_equal(np.asarray(adapted["ode"]["a_GI"]), np.asarray(params["ode"]["a_GI"]))
+
+
+def test_online_adaptation_eval(ds):
+    params = init_hybrid_params(jax.random.PRNGKey(0), FAST)
+    res = online_adaptation_eval(params, ds, FAST, horizons_hours=(1.0,),
+                                 adapt_steps=5)
+    assert 1.0 in res and np.isfinite(res[1.0])

@@ -177,3 +177,32 @@ def test_train_model_end_to_end(tmp_path, csv_path):
 
     metrics = evaluate_checkpoint(str(tmp_path / "ckpts" / "best_model"), va)
     assert np.isfinite(metrics["rmse"])
+
+
+def test_resume_from_checkpoint(tmp_path, csv_path):
+    """Mid-training resume restores params + optimizer state and continues."""
+    cfg = default_config()
+    cfg["data"]["path"] = str(csv_path)
+    cfg["model"].update(nn_hidden=16, nn_layers=2, solver="rk4", substeps=2)
+    cfg["training"].update(epochs=4, batch_size=8)
+    ds = create_data_arrays(str(csv_path), 20, 10)
+    tr, va, _ = split_dataset(ds, seed=42)
+    r1 = train_model(cfg, tr, va, str(tmp_path / "c1"), None, max_epochs=2)
+    r2 = train_model(cfg, tr, va, str(tmp_path / "c2"), None,
+                     resume_from=str(tmp_path / "c1" / "final_model"))
+    assert r2.epochs_run <= 4
+    assert np.isfinite(r2.best_val_loss)
+
+
+def test_profiling_utils():
+    from hybrid_ode_tpu.utils.profiling import Throughput, debug_mode
+
+    tp = Throughput("ode_steps")
+    tp.tick(100)
+    assert tp.per_sec > 0
+    assert "ode_steps" in tp.report()
+
+    import jax
+    with debug_mode():
+        assert jax.config.jax_debug_nans is True
+    assert jax.config.jax_debug_nans is False
