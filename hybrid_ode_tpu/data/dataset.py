@@ -29,6 +29,15 @@ import numpy as np
 STATE_COLS = ["glucose_mmol_L", "insulin_pmol_L", "glucagon_pmol_L", "glp1_pmol_L"]
 
 
+def _loss_weights_from_stats(data_std: np.ndarray, data_mean: np.ndarray) -> np.ndarray:
+    """Inverse-variance per-state weights; uninformative (constant) states get 0."""
+    std = np.asarray(data_std, np.float64)
+    mean = np.asarray(data_mean, np.float64)
+    informative = std > (1e-4 * np.abs(mean) + 1e-6)
+    w = np.where(informative, 1.0 / np.maximum(std, 1e-12) ** 2, 0.0)
+    return w.astype(np.float32)
+
+
 @dataclasses.dataclass
 class GlucoseDataset:
     """Stacked window arrays (numpy, moved to device per batch).
@@ -53,6 +62,17 @@ class GlucoseDataset:
     state_mean: np.ndarray
     state_std: np.ndarray
     subject_ids: np.ndarray
+    #: per-state inverse-variance loss weights. With normalize=True these are
+    #: ~1; with normalize=False they reproduce z-scored MSE while the
+    #: DYNAMICS stay in physical units — "normalize the loss, not the state",
+    #: keeping the mechanistic core physically meaningful (the reference
+    #: z-scores states, making its mechanistic equations dimensionally
+    #: nonsensical during training).
+    loss_weights: np.ndarray = None
+
+    def __post_init__(self):
+        if self.loss_weights is None:
+            self.loss_weights = _loss_weights_from_stats(self.state_std, self.state_mean)
 
     def __len__(self) -> int:
         return self.initial_state.shape[0]
@@ -68,6 +88,7 @@ class GlucoseDataset:
             state_mean=self.state_mean,
             state_std=self.state_std,
             subject_ids=self.subject_ids[idx],
+            loss_weights=self.loss_weights,
         )
 
     def batch(self, idx: np.ndarray) -> Dict:
@@ -78,6 +99,7 @@ class GlucoseDataset:
             "time_points": self.time_points[idx],
             "external_inputs": {"meal": self.meal[idx], "tVNS": self.tvns[idx]},
             "mask": self.mask[idx],
+            "loss_weights": self.loss_weights,
         }
 
     def denormalize(self, states: np.ndarray) -> np.ndarray:
@@ -156,11 +178,12 @@ def create_data_arrays(
     mask = np.isfinite(all_states).all(axis=-1).astype(np.float64)  # (N, T)
     filled = np.nan_to_num(all_states, nan=0.0)
 
+    flat = filled.reshape(-1, filled.shape[-1])
+    flat_mask = mask.reshape(-1) > 0
+    data_mean = flat[flat_mask].mean(axis=0)
+    data_std = flat[flat_mask].std(axis=0) + 1e-6
     if normalize:
-        flat = filled.reshape(-1, filled.shape[-1])
-        flat_mask = mask.reshape(-1) > 0
-        mean = flat[flat_mask].mean(axis=0)
-        std = flat[flat_mask].std(axis=0) + 1e-6
+        mean, std = data_mean, data_std
     else:
         mean = np.zeros(len(state_cols))
         std = np.ones(len(state_cols))
@@ -169,6 +192,7 @@ def create_data_arrays(
     # NaN rows were filled with zeros pre-normalisation; re-zero post-norm so
     # masked entries don't carry the -mean/std offset.
     norm_states = norm_states * mask[..., None]
+    weights = _loss_weights_from_stats(data_std / std, data_mean)
 
     return GlucoseDataset(
         initial_state=norm_states[:, 0].astype(dtype),
@@ -180,6 +204,7 @@ def create_data_arrays(
         state_mean=mean.astype(dtype),
         state_std=std.astype(dtype),
         subject_ids=np.array([w[0] for w in windows]),
+        loss_weights=weights,
     )
 
 
@@ -242,15 +267,17 @@ def _create_data_arrays_native(
 
     mask = np.isfinite(states).all(axis=-1).astype(np.float64)
     filled = np.nan_to_num(states, nan=0.0)
+    flat = filled.reshape(-1, 6)
+    flat_mask = mask.reshape(-1) > 0
+    data_mean = flat[flat_mask].mean(axis=0)
+    data_std = flat[flat_mask].std(axis=0) + 1e-6
     if normalize:
-        flat = filled.reshape(-1, 6)
-        flat_mask = mask.reshape(-1) > 0
-        mean = flat[flat_mask].mean(axis=0)
-        std = flat[flat_mask].std(axis=0) + 1e-6
+        mean, std = data_mean, data_std
     else:
         mean = np.zeros(6)
         std = np.ones(6)
     norm_states = ((filled - mean) / std) * mask[..., None]
+    weights = _loss_weights_from_stats(data_std / std, data_mean)
 
     return GlucoseDataset(
         initial_state=norm_states[:, 0].astype(dtype),
@@ -262,6 +289,7 @@ def _create_data_arrays_native(
         state_mean=mean.astype(dtype),
         state_std=std.astype(dtype),
         subject_ids=subs,
+        loss_weights=weights,
     )
 
 
@@ -323,6 +351,8 @@ def pad_batch(batch: Dict, batch_size: int) -> Tuple[Dict, np.ndarray]:
         "external_inputs": {k: _pad(v) for k, v in batch["external_inputs"].items()},
         "mask": _pad(batch["mask"]),
     }
+    if "loss_weights" in batch:
+        padded["loss_weights"] = batch["loss_weights"]  # (6,), not batched
     valid = np.concatenate([np.ones(b, np.float32), np.zeros(pad, np.float32)])
     # fold sample validity into the observation mask
     padded["mask"] = padded["mask"] * valid[:, None]

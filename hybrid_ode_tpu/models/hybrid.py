@@ -72,8 +72,16 @@ def init_hybrid_params(
     config: HybridConfig = HybridConfig(),
     ode_params: Optional[Mapping[str, float]] = None,
     dtype=jnp.float32,
+    norm_stats: Optional[Tuple] = None,
 ) -> Dict[str, Dict[str, jnp.ndarray]]:
-    """Initialise {'ode': 17 scalars, 'nn': zero-output MLP} parameter pytree."""
+    """Initialise {'ode': 17 scalars, 'nn': zero-output MLP} parameter pytree.
+
+    norm_stats: optional (mean (6,), std (6,)) of the z-scoring applied to the
+    data. When given, the mechanistic core is evaluated in PHYSICAL units
+    inside the z-scored solve (see `hybrid_field`) — fixing the reference's
+    conceptual bug of feeding z-scored states into physiological equations
+    (its "mechanistic" core is dimensionally meaningless during training).
+    """
     nn = init_mlp_params(
         key,
         input_dim=3 + config.n_states,
@@ -82,7 +90,14 @@ def init_hybrid_params(
         n_layers=config.nn_layers,
         dtype=dtype,
     )
-    return {"ode": make_ode_params(ode_params, dtype=dtype), "nn": nn}
+    params = {"ode": make_ode_params(ode_params, dtype=dtype), "nn": nn}
+    if norm_stats is not None:
+        mean, std = norm_stats
+        params["norm"] = {
+            "mean": jnp.asarray(mean, dtype),
+            "std": jnp.asarray(std, dtype),
+        }
+    return params
 
 
 def hybrid_field(
@@ -92,9 +107,19 @@ def hybrid_field(
     controls: Optional[Controls],
     config: HybridConfig,
 ) -> jnp.ndarray:
-    """dx/dt = f_physio(t, x; theta) + g_NN(t, x, GLP1, tVNS; phi)."""
+    """dx/dt = f_physio(t, x; theta) + g_NN(t, x, GLP1, tVNS; phi).
+
+    With params['norm'] present (physical-core mode), y is z-scored but the
+    mechanistic field is evaluated on de-normalised states and its derivative
+    mapped back: dz/dt = f_mech(t, z*std + mean) / std. The NN residual keeps
+    seeing the well-conditioned z-scored features.
+    """
     inputs = eval_controls(controls, t)
-    dy = mechanistic_field(t, y, params["ode"], inputs)
+    if "norm" in params:
+        mean, std = params["norm"]["mean"], params["norm"]["std"]
+        dy = mechanistic_field(t, y * std + mean, params["ode"], inputs) / std
+    else:
+        dy = mechanistic_field(t, y, params["ode"], inputs)
     if config.use_nn:
         # Parity: reference feeds the GLP1 *state* as the external-GLP1
         # feature and tVNS from the inputs (`models/hybrid_ode_nn.py:125-129`).
@@ -180,6 +205,8 @@ def segment_batch(batch: Mapping[str, Any], k: int) -> Dict[str, Any]:
         "external_inputs": {name: seg(v) for name, v in (batch.get("external_inputs") or {}).items()},
     }
     out["initial_state"] = out["observations"][:, 0]
+    if batch.get("loss_weights") is not None:
+        out["loss_weights"] = batch["loss_weights"]
     if batch.get("mask") is not None:
         m = seg(batch["mask"])
         # a segment whose left-edge state is unobserved can't be shot from it:
@@ -222,13 +249,18 @@ def hybrid_loss(
 
     preds = batched_forward(params, y0, ts, controls, config)
 
+    # per-state inverse-variance weights (identity for z-scored data; for
+    # physical-units training they reproduce z-scored MSE while the dynamics
+    # stay physically meaningful)
+    w_state = batch.get("loss_weights")
+    se = (preds - obs) ** 2
+    if w_state is not None:
+        se = se * w_state
     if mask is None:
-        data_loss = jnp.mean((preds - obs) ** 2)
+        data_loss = jnp.mean(se)
     else:
         w = mask[..., None]
-        data_loss = jnp.sum(w * (preds - obs) ** 2) / (
-            jnp.sum(w) * obs.shape[-1] + 1e-8
-        )
+        data_loss = jnp.sum(w * se) / (jnp.sum(w) * obs.shape[-1] + 1e-8)
 
     physics_loss = jnp.zeros((), preds.dtype)
     if use_physics_loss and lambda1 > 0:
@@ -258,7 +290,10 @@ def hybrid_loss(
             ts=0, signals={k: 0 for k in controls.signals}
         )
         rhs = jax.vmap(rhs_at, in_axes=(0, 0, ctrl_axes))(t_m, y_m, controls)
-        physics_loss = jnp.mean((fd - rhs) ** 2)
+        pe = (fd - rhs) ** 2
+        if w_state is not None:
+            pe = pe * w_state
+        physics_loss = jnp.mean(pe)
 
     reg_loss = jnp.zeros((), preds.dtype)
     if lambda2 > 0 and config.use_nn:

@@ -61,10 +61,22 @@ def make_optimizer(
         # NOTE: optax.masked would pass unmasked leaves' updates (= raw
         # gradients) straight through to apply_updates — must ZERO them.
         def labels(params):
-            return {
+            out = {
                 "ode": jax.tree.map(lambda _: "freeze", params["ode"]),
                 "nn": jax.tree.map(lambda _: "train", params["nn"]),
             }
+            if "norm" in params:
+                out["norm"] = jax.tree.map(lambda _: "freeze", params["norm"])
+            return out
+
+        tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
+    else:
+        # normalisation constants are never trainable
+        def labels(params):
+            out = {k: jax.tree.map(lambda _: "train", v) for k, v in params.items()}
+            if "norm" in params:
+                out["norm"] = jax.tree.map(lambda _: "freeze", params["norm"])
+            return out
 
         tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
     return tx
@@ -152,7 +164,11 @@ def train_model(
     key = jax.random.PRNGKey(cfg.get("seed", 0))
     key, init_key = jax.random.split(key)
     if params is None:
-        params = init_hybrid_params(init_key, config, cfg.get("ode_params"))
+        norm_stats = None
+        if mcfg.get("physical_core", False):
+            norm_stats = (train_ds.state_mean, train_ds.state_std)
+        params = init_hybrid_params(init_key, config, cfg.get("ode_params"),
+                                    norm_stats=norm_stats)
 
     batch_size = tcfg["batch_size"]
     epochs = max_epochs if max_epochs is not None else tcfg["epochs"]
