@@ -8,6 +8,8 @@ from hybrid_ode_tpu.evals.metrics import (
     compute_crps,
 )
 from hybrid_ode_tpu.evals.evaluate import evaluate_model, evaluate_checkpoint, save_evaluation_results
+from hybrid_ode_tpu.evals.robustness import missing_data_sweep, noise_sweep, robustness_report
+from hybrid_ode_tpu.evals.latent import dtw_distance, latent_recovery_metrics
 
 __all__ = [
     "compute_rmse",
@@ -20,4 +22,9 @@ __all__ = [
     "evaluate_model",
     "evaluate_checkpoint",
     "save_evaluation_results",
+    "missing_data_sweep",
+    "noise_sweep",
+    "robustness_report",
+    "dtw_distance",
+    "latent_recovery_metrics",
 ]

@@ -92,10 +92,16 @@ def init_hybrid_params(
     )
     params = {"ode": make_ode_params(ode_params, dtype=dtype), "nn": nn}
     if norm_stats is not None:
-        mean, std = norm_stats
+        mean = jnp.asarray(norm_stats[0], dtype)
+        std = jnp.asarray(norm_stats[1], dtype)
+        # Uninformative (near-constant) states — the placeholder GE/FFA
+        # columns — have std ~ 1e-6; a raw 1/std would amplify their
+        # mechanistic drift by ~1e6 and blow up the solve. Clamp their
+        # transform to identity scale (z ~ 0 maps to the constant mean).
+        informative = std > (1e-4 * jnp.abs(mean) + 1e-6)
         params["norm"] = {
-            "mean": jnp.asarray(mean, dtype),
-            "std": jnp.asarray(std, dtype),
+            "mean": mean,
+            "std": jnp.where(informative, std, jnp.ones_like(std)),
         }
     return params
 

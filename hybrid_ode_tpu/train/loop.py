@@ -165,9 +165,18 @@ def train_model(
     key, init_key = jax.random.split(key)
     if params is None:
         norm_stats = None
+        ode_overrides = cfg.get("ode_params")
         if mcfg.get("physical_core", False):
             norm_stats = (train_ds.state_mean, train_ds.state_std)
-        params = init_hybrid_params(init_key, config, cfg.get("ode_params"),
+            # seed basal parameters at the DATA operating point: Table-I
+            # basals (G_b=5, I_b=60, Glu_b=80) can sit several sigma from a
+            # cohort's means, giving the physical-units core a large initial
+            # drift the NN would have to fight
+            ode_overrides = dict(ode_overrides or {})
+            ode_overrides["G_b"] = float(train_ds.state_mean[0])
+            ode_overrides["I_b"] = float(train_ds.state_mean[1])
+            ode_overrides["Glu_b"] = float(train_ds.state_mean[2])
+        params = init_hybrid_params(init_key, config, ode_overrides,
                                     norm_stats=norm_stats)
 
     batch_size = tcfg["batch_size"]

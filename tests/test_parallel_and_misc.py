@@ -214,3 +214,28 @@ def test_config_load_and_overrides(tmp_path):
     # missing file falls back to defaults (reference behavior)
     cfg = load_config(str(tmp_path / "missing.yaml"))
     assert cfg["training"]["epochs"] == 300
+
+
+# --------------------------------------------------------------------------
+# Latent recovery metrics
+# --------------------------------------------------------------------------
+
+def test_latent_recovery_metrics():
+    from hybrid_ode_tpu.evals.latent import dtw_distance, latent_recovery_metrics
+
+    t = np.linspace(0, 2 * np.pi, 50)
+    a = np.sin(t)
+    assert dtw_distance(a, a) == 0.0
+    # a time-shifted copy has small DTW but large pointwise error
+    b = np.sin(t + 0.3)
+    assert dtw_distance(a, b) < np.abs(a - b).sum()
+
+    m = latent_recovery_metrics(a, a)
+    assert m["r2"] == pytest.approx(1.0)
+    assert m["pearson"] == pytest.approx(1.0)
+    m2 = latent_recovery_metrics(a, -a)
+    assert m2["pearson"] == pytest.approx(-1.0)
+
+    # batched DTW averaging
+    m3 = latent_recovery_metrics(np.stack([a, b]), np.stack([a, a]))
+    assert np.isfinite(m3["dtw"])
