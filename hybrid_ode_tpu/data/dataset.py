@@ -22,7 +22,7 @@ per the reference's *intended* behavior (modification_report.md:60-64).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Dict, Iterator, Tuple
 
 import numpy as np
 

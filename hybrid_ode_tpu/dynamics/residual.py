@@ -17,7 +17,7 @@ Architecture (parity with reference defaults):
 from __future__ import annotations
 
 import math
-from typing import Dict, List
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

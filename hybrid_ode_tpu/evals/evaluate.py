@@ -32,7 +32,6 @@ from hybrid_ode_tpu.models.hybrid import (
     HybridConfig,
     batched_forward,
     controls_from_batch,
-    flat_to_params,
 )
 
 logger = logging.getLogger("hybrid_ode_tpu.eval")

@@ -11,11 +11,9 @@ this is where the TPU build earns its multi-chip scaling.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Tuple
+from typing import Dict
 
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -21,7 +21,6 @@ Notes:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable
 
 import jax

@@ -55,7 +55,6 @@ def main(argv=None) -> None:
     import jax
 
     from hybrid_ode_tpu.data.dataset import create_data_arrays, split_dataset
-    from hybrid_ode_tpu.models.hybrid import HybridConfig, init_hybrid_params
     from hybrid_ode_tpu.train.loop import train_model
     from hybrid_ode_tpu.utils.config import load_config, merge_cli_overrides, save_config
 

@@ -19,11 +19,10 @@ import dataclasses
 import logging
 import time
 from pathlib import Path
-from typing import Any, Dict, Iterator, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from hybrid_ode_tpu.data.dataset import GlucoseDataset, batch_iterator, pad_batch

@@ -14,7 +14,7 @@ adaptation of a new subject costs milliseconds on a TPU chip.
 from __future__ import annotations
 
 import logging
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
