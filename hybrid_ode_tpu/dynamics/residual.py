@@ -107,9 +107,18 @@ def residual_apply(
     glp1: jnp.ndarray,
     tvns: jnp.ndarray,
     activation: str = "relu",
+    extra: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    """NN residual dynamics g_NN(t, y, glp1, tVNS) -> (..., 6)."""
-    return mlp_apply(params, residual_features(t, y, glp1, tvns), activation)
+    """NN residual dynamics g_NN(t, y, glp1, tVNS[, extra]) -> (..., 6).
+
+    extra: optional additional features (e.g. a latent subject context),
+    shape (..., d) broadcastable against y's leading dims.
+    """
+    feats = residual_features(t, y, glp1, tvns)
+    if extra is not None:
+        extra = jnp.broadcast_to(extra, feats.shape[:-1] + extra.shape[-1:])
+        feats = jnp.concatenate([feats, extra], axis=-1)
+    return mlp_apply(params, feats, activation)
 
 
 def feature_importance(

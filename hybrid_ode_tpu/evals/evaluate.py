@@ -32,6 +32,7 @@ from hybrid_ode_tpu.models.hybrid import (
     HybridConfig,
     batched_forward,
     controls_from_batch,
+    with_context,
 )
 
 logger = logging.getLogger("hybrid_ode_tpu.eval")
@@ -59,6 +60,9 @@ def evaluate_model(
     for batch in batch_iterator(test_ds, batch_size, shuffle=False):
         b, valid = pad_batch(batch, batch_size)
         controls = controls_from_batch(b)
+        # conditioned models: encode the subject context from the window's
+        # first observations (neutral zeros are used when absent)
+        controls = with_context(params, b, controls, config)
         nb = int(valid.sum())
         if variational is not None:
             key, sk = jax.random.split(key)
@@ -140,6 +144,8 @@ def evaluate_checkpoint(
             mode=mcfg.get("mode", "scan"),
             max_steps_per_interval=mcfg.get("max_steps_per_interval", 8),
             substeps=mcfg.get("substeps", 4),
+            context_points=mcfg.get("context_points", 0),
+            context_dim=mcfg.get("context_dim", 8),
         )
     metrics = evaluate_model(params, test_ds, config, batch_size)
     metrics["checkpoint_epoch"] = meta.get("epoch", -1)

@@ -71,6 +71,9 @@ def elbo(
             params, batch["initial_state"], batch["time_points"], controls, config
         )
         se = ((obs - preds) / noise_sigma) ** 2
+        # bound per-element error: a single exploding sampled trajectory must
+        # not inf/NaN the whole ELBO (it still gets a ~1e6 penalty)
+        se = jnp.minimum(jnp.nan_to_num(se, nan=1e6, posinf=1e6), 1e6)
         if mask is not None:
             se = se * mask[..., None]
         return -0.5 * jnp.sum(se)

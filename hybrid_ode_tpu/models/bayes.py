@@ -57,11 +57,22 @@ def init_variational(
     means, log_stds, priors = {}, {}, {}
     for name, value in selected.items():
         pp = prior_params.get(name) or prior_params.get(name.split("_", 1)[1], {})
+        has_prior = bool(pp)
         p_mean = float(pp.get("mean", 0.0))
         p_std = float(pp.get("std", 1.0))
         priors[name] = (p_mean, p_std)
-        means[name] = jnp.asarray(value)
-        log_stds[name] = jnp.full_like(jnp.asarray(value), math.log(p_std * 0.1))
+        value = jnp.asarray(value)
+        means[name] = value
+        if has_prior:
+            init_std = 0.1 * p_std  # reference convention (`models/bayes.py:100`)
+        else:
+            # Default-prior parameters (all NN weights): 0.1*prior_std would
+            # be ~10x the weight scale (hidden init ~0.011) — sampled nets
+            # destabilise the ODE and NaN the ELBO. Start at 1% of the
+            # parameter's own RMS instead.
+            rms = float(jnp.sqrt(jnp.mean(value**2)))
+            init_std = max(0.01 * rms, 1e-4)
+        log_stds[name] = jnp.full_like(value, math.log(init_std))
     return VariationalState(means=means, log_stds=log_stds), priors
 
 

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from hybrid_ode_tpu.dynamics.controls import Controls, eval_controls
 from hybrid_ode_tpu.dynamics.ode_core import make_ode_params, mechanistic_field
-from hybrid_ode_tpu.dynamics.residual import init_mlp_params, mlp_l2, residual_apply
+from hybrid_ode_tpu.dynamics.residual import init_mlp_params, mlp_apply, mlp_l2, residual_apply
 from hybrid_ode_tpu.solvers.api import odeint
 
 STATE_NAMES = ("Glucose", "Insulin", "Glucagon", "GLP1", "GE", "FFA")
@@ -65,6 +65,12 @@ class HybridConfig:
     # reference lacks (it always integrates the full window from t0).
     # 1 = single shooting (reference-parity default).
     shooting_segments: int = 1
+    # subject conditioning: encode the first `context_points` observations of
+    # each window into a `context_dim` latent fed to the NN residual —
+    # amortized subject identification attacking the population-heterogeneity
+    # error floor (no reference analogue). 0 = off.
+    context_points: int = 0
+    context_dim: int = 8
 
 
 def init_hybrid_params(
@@ -82,15 +88,32 @@ def init_hybrid_params(
     conceptual bug of feeding z-scored states into physiological equations
     (its "mechanistic" core is dimensionally meaningless during training).
     """
+    key, enc_key = jax.random.split(key)
+    ctx = config.context_dim if config.context_points > 0 else 0
     nn = init_mlp_params(
         key,
-        input_dim=3 + config.n_states,
+        input_dim=3 + config.n_states + ctx,
         hidden_dim=config.nn_hidden,
         output_dim=config.n_states,
         n_layers=config.nn_layers,
         dtype=dtype,
     )
     params = {"ode": make_ode_params(ode_params, dtype=dtype), "nn": nn}
+    if config.context_points > 0:
+        # context encoder: flattened first-k observations (+ their times,
+        # relative to window start) -> latent subject code
+        params["enc"] = init_mlp_params(
+            enc_key,
+            input_dim=config.context_points * (config.n_states + 1),
+            hidden_dim=32,
+            output_dim=config.context_dim,
+            n_layers=2,
+            dtype=dtype,
+        )
+        # non-zero output init: the context is a feature, not a residual
+        params["enc"]["w2"] = 0.1 * jax.random.normal(
+            jax.random.fold_in(enc_key, 1), params["enc"]["w2"].shape, dtype
+        )
     if norm_stats is not None:
         mean = jnp.asarray(norm_stats[0], dtype)
         std = jnp.asarray(norm_stats[1], dtype)
@@ -120,6 +143,13 @@ def hybrid_field(
     mapped back: dz/dt = f_mech(t, z*std + mean) / std. The NN residual keeps
     seeing the well-conditioned z-scored features.
     """
+    context = None
+    if controls is not None and "context" in controls.signals:
+        context = controls.signals["context"]  # (context_dim,) per sample
+        controls = Controls(
+            ts=controls.ts,
+            signals={k: v for k, v in controls.signals.items() if k != "context"},
+        )
     inputs = eval_controls(controls, t)
     if "norm" in params:
         mean, std = params["norm"]["mean"], params["norm"]["std"]
@@ -131,7 +161,12 @@ def hybrid_field(
         # feature and tVNS from the inputs (`models/hybrid_ode_nn.py:125-129`).
         glp1 = y[..., 3]
         tvns = inputs.get("tVNS", jnp.zeros_like(glp1))
-        dy = dy + residual_apply(params["nn"], t, y, glp1, tvns, config.activation)
+        if config.context_points > 0 and context is None:
+            # unconditioned call sites: neutral (zero) context
+            context = jnp.zeros((config.context_dim,), y.dtype)
+        dy = dy + residual_apply(
+            params["nn"], t, y, glp1, tvns, config.activation, extra=context
+        )
     return dy
 
 
@@ -180,6 +215,38 @@ def batched_forward(
     )
     fn = lambda y0_, ts_, c_: forward(params, y0_, ts_, c_, config, **solver_overrides)
     return jax.vmap(fn, in_axes=(0, 0, ctrl_axes))(y0, ts, controls)
+
+
+def encode_context(
+    enc_params: Mapping[str, jnp.ndarray],
+    observations: jnp.ndarray,   # (B, T, n)
+    time_points: jnp.ndarray,    # (B, T)
+    k: int,
+    activation: str = "relu",
+) -> jnp.ndarray:
+    """Latent subject code from the first k observations of each window."""
+    obs_k = observations[:, :k, :]
+    t_rel = (time_points[:, :k] - time_points[:, :1])[..., None]
+    feats = jnp.concatenate([obs_k, t_rel], axis=-1).reshape(obs_k.shape[0], -1)
+    return mlp_apply(enc_params, feats, activation)
+
+
+def with_context(
+    params: Mapping[str, Any],
+    batch: Mapping[str, Any],
+    controls: Optional[Controls],
+    config: HybridConfig,
+) -> Optional[Controls]:
+    """Inject the encoded subject context into the controls pytree."""
+    if config.context_points <= 0 or "enc" not in params:
+        return controls
+    ctx = encode_context(
+        params["enc"], batch["observations"], batch["time_points"],
+        config.context_points, config.activation,
+    )  # (B, context_dim)
+    if controls is None:
+        controls = Controls(ts=batch["time_points"], signals={})
+    return Controls(ts=controls.ts, signals=dict(controls.signals, context=ctx))
 
 
 def segment_batch(batch: Mapping[str, Any], k: int) -> Dict[str, Any]:
@@ -251,6 +318,7 @@ def hybrid_loss(
     obs = batch["observations"]
     ts = batch["time_points"]
     controls = controls_from_batch(batch)
+    controls = with_context(params, batch, controls, config)
     mask = batch.get("mask")
 
     preds = batched_forward(params, y0, ts, controls, config)

@@ -55,30 +55,19 @@ def make_optimizer(
         optax.clip_by_global_norm(gradient_clip) if gradient_clip > 0 else optax.identity(),
         optax.adam(schedule),
     )
-    if not train_ode_params:
-        # parity: ODE parameters are frozen buffers in the reference.
-        # NOTE: optax.masked would pass unmasked leaves' updates (= raw
-        # gradients) straight through to apply_updates — must ZERO them.
-        def labels(params):
-            out = {
-                "ode": jax.tree.map(lambda _: "freeze", params["ode"]),
-                "nn": jax.tree.map(lambda _: "train", params["nn"]),
-            }
-            if "norm" in params:
-                out["norm"] = jax.tree.map(lambda _: "freeze", params["norm"])
-            return out
+    # Frozen groups: 'norm' (never trainable), 'ode' unless train_ode_params
+    # (reference parity: ODE params are non-trainable buffers). Anything else
+    # ('nn', 'enc', ...) trains. NOTE: optax.masked would pass unmasked
+    # leaves' updates (= raw gradients) straight through — must ZERO them.
+    frozen = {"norm"} | (set() if train_ode_params else {"ode"})
 
-        tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
-    else:
-        # normalisation constants are never trainable
-        def labels(params):
-            out = {k: jax.tree.map(lambda _: "train", v) for k, v in params.items()}
-            if "norm" in params:
-                out["norm"] = jax.tree.map(lambda _: "freeze", params["norm"])
-            return out
+    def labels(params):
+        return {
+            k: jax.tree.map(lambda _: "freeze" if k in frozen else "train", v)
+            for k, v in params.items()
+        }
 
-        tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
-    return tx
+    return optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
 
 
 def make_train_step(
@@ -158,6 +147,8 @@ def train_model(
         max_steps_per_interval=mcfg.get("max_steps_per_interval", 8),
         substeps=mcfg.get("substeps", 4),
         shooting_segments=mcfg.get("shooting_segments", 1),
+        context_points=mcfg.get("context_points", 0),
+        context_dim=mcfg.get("context_dim", 8),
     )
 
     key = jax.random.PRNGKey(cfg.get("seed", 0))
