@@ -47,6 +47,7 @@ def evaluate_model(
     n_posterior_samples: int = 100,
     key: Optional[jax.Array] = None,
     denormalize: bool = False,
+    obs_sigma: float = 0.0,
 ) -> Dict[str, float]:
     """Evaluate on a dataset; uncertainty from the posterior when available,
     else the reference's fixed sigma=0.1 placeholder (`evaluate.py:247`)."""
@@ -70,7 +71,10 @@ def evaluate_model(
                 sk, jnp.asarray(b["initial_state"]), jnp.asarray(b["time_points"]),
                 controls, n_samples=n_posterior_samples,
             )
-            preds, unc = mean, std
+            # predictive interval = parameter uncertainty (+) observation
+            # noise in quadrature; posterior spread alone cannot cover noisy
+            # observations no matter how good the model
+            preds, unc = mean, jnp.sqrt(std**2 + obs_sigma**2)
         else:
             preds = fwd(params, jnp.asarray(b["initial_state"]), jnp.asarray(b["time_points"]), controls)
             unc = jnp.ones_like(preds) * 0.1

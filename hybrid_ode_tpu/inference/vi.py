@@ -105,7 +105,12 @@ class VariationalInference:
         noise_sigma: float = 1.0,
         kl_annealing: bool = False,
         annealing_epochs: int = 50,
+        include_nn: bool = False,
     ):
+        """include_nn: put the NN weights under the posterior too (reference
+        behavior). Default False — ODE-parameter-only UQ is stable and
+        interpretable; full-NN mean-field collapses to the prior on small
+        cohorts (documented deviation)."""
         self.template = template_params
         self.config = config
         self.n_samples = n_samples
@@ -114,7 +119,7 @@ class VariationalInference:
         self.annealing_epochs = annealing_epochs
 
         flat = params_to_flat(template_params)
-        self.vstate, self.priors = init_variational(flat, prior_params)
+        self.vstate, self.priors = init_variational(flat, prior_params, include_nn=include_nn)
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(5.0), optax.adam(learning_rate)
         )

@@ -30,14 +30,21 @@ class VariationalState(NamedTuple):
     log_stds: Dict[str, jnp.ndarray]
 
 
-def select_bayes_params(flat_params: Mapping[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+def select_bayes_params(
+    flat_params: Mapping[str, jnp.ndarray], include_nn: bool = True
+) -> Dict[str, jnp.ndarray]:
     """Parameters receiving variational treatment: the 8 selected ODE params
-    + all NN params (parity: `models/hybrid_ode_nn.py:82-91`)."""
+    (+ all NN params when include_nn, parity: `models/hybrid_ode_nn.py:82-91`).
+
+    include_nn=False restricts the posterior to the interpretable
+    physiological parameters — mean-field over ~13k NN weights against a
+    handful of training windows collapses to the prior and dominates the KL,
+    one reason the reference's VI never worked."""
     chosen = {}
     for name, v in flat_params.items():
         if name.startswith("ode_") and name[4:] in BAYES_ODE_PARAM_NAMES:
             chosen[name] = v
-        elif name.startswith("nn_"):
+        elif include_nn and name.startswith("nn_"):
             chosen[name] = v
     return chosen
 
@@ -45,6 +52,7 @@ def select_bayes_params(flat_params: Mapping[str, jnp.ndarray]) -> Dict[str, jnp
 def init_variational(
     flat_params: Mapping[str, jnp.ndarray],
     prior_params: Optional[Mapping[str, Mapping[str, float]]] = None,
+    include_nn: bool = True,
 ) -> Tuple[VariationalState, Dict[str, Tuple[float, float]]]:
     """Build (state, priors). priors maps name -> (prior_mean, prior_std);
     defaults N(0, 1) as in the reference (`models/bayes.py:95-100`).
@@ -53,7 +61,7 @@ def init_variational(
     `models/bayes.py:100`).
     """
     prior_params = prior_params or {}
-    selected = select_bayes_params(flat_params)
+    selected = select_bayes_params(flat_params, include_nn=include_nn)
     means, log_stds, priors = {}, {}, {}
     for name, value in selected.items():
         pp = prior_params.get(name) or prior_params.get(name.split("_", 1)[1], {})

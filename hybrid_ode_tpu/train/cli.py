@@ -138,8 +138,10 @@ def _run_vi(cfg, args, train_ds, val_ds, ckpt_dir, seed):
         prior_params=cfg.get("ode_param_priors"),
         learning_rate=cfg["training"]["learning_rate"],
         n_samples=vcfg.get("n_samples", 5),
+        noise_sigma=vcfg.get("noise_sigma", 0.35),
         kl_annealing=vcfg.get("kl_annealing", False),
         annealing_epochs=vcfg.get("annealing_epochs", 50),
+        include_nn=vcfg.get("include_nn", False),
     )
     vi.train(
         train_ds, val_ds,
