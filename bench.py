@@ -50,16 +50,19 @@ def main():
     tvnsB = jnp.zeros((N, T))
 
     # ---- primary: fused Pallas RK4 ----------------------------------------
-    # distinct inputs per rep: defeats any identical-execution caching in the
-    # remote-execution pipeline, so we time real device work
+    # Timing discipline for the axon remote-execution platform: distinct
+    # inputs per rep (identical dispatches are deduped) AND a scalar
+    # materialisation per rep (block_until_ready alone returns early for
+    # queued remote work — measured 70us for a 30ms kernel).
     reps = 10
     y0_reps = [y0s * (1.0 + 1e-6 * i) for i in range(reps)]
+    reducer = jax.jit(lambda x: x.sum())
+    sync = lambda x: float(reducer(x))
     fused = lambda y: fused_rk4_trajectory(y, tsB, mealB, tvnsB, params["ode"], params["nn"], substeps=SUB)
-    out = fused(y0_reps[0]); out.block_until_ready()
+    sync(fused(y0_reps[0]))  # compile both programs
     t0 = time.time()
-    outs = [fused(y) for y in y0_reps]
-    for o in outs:
-        o.block_until_ready()
+    for y in y0_reps:
+        sync(fused(y))
     dt_fused = (time.time() - t0) / reps
     fused_substeps = N * (T - 1) * SUB
     fused_sps = fused_substeps / dt_fused
@@ -77,12 +80,11 @@ def main():
         )
 
     sim = jax.jit(jax.vmap(one))
-    outa, stats = sim(y0_reps[0]); outa.block_until_ready()
+    outa, stats = sim(y0_reps[0]); sync(outa)
     t0 = time.time()
-    outs = [sim(y) for y in y0_reps[:5]]
-    for o, _ in outs:
-        o.block_until_ready()
-    outa, stats = outs[-1]
+    for y in y0_reps[:5]:
+        outa, stats = sim(y)
+        sync(outa)
     dt_adapt = (time.time() - t0) / 5
     adapt_steps = int(jnp.sum(stats.n_accepted) + jnp.sum(stats.n_rejected))
 
