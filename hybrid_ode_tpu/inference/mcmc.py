@@ -111,7 +111,14 @@ def _nuts_step(
             dH = H0 - H_new  # > 0 means better
             diverging_new = (~jnp.isfinite(dH)) | (dH < -1000.0)
             log_w_leaf = jnp.where(diverging_new, -jnp.inf, dH)
-            alpha = jnp.minimum(1.0, jnp.exp(jnp.minimum(dH, 0.0)))
+            # NaN dH (e.g. the ODE solve NaN'ing on an extreme proposal) must
+            # contribute alpha=0, not NaN — a single NaN otherwise poisons
+            # sum_alpha -> dual averaging -> step size -> the whole chain.
+            alpha = jnp.where(
+                jnp.isfinite(dH),
+                jnp.minimum(1.0, jnp.exp(jnp.minimum(dH, 0.0))),
+                0.0,
+            )
 
             # multinomial progressive sampling within the subtree
             key_c, uk = jax.random.split(key_c)
