@@ -35,7 +35,10 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=3e-3)
     ap.add_argument("--lambda1", type=float, default=0.0)
     ap.add_argument("--fresh-subjects", type=int, default=50)
-    ap.add_argument("--physical-core", action="store_true", default=True)
+    ap.add_argument("--physical-core", action="store_true", default=False)
+    ap.add_argument("--context-points", type=int, default=12)
+    ap.add_argument("--context-dim", type=int, default=16)
+    ap.add_argument("--checkpoint-dir", default="checkpoints/accuracy_benchmark")
     ap.add_argument("--out", default="results/accuracy_benchmark.json")
     args = ap.parse_args(argv)
 
@@ -63,22 +66,29 @@ def main(argv=None):
     cfg["model"].update(
         solver="rk4", substeps=4, mode="scan", nn_hidden=args.hidden, nn_layers=4,
         physical_core=args.physical_core,
+        context_points=args.context_points, context_dim=args.context_dim,
     )
     cfg["training"].update(
         epochs=args.epochs, batch_size=32, learning_rate=args.lr,
         lambda1=args.lambda1, lambda2=0.01,
         early_stopping_patience=args.epochs, train_ode_params=True,
     )
-    res = train_model(cfg, tr, va, None, None)
+    res = train_model(cfg, tr, va, args.checkpoint_dir, None)
     train_wall = time.time() - t_start
     mcfg = HybridConfig(solver="rk4", substeps=4, mode="scan",
-                        nn_hidden=args.hidden, nn_layers=4)
+                        nn_hidden=args.hidden, nn_layers=4,
+                        context_points=args.context_points,
+                        context_dim=args.context_dim)
+
+    from hybrid_ode_tpu.models.hybrid import with_context
 
     def glucose_truth_rmse(dataset, truth_df):
+        batch = dataset.batch(np.arange(len(dataset)))
         controls = Controls(
             ts=jnp.asarray(dataset.time_points),
             signals={"meal": jnp.asarray(dataset.meal), "tVNS": jnp.asarray(dataset.tvns)},
         )
+        controls = with_context(res.params, batch, controls, mcfg)
         preds = np.asarray(batched_forward(
             res.params, jnp.asarray(dataset.initial_state),
             jnp.asarray(dataset.time_points), controls, mcfg,
