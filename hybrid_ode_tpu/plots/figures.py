@@ -55,10 +55,13 @@ def plot_fig1_predictions(
 ) -> str:
     """Predicted vs observed trajectories for the first n subjects."""
     plt = _plt()
+    from hybrid_ode_tpu.models.hybrid import with_context
+
     n = min(n_subjects, len(ds))
     batch = ds.batch(np.arange(n))
     controls = Controls(ts=jnp.asarray(batch["time_points"]),
                         signals={k: jnp.asarray(v) for k, v in batch["external_inputs"].items()})
+    controls = with_context(params, batch, controls, config)
     preds = np.asarray(
         batched_forward(params, jnp.asarray(batch["initial_state"]),
                         jnp.asarray(batch["time_points"]), controls, config)
@@ -113,6 +116,9 @@ def plot_fig2_sensitivity(
         nn_hidden=config.nn_hidden, nn_layers=config.nn_layers,
         activation=config.activation, use_nn=config.use_nn,
         solver="rk4", substeps=6, mode="scan",
+        # context-conditioned models: keep the NN input width; the sweep has
+        # no observation window, so the neutral zero context applies
+        context_points=config.context_points, context_dim=config.context_dim,
     )
 
     def simulate(overrides: Dict[str, jnp.ndarray]) -> jnp.ndarray:
@@ -270,6 +276,9 @@ def main(argv=None) -> None:
         rtol=mcfg.get("rtol", 1e-6), atol=mcfg.get("atol", 1e-8),
         mode=mcfg.get("mode", "scan"),
         max_steps_per_interval=mcfg.get("max_steps_per_interval", 8),
+        substeps=mcfg.get("substeps", 4),
+        context_points=mcfg.get("context_points", 0),
+        context_dim=mcfg.get("context_dim", 8),
     )
 
     ds = create_data_arrays(args.data)
