@@ -166,8 +166,16 @@ def _run_mcmc(cfg, args, train_ds, val_ds, ckpt_dir, log_dir, seed):
                       max_epochs=min(50, cfg["training"]["epochs"]))
 
     batch = next(batch_iterator(val_ds, cfg["training"]["batch_size"], shuffle=False))
+    # Sampling solver: fixed-grid RK4. Each NUTS transition takes up to
+    # 2^max_depth gradient-of-solve leapfrogs; the adaptive scan-mode solver
+    # inside that tree produces a compile so large it can crash the TPU
+    # worker, and its bounded-step masking buys nothing for smooth dynamics.
+    base_cfg = _model_config(cfg, use_nn=not cfg["ablation"]["no_nn"])
+    import dataclasses as _dc
+
+    sample_cfg = _dc.replace(base_cfg, solver="rk4", substeps=4, mode="scan")
     samples = run_nuts(
-        pre.params, batch, _model_config(cfg, use_nn=not cfg["ablation"]["no_nn"]),
+        pre.params, batch, sample_cfg,
         key=jax.random.PRNGKey(seed),
         num_samples=args.mcmc_samples, num_warmup=args.mcmc_warmup,
         n_chains=args.mcmc_chains,
