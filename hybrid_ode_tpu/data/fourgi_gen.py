@@ -189,6 +189,32 @@ if __name__ == "__main__":
     ap.add_argument("--subjects", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--patient-type", default="T2DM", choices=["T2DM", "HV"])
+    ap.add_argument("--plot", action="store_true",
+                    help="save an example plot of subject 0 (parity with the "
+                         "reference's 4gi_simulation_example.png)")
     a = ap.parse_args()
     df = generate_4gi_dataset(a.out, seed=a.seed, n_subjects=a.subjects, patient_type=a.patient_type)
     print(f"wrote {a.out}: {df.shape[0]} rows, {df['subject_id'].nunique()} subjects")
+    if a.plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        sub0 = df[df["subject_id"] == 0]
+        cols = ["glucose_mmol_L", "insulin_pmol_L", "glp1_pmol_L", "glucagon_pmol_L", "gip_pmol_L"]
+        titles = ["Glucose (mmol/L)", "Insulin (pmol/L)", "GLP-1 (pmol/L)",
+                  "Glucagon (pmol/L)", "GIP (pmol/L)"]
+        fig, axes = plt.subplots(5, 1, figsize=(10, 12), sharex=True)
+        for ax, c, t in zip(axes, cols, titles):
+            ax.plot(sub0["time_hours"], sub0[c], "b-", lw=2)
+            ax.set_ylabel(t)
+            ax.grid(True, alpha=0.3)
+            for mt in sub0.loc[sub0["meal_indicator"] == 1, "time_hours"]:
+                ax.axvline(mt, color="r", ls="--", alpha=0.5)
+        axes[-1].set_xlabel("Time (hours)")
+        fig.suptitle("4GI Model Simulation - Subject 0")
+        fig.tight_layout()
+        out_png = str(a.out).rsplit(".", 1)[0] + "_example.png"
+        fig.savefig(out_png, dpi=150)
+        print(f"example plot: {out_png}")

@@ -244,7 +244,11 @@ def train_model(
             # reference would point at deleted buffers after the next step
             best_params = jax.tree.map(lambda x: jnp.array(x), state.params)
             patience_counter = 0
-            if checkpoint_dir:
+            # throttle disk writes: long tuned runs improve val on most early
+            # epochs; always keeping best_params in memory is enough, write
+            # at most every save_interval epochs (and always at epoch 0)
+            save_every = max(1, int(cfg["logging"].get("save_interval", 1)))
+            if checkpoint_dir and (epoch % save_every == 0 or epoch < 5):
                 save_checkpoint(
                     Path(checkpoint_dir) / "best_model",
                     {"params": state.params, "opt_state": state.opt_state},
