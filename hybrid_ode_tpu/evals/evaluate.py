@@ -31,6 +31,7 @@ from hybrid_ode_tpu.evals.metrics import (
 from hybrid_ode_tpu.models.hybrid import (
     HybridConfig,
     batched_forward,
+    config_from_dict,
     controls_from_batch,
     with_context,
 )
@@ -135,22 +136,7 @@ def evaluate_checkpoint(
     state, meta = load_checkpoint(checkpoint_path)
     params = state["params"]
     if config is None:
-        mcfg = meta.get("config", {}).get("model", {})
-        abl = meta.get("config", {}).get("ablation", {})
-        config = HybridConfig(
-            nn_hidden=mcfg.get("nn_hidden", 64),
-            nn_layers=mcfg.get("nn_layers", 4),
-            activation=mcfg.get("activation", "relu"),
-            use_nn=not abl.get("no_nn", False),
-            solver=mcfg.get("solver", "dopri5"),
-            rtol=mcfg.get("rtol", 1e-6),
-            atol=mcfg.get("atol", 1e-8),
-            mode=mcfg.get("mode", "scan"),
-            max_steps_per_interval=mcfg.get("max_steps_per_interval", 8),
-            substeps=mcfg.get("substeps", 4),
-            context_points=mcfg.get("context_points", 0),
-            context_dim=mcfg.get("context_dim", 8),
-        )
+        config = config_from_dict(meta.get("config", {}))
     metrics = evaluate_model(params, test_ds, config, batch_size)
     metrics["checkpoint_epoch"] = meta.get("epoch", -1)
     metrics["checkpoint_val_loss"] = meta.get("val_loss", -1)
@@ -197,11 +183,26 @@ def main(argv=None) -> None:
     ap.add_argument("--output", type=str, default="evaluation_results.csv")
     ap.add_argument("--sequence-length", type=int, default=61)
     ap.add_argument("--stride", type=int, default=30)
+    ap.add_argument("--vi-checkpoint", type=str, default=None,
+                    help="VI checkpoint dir: evaluate with the variational "
+                         "posterior predictive (calibration metrics included; "
+                         "parity: reference evaluate.py:222-241)")
+    ap.add_argument("--posterior-samples", type=int, default=100)
     args = ap.parse_args(argv)
 
     ds = create_data_arrays(args.data, args.sequence_length, args.stride)
     _, _, test_ds = split_dataset(ds, seed=42)
-    metrics = evaluate_checkpoint(args.checkpoint, test_ds)
+    if args.vi_checkpoint:
+        from hybrid_ode_tpu.inference.vi import VariationalInference
+
+        vi = VariationalInference.restore(args.vi_checkpoint)
+        metrics = evaluate_model(
+            vi.template, test_ds, vi.config, variational=vi,
+            n_posterior_samples=args.posterior_samples,
+            obs_sigma=vi.noise_sigma,
+        )
+    else:
+        metrics = evaluate_checkpoint(args.checkpoint, test_ds)
     save_evaluation_results(metrics, args.output)
     print(f"RMSE: {metrics['rmse']:.4f}  MAE: {metrics['mae']:.4f}  NRMSE: {metrics['nrmse']:.4f}")
 

@@ -255,18 +255,69 @@ class VariationalInference:
         return preds.mean(axis=0), preds.std(axis=0)
 
     def save_checkpoint(self, path: str) -> None:
+        """Self-contained checkpoint: vstate + opt_state + the TEMPLATE point
+        params and model config, so eval/plots CLIs can restore the full
+        posterior predictive without the original training session (the
+        reference stores variational params inside the model state dict,
+        `inference/vi.py:314-340`)."""
+        import dataclasses
+
         save_checkpoint(
             path,
-            {"vstate": self.vstate, "opt_state": self.opt_state},
-            {"history": self.history, "priors": {k: list(v) for k, v in self.priors.items()}},
+            {"vstate": self.vstate, "opt_state": self.opt_state,
+             "template": self.template},
+            {"history": self.history,
+             "priors": {k: list(v) for k, v in self.priors.items()},
+             "noise_sigma": self.noise_sigma,
+             "model_config": dataclasses.asdict(self.config)},
         )
 
     def load_checkpoint(self, path: str) -> None:
         state, meta = load_checkpoint(path)
         loaded = state["vstate"]
-        self.vstate = VariationalState(
-            means=dict(loaded["means"] if isinstance(loaded, dict) else loaded.means),
-            log_stds=dict(loaded["log_stds"] if isinstance(loaded, dict) else loaded.log_stds),
-        )
+        if isinstance(loaded, dict):
+            means, log_stds = loaded["means"], loaded["log_stds"]
+        else:  # NamedTuple, or the plain (means, log_stds) tuple the
+            # pickle-free spec loader reconstructs
+            means, log_stds = loaded
+        self.vstate = VariationalState(means=dict(means), log_stds=dict(log_stds))
         self.opt_state = state["opt_state"]
         self.history = meta.get("history", self.history)
+        if "template" in state:
+            self.template = state["template"]
+        if "priors" in meta:
+            self.priors = {k: tuple(v) for k, v in meta["priors"].items()}
+        if "noise_sigma" in meta:
+            self.noise_sigma = float(meta["noise_sigma"])
+        self._train_step = None  # priors/template changed: rebuild jits lazily
+        self._eval_elbo = None
+
+    @classmethod
+    def restore(
+        cls,
+        path: str,
+        template_params: Any = None,
+        config: Optional[HybridConfig] = None,
+    ) -> "VariationalInference":
+        """Rebuild a VI trainer from a self-contained checkpoint.
+
+        template_params/config are only needed for legacy checkpoints written
+        before they were embedded."""
+        state, meta = load_checkpoint(path)
+        if template_params is None:
+            if "template" not in state:
+                raise ValueError(
+                    f"{path} is a legacy VI checkpoint without an embedded "
+                    "template — pass template_params explicitly"
+                )
+            template_params = state["template"]
+        if config is None:
+            if "model_config" not in meta:
+                raise ValueError(
+                    f"{path} has no embedded model config — pass config"
+                )
+            config = HybridConfig(**meta["model_config"])
+        vi = cls(template_params, config,
+                 noise_sigma=float(meta.get("noise_sigma", 1.0)))
+        vi.load_checkpoint(path)
+        return vi

@@ -73,6 +73,37 @@ class HybridConfig:
     context_dim: int = 8
 
 
+def config_from_dict(cfg: Mapping[str, Any], use_nn: Optional[bool] = None,
+                     **overrides) -> "HybridConfig":
+    """THE canonical config-dict -> HybridConfig constructor.
+
+    Single source of truth consumed by train/loop, train/cli, evals/evaluate
+    and plots/figures, so every CLI builds the exact model (incl. context /
+    multiple-shooting fields) a checkpoint was trained with.
+    """
+    m = cfg.get("model", {})
+    abl = cfg.get("ablation", {})
+    kw = dict(
+        nn_hidden=m.get("nn_hidden", 64),
+        nn_layers=m.get("nn_layers", 4),
+        activation=m.get("activation", "relu"),
+        use_nn=(not abl.get("no_nn", False)) if use_nn is None else use_nn,
+        solver=m.get("solver", "dopri5"),
+        rtol=m.get("rtol", 1e-6),
+        atol=m.get("atol", 1e-8),
+        mode=m.get("mode", "scan"),
+        max_steps_per_interval=m.get("max_steps_per_interval", 8),
+        substeps=m.get("substeps", 4),
+        adjoint=m.get("adjoint", "discrete"),
+        n_physics_points=m.get("n_physics_points", 20),
+        shooting_segments=m.get("shooting_segments", 1),
+        context_points=m.get("context_points", 0),
+        context_dim=m.get("context_dim", 8),
+    )
+    kw.update(overrides)
+    return HybridConfig(**kw)
+
+
 def init_hybrid_params(
     key: jax.Array,
     config: HybridConfig = HybridConfig(),
@@ -394,8 +425,12 @@ def params_to_flat(params: Mapping[str, Any]) -> Dict[str, jnp.ndarray]:
 def flat_to_params(
     flat: Mapping[str, jnp.ndarray], template: Mapping[str, Any]
 ) -> Dict[str, Dict[str, jnp.ndarray]]:
-    """Merge flat-named overrides onto a nested template pytree."""
-    out = {"ode": dict(template["ode"]), "nn": dict(template["nn"])}
+    """Merge flat-named overrides onto a nested template pytree.
+
+    Carries ALL template groups (incl. 'norm' / 'enc') so VI/MCMC posteriors
+    over {ode, nn} evaluate correctly for normalized-state or
+    context-conditioned models."""
+    out = {k: dict(v) for k, v in template.items()}
     for name, value in flat.items():
         if name.startswith("ode_"):
             out["ode"][name[4:]] = value

@@ -264,22 +264,23 @@ def main(argv=None) -> None:
                     choices=["all", "fig1", "fig2", "fig3", "tables"])
     ap.add_argument("--out-dir", type=str, default="results")
     ap.add_argument("--sobol-samples", type=int, default=1024)
+    ap.add_argument("--vi-checkpoint", type=str, default=None,
+                    help="VI checkpoint dir: fig3 gets real posterior bands "
+                         "and the tables get calibration columns (parity: "
+                         "reference plot_all.py:227-341)")
     args = ap.parse_args(argv)
+
+    from hybrid_ode_tpu.models.hybrid import config_from_dict
 
     state, meta = load_checkpoint(args.checkpoint)
     params = state["params"]
-    mcfg = meta.get("config", {}).get("model", {})
-    abl = meta.get("config", {}).get("ablation", {})
-    config = HybridConfig(
-        nn_hidden=mcfg.get("nn_hidden", 64), nn_layers=mcfg.get("nn_layers", 4),
-        use_nn=not abl.get("no_nn", False), solver=mcfg.get("solver", "dopri5"),
-        rtol=mcfg.get("rtol", 1e-6), atol=mcfg.get("atol", 1e-8),
-        mode=mcfg.get("mode", "scan"),
-        max_steps_per_interval=mcfg.get("max_steps_per_interval", 8),
-        substeps=mcfg.get("substeps", 4),
-        context_points=mcfg.get("context_points", 0),
-        context_dim=mcfg.get("context_dim", 8),
-    )
+    config = config_from_dict(meta.get("config", {}))
+
+    variational = None
+    if args.vi_checkpoint:
+        from hybrid_ode_tpu.inference.vi import VariationalInference
+
+        variational = VariationalInference.restore(args.vi_checkpoint)
 
     ds = create_data_arrays(args.data)
     _, _, test_ds = split_dataset(ds, seed=42)
@@ -291,10 +292,19 @@ def main(argv=None) -> None:
         plot_fig2_sensitivity(params, config, str(figdir / "fig2_sensitivity.png"),
                               n_samples=args.sobol_samples)
     if args.figures in ("all", "fig3"):
-        plot_fig3_posterior_bands(params, test_ds, config, None, str(figdir / "fig3_posterior.png"))
+        plot_fig3_posterior_bands(params, test_ds, config, variational,
+                                  str(figdir / "fig3_posterior.png"))
     if args.figures in ("all", "tables"):
         metrics = evaluate_model(params, test_ds, config)
-        generate_performance_tables({"Hybrid ODE-NN": metrics}, str(Path(args.out_dir) / "tables"))
+        if variational is not None:
+            vi_metrics = evaluate_model(
+                variational.template, test_ds, variational.config,
+                variational=variational, obs_sigma=variational.noise_sigma,
+            )
+            tables = {"Hybrid ODE-NN": metrics, "Hybrid ODE-NN (VI)": vi_metrics}
+        else:
+            tables = {"Hybrid ODE-NN": metrics}
+        generate_performance_tables(tables, str(Path(args.out_dir) / "tables"))
 
 
 if __name__ == "__main__":

@@ -106,35 +106,23 @@ def main(argv=None) -> None:
                     result.best_val_loss, result.epochs_run)
 
 
-def _model_config(cfg, use_nn=True):
-    from hybrid_ode_tpu.models.hybrid import HybridConfig
-
-    m = cfg["model"]
-    return HybridConfig(
-        nn_hidden=m["nn_hidden"], nn_layers=m["nn_layers"],
-        activation=m.get("activation", "relu"), use_nn=use_nn,
-        solver=m["solver"], rtol=m.get("rtol", 1e-6), atol=m.get("atol", 1e-8),
-        mode=m.get("mode", "scan"),
-        max_steps_per_interval=m.get("max_steps_per_interval", 8),
-        substeps=m.get("substeps", 4),
-    )
-
-
 def _run_vi(cfg, args, train_ds, val_ds, ckpt_dir, seed):
     import jax
 
     from hybrid_ode_tpu.inference.vi import VariationalInference
-    from hybrid_ode_tpu.models.hybrid import init_hybrid_params
+    from hybrid_ode_tpu.models.hybrid import config_from_dict, init_hybrid_params
     from hybrid_ode_tpu.train.loop import train_model
 
-    # short MAP pretrain so posterior means start sensibly
+    # short MAP pretrain so posterior means start sensibly (point checkpoint
+    # saved too: the VI template references it)
     logger.info("VI: MAP pretrain (<=20 epochs)")
-    pre = train_model(cfg, train_ds, val_ds, None, None, max_epochs=min(20, cfg["training"]["epochs"]))
+    pre = train_model(cfg, train_ds, val_ds, str(ckpt_dir), None,
+                      max_epochs=min(20, cfg["training"]["epochs"]))
 
     vcfg = cfg.get("vi_settings") or {}
     vi = VariationalInference(
         pre.params,
-        _model_config(cfg, use_nn=not cfg["ablation"]["no_nn"]),
+        config_from_dict(cfg),
         prior_params=cfg.get("ode_param_priors"),
         learning_rate=cfg["training"]["learning_rate"],
         n_samples=vcfg.get("n_samples", 5),
@@ -159,6 +147,7 @@ def _run_mcmc(cfg, args, train_ds, val_ds, ckpt_dir, log_dir, seed):
 
     from hybrid_ode_tpu.data.dataset import batch_iterator
     from hybrid_ode_tpu.inference.mcmc import posterior_summary, run_nuts, save_mcmc_results
+    from hybrid_ode_tpu.models.hybrid import config_from_dict
     from hybrid_ode_tpu.train.loop import train_model
 
     logger.info("MCMC: MAP pretrain (<=50 epochs, parity train_hybrid.py:463-494)")
@@ -170,7 +159,7 @@ def _run_mcmc(cfg, args, train_ds, val_ds, ckpt_dir, log_dir, seed):
     # 2^max_depth gradient-of-solve leapfrogs; the adaptive scan-mode solver
     # inside that tree produces a compile so large it can crash the TPU
     # worker, and its bounded-step masking buys nothing for smooth dynamics.
-    base_cfg = _model_config(cfg, use_nn=not cfg["ablation"]["no_nn"])
+    base_cfg = config_from_dict(cfg)
     import dataclasses as _dc
 
     sample_cfg = _dc.replace(base_cfg, solver="rk4", substeps=4, mode="scan")

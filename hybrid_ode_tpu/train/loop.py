@@ -26,7 +26,12 @@ import jax.numpy as jnp
 import optax
 
 from hybrid_ode_tpu.data.dataset import GlucoseDataset, batch_iterator, pad_batch
-from hybrid_ode_tpu.models.hybrid import HybridConfig, hybrid_loss, init_hybrid_params
+from hybrid_ode_tpu.models.hybrid import (
+    HybridConfig,
+    config_from_dict,
+    hybrid_loss,
+    init_hybrid_params,
+)
 from hybrid_ode_tpu.utils.checkpoint import save_checkpoint
 from hybrid_ode_tpu.utils.logging import MetricsLogger
 
@@ -135,21 +140,7 @@ def train_model(
     mcfg = cfg["model"]
     abl = cfg["ablation"]
 
-    config = HybridConfig(
-        nn_hidden=mcfg["nn_hidden"],
-        nn_layers=mcfg["nn_layers"],
-        activation=mcfg.get("activation", "relu"),
-        use_nn=not abl.get("no_nn", False),
-        solver=mcfg["solver"],
-        rtol=mcfg.get("rtol", 1e-6),
-        atol=mcfg.get("atol", 1e-8),
-        mode=mcfg.get("mode", "scan"),
-        max_steps_per_interval=mcfg.get("max_steps_per_interval", 8),
-        substeps=mcfg.get("substeps", 4),
-        shooting_segments=mcfg.get("shooting_segments", 1),
-        context_points=mcfg.get("context_points", 0),
-        context_dim=mcfg.get("context_dim", 8),
-    )
+    config = config_from_dict(cfg)
 
     key = jax.random.PRNGKey(cfg.get("seed", 0))
     key, init_key = jax.random.split(key)
@@ -203,6 +194,10 @@ def train_model(
 
     best_val = float("inf")
     best_params = jax.tree.map(lambda x: jnp.array(x), state.params)
+    best_opt_state = jax.tree.map(lambda x: jnp.array(x), state.opt_state)
+    best_meta = {"epoch": -1, "val_loss": None, "config": cfg,
+                 "state_mean": train_ds.state_mean, "state_std": train_ds.state_std}
+    best_dirty = False
     patience = tcfg.get("early_stopping_patience", 20)
     patience_counter = 0
     history = {"train_loss": [], "val_loss": [], "epoch_time": []}
@@ -243,18 +238,23 @@ def train_model(
             # deep-copy: train_step donates its input state, so holding a
             # reference would point at deleted buffers after the next step
             best_params = jax.tree.map(lambda x: jnp.array(x), state.params)
+            best_opt_state = jax.tree.map(lambda x: jnp.array(x), state.opt_state)
+            best_meta = {"epoch": epoch, "val_loss": val_loss, "config": cfg,
+                         "state_mean": train_ds.state_mean, "state_std": train_ds.state_std}
+            best_dirty = True
             patience_counter = 0
             # throttle disk writes: long tuned runs improve val on most early
-            # epochs; always keeping best_params in memory is enough, write
-            # at most every save_interval epochs (and always at epoch 0)
+            # epochs; keep the pending best in memory and write at most every
+            # save_interval epochs — the held best is flushed unconditionally
+            # after the loop, so the on-disk best_model is never stale.
             save_every = max(1, int(cfg["logging"].get("save_interval", 1)))
             if checkpoint_dir and (epoch % save_every == 0 or epoch < 5):
                 save_checkpoint(
                     Path(checkpoint_dir) / "best_model",
-                    {"params": state.params, "opt_state": state.opt_state},
-                    {"epoch": epoch, "val_loss": val_loss, "config": cfg,
-                     "state_mean": train_ds.state_mean, "state_std": train_ds.state_std},
+                    {"params": best_params, "opt_state": best_opt_state},
+                    best_meta,
                 )
+                best_dirty = False
         else:
             patience_counter += 1
         if patience_counter >= patience:
@@ -262,6 +262,12 @@ def train_model(
             break
 
     if checkpoint_dir:
+        if best_dirty:
+            save_checkpoint(
+                Path(checkpoint_dir) / "best_model",
+                {"params": best_params, "opt_state": best_opt_state},
+                best_meta,
+            )
         save_checkpoint(
             Path(checkpoint_dir) / "final_model",
             {"params": state.params, "opt_state": state.opt_state},

@@ -63,9 +63,12 @@ def adapt_subject(
     optimizer = optax.adam(learning_rate)
 
     def labels(p):
+        # Label EVERY top-level group (incl. 'enc'/'norm') so tx.init matches
+        # the param tree structure for context-conditioned / physical-core
+        # models, not just the plain {'ode','nn'} layout.
         return {
-            "ode": jax.tree.map(lambda _: "freeze", p["ode"]),
-            "nn": jax.tree.map(lambda _: "train", p["nn"]),
+            k: jax.tree.map(lambda _: "train" if k == "nn" else "freeze", v)
+            for k, v in p.items()
         }
 
     tx = optax.multi_transform({"train": optimizer, "freeze": optax.set_to_zero()}, labels)

@@ -206,3 +206,34 @@ def test_profiling_utils():
     with debug_mode():
         assert jax.config.jax_debug_nans is True
     assert jax.config.jax_debug_nans is False
+
+
+def test_context_checkpoint_roundtrips_all_clis(dataset, tmp_path):
+    """A context-conditioned + multiple-shooting checkpoint rebuilds its exact
+    HybridConfig through every consumer of config_from_dict (train loop,
+    evaluate_checkpoint, figures CLI) — regression for the old per-CLI config
+    copies that silently dropped context/shooting keys."""
+    from hybrid_ode_tpu.evals.evaluate import evaluate_checkpoint
+    from hybrid_ode_tpu.models.hybrid import config_from_dict
+
+    tr, va, _ = split_dataset(dataset, seed=42)
+    cfg = default_config()
+    cfg["model"].update(
+        solver="rk4", substeps=2, nn_hidden=16, nn_layers=2,
+        context_points=4, context_dim=3,
+    )
+    cfg["training"].update(epochs=1, batch_size=8, learning_rate=1e-3)
+    result = train_model(cfg, tr, va, str(tmp_path / "ckpt"))
+    assert "enc" in result.params  # context encoder was actually built
+
+    # evaluate_checkpoint must reconstruct the SAME config from the embedded
+    # dict (mismatched context width would crash the MLP input concat)
+    metrics = evaluate_checkpoint(str(tmp_path / "ckpt" / "best_model"), va)
+    assert np.isfinite(metrics["rmse"])
+
+    state, meta = load_checkpoint(str(tmp_path / "ckpt" / "best_model"))
+    rebuilt = config_from_dict(meta["config"])
+    assert rebuilt.context_points == 4
+    assert rebuilt.context_dim == 3
+    # shooting_segments carried from a raw config dict too
+    assert config_from_dict({"model": {"shooting_segments": 3}}).shooting_segments == 3
