@@ -71,6 +71,12 @@ class HybridConfig:
     # error floor (no reference analogue). 0 = off.
     context_points: int = 0
     context_dim: int = 8
+    # fused Pallas trajectory kernel (forward + custom-VJP backward) for the
+    # rk4 solver: the whole integration (and its reverse-time adjoint) runs
+    # in VMEM — see ops/pallas_rk4.py. Requires solver='rk4', relu, no
+    # 'norm' group, and only meal/tVNS/context controls; batched_forward
+    # raises otherwise. Auto-falls back to interpret mode off-TPU.
+    use_pallas: bool = False
 
 
 def config_from_dict(cfg: Mapping[str, Any], use_nn: Optional[bool] = None,
@@ -99,6 +105,7 @@ def config_from_dict(cfg: Mapping[str, Any], use_nn: Optional[bool] = None,
         shooting_segments=m.get("shooting_segments", 1),
         context_points=m.get("context_points", 0),
         context_dim=m.get("context_dim", 8),
+        use_pallas=m.get("use_pallas", False),
     )
     kw.update(overrides)
     return HybridConfig(**kw)
@@ -238,14 +245,56 @@ def batched_forward(
     config: HybridConfig = HybridConfig(),
     **solver_overrides,
 ) -> jnp.ndarray:
-    """Batch of trajectories in one vmap: (B, n) -> (B, T, n)."""
+    """Batch of trajectories in one vmap: (B, n) -> (B, T, n).
+
+    With config.use_pallas (solver='rk4'), routes through the fused Pallas
+    trajectory kernel instead — one kernel launch integrates the whole batch
+    in VMEM, with a custom-VJP reverse-time adjoint kernel for training
+    (ops/pallas_rk4.py). Identical semantics to the vmap path (tested)."""
     if ts.ndim == 1:
         ts = jnp.broadcast_to(ts[None, :], (y0.shape[0], ts.shape[0]))
+    if config.use_pallas and not solver_overrides:
+        return _pallas_forward(params, y0, ts, controls, config)
     ctrl_axes = None if controls is None else Controls(
         ts=0, signals={k: 0 for k in controls.signals}
     )
     fn = lambda y0_, ts_, c_: forward(params, y0_, ts_, c_, config, **solver_overrides)
     return jax.vmap(fn, in_axes=(0, 0, ctrl_axes))(y0, ts, controls)
+
+
+def _pallas_forward(
+    params: Mapping[str, Any],
+    y0: jnp.ndarray,
+    ts: jnp.ndarray,
+    controls: Optional[Controls],
+    config: HybridConfig,
+) -> jnp.ndarray:
+    """Dispatch to the fused Pallas RK4 kernel; validates supported semantics."""
+    from hybrid_ode_tpu.ops.pallas_rk4 import fused_rk4_hybrid
+
+    if config.solver != "rk4":
+        raise ValueError(f"use_pallas requires solver='rk4', got {config.solver!r}")
+    if config.activation != "relu":
+        raise ValueError("use_pallas supports activation='relu' only")
+    if "norm" in params:
+        raise ValueError("use_pallas does not support the 'norm' physical-core mode")
+    if not config.use_nn:
+        raise ValueError("use_pallas requires use_nn=True (kernel fuses the MLP)")
+    signals = dict(controls.signals) if controls is not None else {}
+    context = signals.pop("context", None)
+    B, T = ts.shape
+    meal = signals.pop("meal", None)
+    tvns = signals.pop("tVNS", None)
+    if signals:
+        raise ValueError(f"use_pallas supports meal/tVNS/context controls only, got {sorted(signals)}")
+    meal = jnp.zeros((B, T), y0.dtype) if meal is None else meal
+    tvns = jnp.zeros((B, T), y0.dtype) if tvns is None else tvns
+    interpret = jax.default_backend() != "tpu"
+    return fused_rk4_hybrid(
+        y0, ts, meal, tvns, params["ode"], params["nn"],
+        substeps=config.substeps, n_layers=config.nn_layers,
+        interpret=interpret, context=context,
+    )
 
 
 def encode_context(

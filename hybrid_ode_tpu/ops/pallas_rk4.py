@@ -1,14 +1,14 @@
-"""Pallas TPU kernel: fused full-trajectory RK4 for the hybrid ODE-NN field.
+"""Pallas TPU kernels: fused full-trajectory RK4 for the hybrid ODE-NN field.
 
-The hot inner loop of the framework is (mechanistic drift + 5-layer MLP
-residual) evaluated 4x per RK4 substep, thousands of substeps per cohort
-simulation. This kernel keeps the ENTIRE integration resident in VMEM:
+The hot inner loop of the framework is (mechanistic drift + MLP residual)
+evaluated 4x per RK4 substep, thousands of substeps per cohort simulation /
+training step. These kernels keep the ENTIRE integration resident in VMEM:
 
   * states live transposed as (8, B_block): batch on the lane axis — at the
-    default B_block=2048 every MLP matmul is (64,64)@(64,2048), a fat MXU
+    default B_block=2048 every MLP matmul is (H,H)@(H,2048), a fat MXU
     shape, and the elementwise mechanistic math vectorises fully on the VPU.
-  * MLP weights (~64 KB) are loaded to VMEM once per block and reused for
-    all (T-1)*substeps*4 stage evaluations.
+  * MLP weights (~64-300 KB) are loaded to VMEM once per block and reused
+    for all (T-1)*substeps*4 stage evaluations.
   * the time loop runs inside the kernel (`lax.fori_loop`); observation rows
     are written straight to the output block — zero HBM round-trips between
     solver steps.
@@ -16,12 +16,24 @@ simulation. This kernel keeps the ENTIRE integration resident in VMEM:
     substep j, stage c of interval i the interpolation weight is exactly
     (j+c)/substeps, so stage values are two VMEM row reads + one FMA — no
     searchsorted, no host-side precomputation.
+  * optional per-sample context features (subject conditioning) ride along
+    as a (C, B_block) VMEM block appended to the MLP input.
 
-Forward/simulation path (no custom VJP yet); training uses the XLA path.
+TRAINING PATH (`fused_rk4_hybrid`): a `jax.custom_vjp` pairs the forward
+kernel with a reverse-time discrete-RK4 adjoint kernel. The backward kernel
+walks the intervals in reverse; per interval it recomputes the `substeps`
+intermediate states from the saved observation-grid trajectory (O(T) memory,
+exactly the checkpointing granularity of the XLA path's per-interval
+`jax.checkpoint`, solvers/fixed.py:61), then back-propagates the cotangent
+through each RK4 substep via `jax.vjp` of the in-kernel step function —
+the transposed matmuls hit the MXU just like the forward ones. Weight /
+ODE-parameter cotangents accumulate in VMEM across the whole trajectory and
+across batch blocks (sequential TPU grid revisiting one output block), so
+gradient traffic to HBM is one weight-sized write total.
 
 State layout parity: rows 0..5 = [G, I, Glu, GLP1, GE, FFA]; rows 6..7 pad.
 MLP feature order parity with `dynamics.residual.residual_features`:
-[t, y(6), glp1, tvns]. GD is 0 in this path (datasets carry no
+[t, y(6), glp1, tvns, context...]. GD is 0 in this path (datasets carry no
 gastric-distension signal), so k_GE == k_GE0 exactly as in
 `dynamics.ode_core.mechanistic_field`.
 """
@@ -29,7 +41,7 @@ gastric-distension signal), so k_GE == k_GE0 exactly as in
 from __future__ import annotations
 
 import functools
-from typing import Dict
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +53,9 @@ PARAM_ORDER = (
     "V_max", "K_m", "k_L", "k_GE0", "IGD_50", "g", "p_7", "p_8", "p_9",
 )
 
-BLOCK_B = 2048  # batch lanes per kernel instance
+BLOCK_B = 2048       # batch lanes per forward kernel instance
+BLOCK_B_BWD = 512    # batch lanes per backward kernel instance (vjp residuals
+                     # of 4 live RK4 stages cap the usable lane width)
 
 
 def pallas_available() -> bool:
@@ -54,15 +68,22 @@ def pallas_available() -> bool:
         return False
 
 
+def _round8(n: int) -> int:
+    return int(np.ceil(n / 8) * 8)
+
+
 def _pack_weights(nn_params: Dict[str, jnp.ndarray], n_layers: int):
-    """Transpose + pad the MLP weights for the (features, batch) layout."""
+    """Transpose + pad the MLP weights for the (features, batch) layout.
+
+    Layer 0's input dim is padded to a multiple of 8 (f32 sublane tile);
+    the final layer's output dim is padded to the 8-row state block."""
     ws, bs = [], []
     for i in range(n_layers + 1):
         w = nn_params[f"w{i}"]  # (in, out)
         b = nn_params[f"b{i}"]  # (out,)
         wt = w.T  # (out, in)
         out_dim, in_dim = wt.shape
-        in_pad = 16 if i == 0 else in_dim
+        in_pad = _round8(in_dim) if i == 0 else in_dim
         out_pad = 8 if i == n_layers else out_dim
         wt = jnp.pad(wt, ((0, out_pad - out_dim), (0, in_pad - in_dim)))
         bt = jnp.pad(b, (0, out_pad - out_dim)).reshape(out_pad, 1)
@@ -71,57 +92,124 @@ def _pack_weights(nn_params: Dict[str, jnp.ndarray], n_layers: int):
     return ws, bs
 
 
-def _kernel(n_steps, substeps, n_layers, block_b,
-            y0_ref, ts_ref, meal_ref, tvns_ref, *rest):
+def _unpack_weight_grads(dws, dbs, nn_params: Dict[str, jnp.ndarray], n_layers: int):
+    """Inverse of `_pack_weights` for cotangents: un-pad + un-transpose."""
+    out = {}
+    for i in range(n_layers + 1):
+        in_dim, out_dim = nn_params[f"w{i}"].shape
+        out[f"w{i}"] = dws[i][:out_dim, :in_dim].T
+        out[f"b{i}"] = dbs[i][:out_dim, 0]
+    return out
+
+
+def _pack_params(ode_params: Dict[str, jnp.ndarray], dtype=jnp.float32):
+    vals = [jnp.asarray(ode_params[name], dtype).reshape(1, 1) for name in PARAM_ORDER]
+    pad = jnp.zeros((1, 32 - len(PARAM_ORDER)), dtype)
+    return jnp.concatenate(vals + [pad], axis=1)  # (1, 32)
+
+
+def _hybrid_field_t(t_row, Y, meal_row, tvns_row, ws, bs, pv, ctx, n_layers):
+    """Transposed-layout hybrid field: (8, Bb) states -> (8, Bb) derivative.
+
+    Pure function of VALUES (not refs) so `jax.vjp` can transpose it inside
+    the backward kernel. Parity: `dynamics.ode_core.mechanistic_field` with
+    GD=0 + `dynamics.residual.residual_apply` (relu)."""
+    P = {name: pv[0, i] for i, name in enumerate(PARAM_ORDER)}
+    G = Y[0:1]
+    I = Y[1:2]
+    Glu = Y[2:3]
+    GLP1 = Y[3:4]
+    FFA = Y[5:6]
+
+    Pi = 1.0 + P["rho"] * GLP1
+    dI = Pi * P["a_GI"] * (G - P["G_b"]) - P["k_I"] * (I - P["I_b"])
+    glp1_eff = P["E_max"] * GLP1 / (P["EC_50"] + GLP1)
+    dGlu = -glp1_eff * (Glu - P["Glu_b"])
+    dGLP1 = P["V_max"] * G / (P["K_m"] + G) - P["k_L"] * GLP1
+    dFFA = -P["p_7"] * FFA - P["p_8"] * I * FFA + P["p_9"] * G * FFA
+    dG = meal_row - 0.01 * (I - P["I_b"]) + 0.005 * (Glu - P["Glu_b"]) - P["k_GE0"] * G
+    zero = jnp.zeros_like(G)
+    dY = jnp.concatenate([dG, dI, dGlu, dGLP1, zero, dFFA, zero, zero], axis=0)
+
+    # MLP residual: features (in_pad, Bb) = [t, y(6), glp1, tvns, ctx..., pad]
+    in_pad = ws[0].shape[1]
+    feats = [t_row, Y[0:6], GLP1, tvns_row]
+    n_feat = 9
+    if ctx is not None:
+        feats.append(ctx)
+        n_feat += ctx.shape[0]
+    if in_pad > n_feat:
+        feats.append(jnp.zeros((in_pad - n_feat, Y.shape[1]), Y.dtype))
+    X = jnp.concatenate(feats, axis=0)
+    H = X
+    for li in range(n_layers):
+        H = jnp.maximum(
+            jax.lax.dot_general(
+                ws[li], H, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bs[li],
+            0.0,
+        )
+    R = jax.lax.dot_general(
+        ws[n_layers], H, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bs[n_layers]
+    return dY + R
+
+
+def _rk4_substep_t(Y, t, h, ctrls, ws, bs, pv, ctx, n_layers):
+    """One transposed-layout RK4 substep. ctrls = ((m0,v0),(m1,v1),(m2,v2))
+    are the control rows at stage offsets 0, h/2, h (constants wrt the vjp)."""
+    (m0, v0), (m1, v1), (m2, v2) = ctrls
+    f = lambda tt, YY, m, v: _hybrid_field_t(tt, YY, m, v, ws, bs, pv, ctx, n_layers)
+    k1 = f(t, Y, m0, v0)
+    k2 = f(t + 0.5 * h, Y + 0.5 * h * k1, m1, v1)
+    k3 = f(t + 0.5 * h, Y + 0.5 * h * k2, m1, v1)
+    k4 = f(t + h, Y + h * k3, m2, v2)
+    return Y + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+
+
+def _interval_inputs(pl, ts_ref, meal_ref, tvns_ref, i, jf, inv_s):
+    """Per-substep (t, h, stage control rows) from the observation-grid rows."""
+    ts_l = ts_ref[pl.ds(i, 1)]
+    ts_r = ts_ref[pl.ds(i + 1, 1)]
+    meal_l = meal_ref[pl.ds(i, 1)]
+    meal_r = meal_ref[pl.ds(i + 1, 1)]
+    tvns_l = tvns_ref[pl.ds(i, 1)]
+    tvns_r = tvns_ref[pl.ds(i + 1, 1)]
+    h = (ts_r - ts_l) * inv_s
+    t = ts_l + jf * h
+
+    def at(alpha_steps):
+        a = alpha_steps * inv_s
+        return (meal_l + (meal_r - meal_l) * a, tvns_l + (tvns_r - tvns_l) * a)
+
+    ctrls = (at(jf), at(jf + 0.5), at(jf + 1.0))
+    return t, h, ctrls
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(n_steps, substeps, n_layers, has_ctx,
+                y0_ref, ts_ref, meal_ref, tvns_ref, *rest):
     from jax.experimental import pallas as pl
 
-    w_refs = rest[: n_layers + 1]
-    b_refs = rest[n_layers + 1 : 2 * (n_layers + 1)]
-    param_ref = rest[2 * (n_layers + 1)]
-    out_ref = rest[2 * (n_layers + 1) + 1]
+    k = 0
+    ctx = None
+    if has_ctx:
+        ctx = rest[0][:]
+        k = 1
+    w_refs = rest[k: k + n_layers + 1]
+    b_refs = rest[k + n_layers + 1: k + 2 * (n_layers + 1)]
+    param_ref = rest[k + 2 * (n_layers + 1)]
+    out_ref = rest[k + 2 * (n_layers + 1) + 1]
 
-    P = {name: param_ref[0, i] for i, name in enumerate(PARAM_ORDER)}
+    pv = param_ref[:]
     ws = [w_refs[i][:] for i in range(n_layers + 1)]
     bs = [b_refs[i][:] for i in range(n_layers + 1)]
     inv_s = 1.0 / substeps
-
-    def field(t_row, Y, meal_row, tvns_row):
-        # Y: (8, Bb) transposed states; *_row: (1, Bb)
-        G = Y[0:1]
-        I = Y[1:2]
-        Glu = Y[2:3]
-        GLP1 = Y[3:4]
-        FFA = Y[5:6]
-
-        Pi = 1.0 + P["rho"] * GLP1
-        dI = Pi * P["a_GI"] * (G - P["G_b"]) - P["k_I"] * (I - P["I_b"])
-        glp1_eff = P["E_max"] * GLP1 / (P["EC_50"] + GLP1)
-        dGlu = -glp1_eff * (Glu - P["Glu_b"])
-        dGLP1 = P["V_max"] * G / (P["K_m"] + G) - P["k_L"] * GLP1
-        dFFA = -P["p_7"] * FFA - P["p_8"] * I * FFA + P["p_9"] * G * FFA
-        dG = meal_row - 0.01 * (I - P["I_b"]) + 0.005 * (Glu - P["Glu_b"]) - P["k_GE0"] * G
-        zero = jnp.zeros_like(G)
-        dY = jnp.concatenate([dG, dI, dGlu, dGLP1, zero, dFFA, zero, zero], axis=0)
-
-        # MLP residual: features (16, Bb) = [t, y(6), glp1, tvns, pad...]
-        X = jnp.concatenate(
-            [t_row, Y[0:6], GLP1, tvns_row, jnp.zeros((7, Y.shape[1]), Y.dtype)],
-            axis=0,
-        )
-        H = X
-        for li in range(n_layers):
-            H = jnp.maximum(
-                jax.lax.dot_general(
-                    ws[li], H, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) + bs[li],
-                0.0,
-            )
-        R = jax.lax.dot_general(
-            ws[n_layers], H, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bs[n_layers]
-        return dY + R
 
     out_ref[0] = y0_ref[:]
 
@@ -129,30 +217,8 @@ def _kernel(n_steps, substeps, n_layers, block_b,
         i = s // substeps
         j = s - i * substeps
         jf = j.astype(jnp.float32)
-
-        ts_l = ts_ref[pl.ds(i, 1)]            # (1, Bb)
-        ts_r = ts_ref[pl.ds(i + 1, 1)]
-        meal_l = meal_ref[pl.ds(i, 1)]
-        meal_r = meal_ref[pl.ds(i + 1, 1)]
-        tvns_l = tvns_ref[pl.ds(i, 1)]
-        tvns_r = tvns_ref[pl.ds(i + 1, 1)]
-
-        h = (ts_r - ts_l) * inv_s
-        t = ts_l + jf * h
-
-        def at(alpha_steps):  # control values at interp weight alpha_steps/substeps
-            a = alpha_steps * inv_s
-            return (meal_l + (meal_r - meal_l) * a, tvns_l + (tvns_r - tvns_l) * a)
-
-        m0, v0 = at(jf)
-        m1, v1 = at(jf + 0.5)
-        m2, v2 = at(jf + 1.0)
-
-        k1 = field(t, Y, m0, v0)
-        k2 = field(t + 0.5 * h, Y + 0.5 * h * k1, m1, v1)
-        k3 = field(t + 0.5 * h, Y + 0.5 * h * k2, m1, v1)
-        k4 = field(t + h, Y + h * k3, m2, v2)
-        Y_new = Y + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        t, h, ctrls = _interval_inputs(pl, ts_ref, meal_ref, tvns_ref, i, jf, inv_s)
+        Y_new = _rk4_substep_t(Y, t, h, ctrls, ws, bs, pv, ctx, n_layers)
 
         @pl.when(j == substeps - 1)
         def _():
@@ -163,34 +229,10 @@ def _kernel(n_steps, substeps, n_layers, block_b,
     jax.lax.fori_loop(0, n_steps, step, y0_ref[:])
 
 
-@functools.partial(
-    jax.jit, static_argnames=("substeps", "n_layers", "interpret", "block_b")
-)
-def fused_rk4_trajectory(
-    y0: jnp.ndarray,                 # (B, 6) states
-    ts: jnp.ndarray,                 # (B, T) per-sample time grids (hours)
-    meal: jnp.ndarray,               # (B, T) meal signal on the grid
-    tvns: jnp.ndarray,               # (B, T) tVNS signal on the grid
-    ode_params: Dict[str, jnp.ndarray],
-    nn_params: Dict[str, jnp.ndarray],
-    substeps: int = 4,
-    n_layers: int = 4,
-    interpret: bool = False,
-    block_b: int = BLOCK_B,
-) -> jnp.ndarray:
-    """Integrate the hybrid field with fused RK4; returns (B, T, 6).
-
-    Equivalent to `odeint(hybrid_field, ..., solver='rk4', substeps=s)` with
-    linear control interpolation — verified against the XLA path in tests.
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
+def _prep_inputs(y0, ts, meal, tvns, context, block_b):
+    """Transpose + pad to the kernel layout. Returns (args, Bb, Bp, T)."""
     B, T = ts.shape
-    S = substeps
-    n_steps = (T - 1) * S
     dtype = jnp.float32
-
     Bb = min(block_b, int(np.ceil(B / 128) * 128))
     Bp = int(np.ceil(B / Bb) * Bb)
 
@@ -205,16 +247,22 @@ def fused_rk4_trajectory(
     ts_t = padB(ts.T, 1)      # (T, Bp) — pad columns get ts==0 => h==0, harmless
     meal_t = padB(meal.T, 1)
     tvns_t = padB(tvns.T, 1)
-    # padded lanes carry ts rows of zeros -> h = 0 -> state stays y0 = 0: fine.
+    ctx_t = None if context is None else padB(context.T, 1)  # (C, Bp)
+    return (y0_t, ts_t, meal_t, tvns_t, ctx_t), Bb, Bp, T
 
-    ws, bs = _pack_weights(nn_params, n_layers)
-    pvec = jnp.zeros((1, 32), dtype)
-    for i, name in enumerate(PARAM_ORDER):
-        pvec = pvec.at[0, i].set(jnp.asarray(ode_params[name], dtype))
 
+def _fwd_pallas(y0_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
+                substeps, n_layers, interpret, Bb):
+    """Run the forward kernel on pre-packed inputs -> (T, 8, Bp) trajectory."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, Bp = ts_t.shape
+    n_steps = (T - 1) * substeps
     grid = (Bp // Bb,)
     bspec = lambda shape, imap: pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
-    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM)
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                                    memory_space=pltpu.VMEM)
 
     in_specs = [
         bspec((8, Bb), lambda i: (0, i)),
@@ -223,6 +271,10 @@ def fused_rk4_trajectory(
         bspec((T, Bb), lambda i: (0, i)),
     ]
     args = [y0_t, ts_t, meal_t, tvns_t]
+    if ctx_t is not None:
+        C = ctx_t.shape[0]
+        in_specs.append(bspec((C, Bb), lambda i: (0, i)))
+        args.append(ctx_t)
     for w in ws:
         in_specs.append(full(w))
         args.append(w)
@@ -232,15 +284,326 @@ def fused_rk4_trajectory(
     in_specs.append(full(pvec))
     args.append(pvec)
 
-    kernel = functools.partial(_kernel, n_steps, S, n_layers, Bb)
-
-    out = pl.pallas_call(
+    kernel = functools.partial(
+        _fwd_kernel, n_steps, substeps, n_layers, ctx_t is not None
+    )
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=bspec((T, 8, Bb), lambda i: (0, 0, i)),
-        out_shape=jax.ShapeDtypeStruct((T, 8, Bp), dtype),
+        out_shape=jax.ShapeDtypeStruct((T, 8, Bp), jnp.float32),
         interpret=interpret,
     )(*args)
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("substeps", "n_layers", "interpret", "block_b"),
+)
+def fused_rk4_trajectory(
+    y0: jnp.ndarray,                 # (B, 6) states
+    ts: jnp.ndarray,                 # (B, T) per-sample time grids (hours)
+    meal: jnp.ndarray,               # (B, T) meal signal on the grid
+    tvns: jnp.ndarray,               # (B, T) tVNS signal on the grid
+    ode_params: Dict[str, jnp.ndarray],
+    nn_params: Dict[str, jnp.ndarray],
+    substeps: int = 4,
+    n_layers: int = 4,
+    interpret: bool = False,
+    block_b: int = BLOCK_B,
+    context: Optional[jnp.ndarray] = None,  # (B, C) per-sample features
+) -> jnp.ndarray:
+    """Integrate the hybrid field with fused RK4 (forward only); (B, T, 6).
+
+    Equivalent to `odeint(hybrid_field, ..., solver='rk4', substeps=s)` with
+    linear control interpolation — verified against the XLA path in tests.
+    For a differentiable version use `fused_rk4_hybrid`.
+    """
+    (y0_t, ts_t, meal_t, tvns_t, ctx_t), Bb, Bp, T = _prep_inputs(
+        y0, ts, meal, tvns, context, block_b
+    )
+    ws, bs = _pack_weights(nn_params, n_layers)
+    pvec = _pack_params(ode_params)
+    out = _fwd_pallas(y0_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
+                      substeps, n_layers, interpret, Bb)
+    B = y0.shape[0]
     return jnp.transpose(out[:, :6, :B], (2, 0, 1))  # (B, T, 6)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel: reverse-time discrete-RK4 adjoint with per-interval
+# recomputation from the saved observation-grid trajectory.
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(substeps, n_layers, has_ctx, n_ctx,
+                traj_ref, gbar_ref, ts_ref, meal_ref, tvns_ref, *rest):
+    from jax.experimental import pallas as pl
+
+    k = 0
+    ctx = None
+    if has_ctx:
+        ctx = rest[0][:]
+        k = 1
+    w_refs = rest[k: k + n_layers + 1]
+    b_refs = rest[k + n_layers + 1: k + 2 * (n_layers + 1)]
+    param_ref = rest[k + 2 * (n_layers + 1)]
+    outs = rest[k + 2 * (n_layers + 1) + 1:]
+    ybar0_ref = outs[0]
+    dw_refs = outs[1: n_layers + 2]
+    db_refs = outs[n_layers + 2: 2 * (n_layers + 1) + 1]
+    dpv_ref = outs[2 * (n_layers + 1) + 1]
+    dctx_ref = outs[2 * (n_layers + 1) + 2] if has_ctx else None
+
+    pv = param_ref[:]
+    ws = tuple(w_refs[i][:] for i in range(n_layers + 1))
+    bs = tuple(b_refs[i][:] for i in range(n_layers + 1))
+    T = traj_ref.shape[0]
+    inv_s = 1.0 / substeps
+
+    def substep_fn(Y, ws_, bs_, pv_, ctx_, t, h, ctrls):
+        return _rk4_substep_t(Y, t, h, ctrls, list(ws_), list(bs_), pv_,
+                              ctx_, n_layers)
+
+    zero_ws = tuple(jnp.zeros_like(w) for w in ws)
+    zero_bs = tuple(jnp.zeros_like(b) for b in bs)
+    zero_ctx = jnp.zeros_like(ctx) if has_ctx else jnp.zeros((1, 1), jnp.float32)
+
+    def interval(kk, carry):
+        ybar, dws, dbs, dpv, dctx = carry
+        i = T - 2 - kk  # walk intervals in reverse
+
+        # --- recompute the substep states from the saved left-edge state ---
+        y_states = [traj_ref[pl.ds(i, 1)][0]]  # (8, Bb)
+        step_inputs = []
+        for j in range(substeps):
+            t, h, ctrls = _interval_inputs(
+                pl, ts_ref, meal_ref, tvns_ref, i, jnp.float32(j), inv_s
+            )
+            step_inputs.append((t, h, ctrls))
+            y_states.append(
+                substep_fn(y_states[j], ws, bs, pv, ctx, t, h, ctrls)
+            )
+
+        # --- reverse sweep: vjp of each substep, stage recomputation inside ---
+        for j in reversed(range(substeps)):
+            t, h, ctrls = step_inputs[j]
+            if has_ctx:
+                _, vjp = jax.vjp(
+                    lambda Y, w_, b_, p_, c_: substep_fn(Y, w_, b_, p_, c_, t, h, ctrls),
+                    y_states[j], ws, bs, pv, ctx,
+                )
+                ybar, dws_j, dbs_j, dpv_j, dctx_j = vjp(ybar)
+                dctx = dctx + dctx_j
+            else:
+                _, vjp = jax.vjp(
+                    lambda Y, w_, b_, p_: substep_fn(Y, w_, b_, p_, None, t, h, ctrls),
+                    y_states[j], ws, bs, pv,
+                )
+                ybar, dws_j, dbs_j, dpv_j = vjp(ybar)
+            dws = tuple(a + g for a, g in zip(dws, dws_j))
+            dbs = tuple(a + g for a, g in zip(dbs, dbs_j))
+            dpv = dpv + dpv_j
+
+        # cotangent injected at observation point i
+        ybar = ybar + gbar_ref[pl.ds(i, 1)][0]
+        return ybar, dws, dbs, dpv, dctx
+
+    init = (
+        gbar_ref[pl.ds(T - 1, 1)][0],
+        zero_ws, zero_bs, jnp.zeros_like(pv), zero_ctx,
+    )
+    ybar, dws, dbs, dpv, dctx = jax.lax.fori_loop(0, T - 1, interval, init)
+
+    ybar0_ref[:] = ybar
+    if has_ctx:
+        dctx_ref[:] = dctx
+
+    # weight/param cotangents accumulate ACROSS batch blocks: the TPU grid is
+    # sequential and every block maps to the same output tile, which stays
+    # resident in VMEM between iterations.
+    is_first = pl.program_id(0) == 0
+
+    @pl.when(is_first)
+    def _():
+        for r, g in zip(dw_refs, dws):
+            r[:] = g
+        for r, g in zip(db_refs, dbs):
+            r[:] = g
+        dpv_ref[:] = dpv
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        for r, g in zip(dw_refs, dws):
+            r[:] = r[:] + g
+        for r, g in zip(db_refs, dbs):
+            r[:] = r[:] + g
+        dpv_ref[:] = dpv_ref[:] + dpv
+
+
+def _bwd_pallas(traj, gbar_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
+                substeps, n_layers, interpret, Bb):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, _, Bp = traj.shape
+    grid = (Bp // Bb,)
+    bspec = lambda shape, imap: pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                                    memory_space=pltpu.VMEM)
+
+    in_specs = [
+        bspec((T, 8, Bb), lambda i: (0, 0, i)),
+        bspec((T, 8, Bb), lambda i: (0, 0, i)),
+        bspec((T, Bb), lambda i: (0, i)),
+        bspec((T, Bb), lambda i: (0, i)),
+        bspec((T, Bb), lambda i: (0, i)),
+    ]
+    args = [traj, gbar_t, ts_t, meal_t, tvns_t]
+    has_ctx = ctx_t is not None
+    if has_ctx:
+        C = ctx_t.shape[0]
+        in_specs.append(bspec((C, Bb), lambda i: (0, i)))
+        args.append(ctx_t)
+    for w in ws:
+        in_specs.append(full(w))
+        args.append(w)
+    for b in bs:
+        in_specs.append(full(b))
+        args.append(b)
+    in_specs.append(full(pvec))
+    args.append(pvec)
+
+    out_shapes = [jax.ShapeDtypeStruct((8, Bp), jnp.float32)]
+    out_specs = [bspec((8, Bb), lambda i: (0, i))]
+    for w in ws:
+        out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+        out_specs.append(full(w))
+    for b in bs:
+        out_shapes.append(jax.ShapeDtypeStruct(b.shape, jnp.float32))
+        out_specs.append(full(b))
+    out_shapes.append(jax.ShapeDtypeStruct((1, 32), jnp.float32))
+    out_specs.append(full(pvec))
+    if has_ctx:
+        C = ctx_t.shape[0]
+        out_shapes.append(jax.ShapeDtypeStruct((C, Bp), jnp.float32))
+        out_specs.append(bspec((C, Bb), lambda i: (0, i)))
+
+    kernel = functools.partial(
+        _bwd_kernel, substeps, n_layers, has_ctx,
+        ctx_t.shape[0] if has_ctx else 0,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*args)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable public API
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_rk4(substeps: int, n_layers: int, interpret: bool,
+                    block_b: int, block_b_bwd: int):
+    """Build (and cache) the custom-VJP fused trajectory function for one
+    static configuration."""
+
+    def fwd_impl(y0, ts, meal, tvns, context, ode_params, nn_params):
+        (y0_t, ts_t, meal_t, tvns_t, ctx_t), Bb, Bp, T = _prep_inputs(
+            y0, ts, meal, tvns, context, block_b
+        )
+        ws, bs = _pack_weights(nn_params, n_layers)
+        pvec = _pack_params(ode_params)
+        traj = _fwd_pallas(y0_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
+                           substeps, n_layers, interpret, Bb)
+        return traj
+
+    @jax.custom_vjp
+    def fused(y0, ts, meal, tvns, context, ode_params, nn_params):
+        traj = fwd_impl(y0, ts, meal, tvns, context, ode_params, nn_params)
+        B = y0.shape[0]
+        return jnp.transpose(traj[:, :6, :B], (2, 0, 1))
+
+    def fused_fwd(y0, ts, meal, tvns, context, ode_params, nn_params):
+        traj = fwd_impl(y0, ts, meal, tvns, context, ode_params, nn_params)
+        B = y0.shape[0]
+        out = jnp.transpose(traj[:, :6, :B], (2, 0, 1))
+        return out, (traj, ts, meal, tvns, context, ode_params, nn_params)
+
+    def fused_bwd(res, g):
+        traj, ts, meal, tvns, context, ode_params, nn_params = res
+        B, T = ts.shape
+        _, _, Bp = traj.shape
+        Bb = min(block_b_bwd, int(np.ceil(B / 128) * 128))
+        # Bp from the forward packing may not be a multiple of the (smaller)
+        # backward block; repad if needed.
+        Bp_b = int(np.ceil(Bp / Bb) * Bb)
+        if Bp_b != Bp:
+            traj = jnp.pad(traj, ((0, 0), (0, 0), (0, Bp_b - Bp)))
+
+        def padB(x, axis):
+            pad = [(0, 0)] * x.ndim
+            pad[axis] = (0, Bp_b - x.shape[axis])
+            return jnp.pad(x.astype(jnp.float32), pad)
+
+        # cotangent in kernel layout: (T, 8, Bp) with pad rows/lanes zeroed
+        gbar_t = padB(jnp.pad(jnp.transpose(g.astype(jnp.float32), (1, 2, 0)),
+                              ((0, 0), (0, 2), (0, 0))), 2)
+        ts_t = padB(ts.T, 1)
+        meal_t = padB(meal.T, 1)
+        tvns_t = padB(tvns.T, 1)
+        ctx_t = None if context is None else padB(context.T, 1)
+
+        ws, bs = _pack_weights(nn_params, n_layers)
+        pvec = _pack_params(ode_params)
+        outs = _bwd_pallas(traj, gbar_t, ts_t, meal_t, tvns_t, ctx_t,
+                           ws, bs, pvec, substeps, n_layers, interpret, Bb)
+        ybar0 = outs[0]
+        dws = outs[1: n_layers + 2]
+        dbs = outs[n_layers + 2: 2 * (n_layers + 1) + 1]
+        dpv = outs[2 * (n_layers + 1) + 1]
+        d_nn = _unpack_weight_grads(dws, dbs, nn_params, n_layers)
+        d_ode = {
+            name: dpv[0, i].astype(ode_params[name].dtype).reshape(
+                ode_params[name].shape)
+            for i, name in enumerate(PARAM_ORDER)
+        }
+        d_y0 = ybar0[:6, :B].T.astype(g.dtype)
+        d_ctx = None
+        if context is not None:
+            C = context.shape[1]
+            d_ctx = outs[-1][:C, :B].T.astype(g.dtype)
+        return (d_y0, jnp.zeros_like(ts), jnp.zeros_like(meal),
+                jnp.zeros_like(tvns), d_ctx, d_ode, d_nn)
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return jax.jit(fused)
+
+
+def fused_rk4_hybrid(
+    y0: jnp.ndarray,                 # (B, 6)
+    ts: jnp.ndarray,                 # (B, T)
+    meal: jnp.ndarray,               # (B, T)
+    tvns: jnp.ndarray,               # (B, T)
+    ode_params: Dict[str, jnp.ndarray],
+    nn_params: Dict[str, jnp.ndarray],
+    substeps: int = 4,
+    n_layers: int = 4,
+    interpret: bool = False,
+    block_b: int = BLOCK_B,
+    block_b_bwd: int = BLOCK_B_BWD,
+    context: Optional[jnp.ndarray] = None,  # (B, C)
+) -> jnp.ndarray:
+    """Differentiable fused-RK4 trajectory: custom-VJP Pallas forward AND
+    backward. Gradients flow to y0, context, ode_params and nn_params
+    (ts/meal/tvns receive symbolic zeros — they are data, not parameters).
+
+    Matches `odeint(..., solver='rk4', mode='scan')` gradients to float32
+    accuracy (tests/test_pallas_kernel.py::test_fused_rk4_gradients)."""
+    fn = _make_fused_rk4(substeps, n_layers, interpret, block_b, block_b_bwd)
+    return fn(y0, ts, meal, tvns, context, ode_params, nn_params)

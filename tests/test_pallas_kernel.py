@@ -36,6 +36,123 @@ def test_fused_rk4_matches_xla(substeps):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
+def _rel_err(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return np.abs(a - b).max() / max(np.abs(a).max(), 1e-8)
+
+
+def test_fused_rk4_gradients_match_xla():
+    """Custom-VJP backward kernel vs autodiff through the XLA rk4 path."""
+    from hybrid_ode_tpu.ops.pallas_rk4 import fused_rk4_hybrid
+
+    cfg = HybridConfig(solver="rk4", substeps=2, mode="scan")
+    params = init_hybrid_params(jax.random.PRNGKey(0), cfg)
+    params["nn"]["w4"] = 0.01 * jax.random.normal(jax.random.PRNGKey(2), params["nn"]["w4"].shape)
+
+    B, T = 4, 7
+    y0 = jnp.abs(jnp.array([8.0, 100.0, 90.0, 20.0, 0.0, 1.2])[None, :]
+                 * (1 + 0.1 * jax.random.normal(jax.random.PRNGKey(1), (B, 6))))
+    ts = jnp.cumsum(jnp.abs(jax.random.normal(jax.random.PRNGKey(3), (B, T))) * 0.1 + 0.05, axis=1)
+    meal = jnp.zeros((B, T)).at[:, 3].set(2.0)
+    tvns = jnp.zeros((B, T)).at[:, 2:].set(1.0)
+    controls = Controls(ts=ts, signals={"meal": meal, "tVNS": tvns})
+    tgt = jax.random.normal(jax.random.PRNGKey(5), (B, T, 6))
+
+    def loss_ref(p, y0_):
+        return jnp.sum((batched_forward(p, y0_, ts, controls, cfg) - tgt) ** 2)
+
+    def loss_pal(p, y0_):
+        pred = fused_rk4_hybrid(y0_, ts, meal, tvns, p["ode"], p["nn"],
+                                substeps=2, interpret=True)
+        return jnp.sum((pred - tgt) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1))(params, y0)
+    gp = jax.grad(loss_pal, argnums=(0, 1))(params, y0)
+
+    assert _rel_err(gr[1], gp[1]) < 1e-5
+    for k in gr[0]["nn"]:
+        assert _rel_err(gr[0]["nn"][k], gp[0]["nn"][k]) < 1e-5, k
+    for k in gr[0]["ode"]:
+        assert _rel_err(gr[0]["ode"][k], gp[0]["ode"][k]) < 1e-5, k
+
+
+def test_fused_rk4_context_forward_and_grad():
+    """Context-conditioned kernel (extra per-sample MLP features) vs XLA."""
+    from hybrid_ode_tpu.ops.pallas_rk4 import fused_rk4_hybrid
+
+    C = 5
+    cfg = HybridConfig(solver="rk4", substeps=2, mode="scan",
+                       context_points=2, context_dim=C)
+    params = init_hybrid_params(jax.random.PRNGKey(0), cfg)
+    params["nn"]["w2"] = 0.01 * jax.random.normal(jax.random.PRNGKey(2), params["nn"]["w2"].shape)
+    nn_only = {"ode": params["ode"], "nn": params["nn"]}
+
+    B, T = 3, 6
+    y0 = jnp.abs(jnp.ones((B, 6)) * jnp.array([8.0, 100.0, 90.0, 20.0, 0.0, 1.2]))
+    ts = jnp.broadcast_to(jnp.linspace(0.0, 1.0, T), (B, T))
+    meal = jnp.zeros((B, T)).at[:, 2].set(1.5)
+    tvns = jnp.zeros((B, T))
+    ctx = 0.5 * jax.random.normal(jax.random.PRNGKey(7), (B, C))
+    controls = Controls(ts=ts, signals={"meal": meal, "tVNS": tvns, "context": ctx})
+    tgt = jax.random.normal(jax.random.PRNGKey(5), (B, T, 6))
+
+    ref = batched_forward(nn_only, y0, ts, controls, cfg)
+    out = fused_rk4_hybrid(y0, ts, meal, tvns, params["ode"], params["nn"],
+                           substeps=2, interpret=True, context=ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    def loss_ref(p, c):
+        ctl = Controls(ts=ts, signals={"meal": meal, "tVNS": tvns, "context": c})
+        return jnp.sum((batched_forward(p, y0, ts, ctl, cfg) - tgt) ** 2)
+
+    def loss_pal(p, c):
+        pred = fused_rk4_hybrid(y0, ts, meal, tvns, p["ode"], p["nn"],
+                                substeps=2, interpret=True, context=c)
+        return jnp.sum((pred - tgt) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1))(nn_only, ctx)
+    gp = jax.grad(loss_pal, argnums=(0, 1))(nn_only, ctx)
+    assert _rel_err(gr[1], gp[1]) < 1e-5  # context cotangent
+    for k in gr[0]["nn"]:
+        assert _rel_err(gr[0]["nn"][k], gp[0]["nn"][k]) < 1e-5, k
+
+
+def test_use_pallas_hybrid_loss_parity():
+    """config.use_pallas end-to-end: identical hybrid_loss value and grads
+    (incl. context-encoder grads via the kernel's context cotangent)."""
+    import dataclasses
+    from hybrid_ode_tpu.models.hybrid import hybrid_loss
+
+    cfg = HybridConfig(solver="rk4", substeps=2, mode="scan",
+                       context_points=3, context_dim=4, nn_hidden=32, nn_layers=2)
+    cfg_p = dataclasses.replace(cfg, use_pallas=True)
+    params = init_hybrid_params(jax.random.PRNGKey(0), cfg)
+    params["nn"]["w2"] = 0.01 * jax.random.normal(jax.random.PRNGKey(2), params["nn"]["w2"].shape)
+
+    B, T = 4, 9
+    obs = jnp.abs(jnp.array([8.0, 100.0, 90.0, 20.0, 0.0, 1.2])[None, None, :]
+                  * (1 + 0.05 * jax.random.normal(jax.random.PRNGKey(1), (B, T, 6))))
+    ts = jnp.broadcast_to(jnp.linspace(0.0, 2.0, T), (B, T))
+    batch = {
+        "initial_state": obs[:, 0],
+        "observations": obs,
+        "time_points": ts,
+        "external_inputs": {"meal": jnp.zeros((B, T)).at[:, 3].set(2.0),
+                            "tVNS": jnp.zeros((B, T))},
+    }
+    k = jax.random.PRNGKey(9)
+    (l_ref, _), g_ref = jax.value_and_grad(
+        lambda p: hybrid_loss(p, batch, k, cfg, lambda1=1.0, lambda2=0.01),
+        has_aux=True)(params)
+    (l_pal, _), g_pal = jax.value_and_grad(
+        lambda p: hybrid_loss(p, batch, k, cfg_p, lambda1=1.0, lambda2=0.01),
+        has_aux=True)(params)
+    assert abs(float(l_ref) - float(l_pal)) < 1e-5 * abs(float(l_ref))
+    for (kp, v), (_, v2) in zip(jax.tree_util.tree_leaves_with_path(g_ref),
+                                jax.tree_util.tree_leaves_with_path(g_pal)):
+        assert _rel_err(v, v2) < 1e-5, jax.tree_util.keystr(kp)
+
+
 def test_fused_rk4_nondefault_layers():
     cfg = HybridConfig(solver="rk4", substeps=2, mode="scan", nn_hidden=64, nn_layers=2)
     params = init_hybrid_params(jax.random.PRNGKey(0), cfg)
