@@ -50,6 +50,10 @@ class HybridConfig:
     nn_layers: int = 4
     activation: str = "relu"
     use_nn: bool = True
+    # NN-only ablation: zero the mechanistic drift so dynamics are purely the
+    # learned residual (completes the manuscript's ablation grid — the
+    # reference has no such switch; its table only covers mech-only/no-Bayes).
+    use_mech: bool = True
     solver: str = "dopri5"
     rtol: float = 1e-6
     atol: float = 1e-8
@@ -94,6 +98,7 @@ def config_from_dict(cfg: Mapping[str, Any], use_nn: Optional[bool] = None,
         nn_layers=m.get("nn_layers", 4),
         activation=m.get("activation", "relu"),
         use_nn=(not abl.get("no_nn", False)) if use_nn is None else use_nn,
+        use_mech=not abl.get("no_mech", False),
         solver=m.get("solver", "dopri5"),
         rtol=m.get("rtol", 1e-6),
         atol=m.get("atol", 1e-8),
@@ -189,7 +194,9 @@ def hybrid_field(
             signals={k: v for k, v in controls.signals.items() if k != "context"},
         )
     inputs = eval_controls(controls, t)
-    if "norm" in params:
+    if not config.use_mech:
+        dy = jnp.zeros_like(y)
+    elif "norm" in params:
         mean, std = params["norm"]["mean"], params["norm"]["std"]
         dy = mechanistic_field(t, y * std + mean, params["ode"], inputs) / std
     else:
@@ -280,6 +287,8 @@ def _pallas_forward(
         raise ValueError("use_pallas does not support the 'norm' physical-core mode")
     if not config.use_nn:
         raise ValueError("use_pallas requires use_nn=True (kernel fuses the MLP)")
+    if not config.use_mech:
+        raise ValueError("use_pallas requires use_mech=True (kernel fuses the mechanistic drift)")
     signals = dict(controls.signals) if controls is not None else {}
     context = signals.pop("context", None)
     B, T = ts.shape

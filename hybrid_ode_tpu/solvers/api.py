@@ -16,12 +16,13 @@ from typing import Any, Callable
 
 import jax.numpy as jnp
 
+from hybrid_ode_tpu.solvers.bdf import odeint_bdf
 from hybrid_ode_tpu.solvers.explicit import odeint_erk
 from hybrid_ode_tpu.solvers.fixed import odeint_fixed
 from hybrid_ode_tpu.solvers.implicit import odeint_bdf2, odeint_radau
 from hybrid_ode_tpu.solvers.tableaus import TABLEAUS
 
-SOLVERS = ("dopri5", "rk45", "dop853", "bosh3", "radau", "bdf", "rk4", "euler")
+SOLVERS = ("dopri5", "rk45", "dop853", "bosh3", "radau", "bdf", "bdf2", "rk4", "euler")
 
 
 def odeint(
@@ -81,6 +82,15 @@ def odeint(
             return_stats=return_stats,
         )
     if solver == "bdf":
+        # variable-order BDF(1-5) — the scipy.BDF-class method the reference
+        # maps 'bdf' to (`models/hybrid_ode_nn.py:174-181`)
+        return odeint_bdf(
+            f, y0, ts, args, rtol=rtol, atol=atol, mode=mode,
+            max_steps_per_interval=max_steps_per_interval,
+            checkpoint_intervals=checkpoint_intervals,
+            return_stats=return_stats,
+        )
+    if solver == "bdf2":
         return odeint_bdf2(
             f, y0, ts, args, rtol=rtol, atol=atol, mode=mode,
             max_steps_per_interval=max_steps_per_interval,

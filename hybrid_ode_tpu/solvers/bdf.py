@@ -1,0 +1,287 @@
+"""Variable-order BDF (orders 1-5) with quasi-constant step size.
+
+The reference maps its 'bdf' solver name to scipy.integrate.BDF
+(`models/hybrid_ode_nn.py:174-181`), a variable-order 1-5 fixed-leading-
+coefficient method (Shampine & Reichelt's ode15s family) — host-side,
+serial, and gradient-free. This is that algorithm rebuilt for XLA: the
+whole multistep machinery (backward-difference array, Newton correction,
+order selection, difference-array rescaling on every step change) runs in
+fixed-shape `lax.scan` bodies with masked updates, so the stiff solve is
+jittable, reverse-differentiable in scan mode, and vmappable over
+patients/chains like every other solver in this suite.
+
+Method state is the scaled backward-difference array D (MAX_ORDER+3, n):
+D[i] = ∇^i y_n at the current step size. Per step:
+  * predict   y_pred = Σ_{i<=k} D[i]
+  * correct   d = y_new - y_pred from the simplified-Newton solve of
+              d = c f(t+h, y_pred+d) - psi,  c = h/alpha_k
+  * error     ||err_const_k * d|| (order k); orders k±1 estimated from
+              D[k], D[k+2] once k+1 equal steps have been taken
+  * adapt     order += argmax of the three step factors; h *= factor; the
+              D array is rescaled by R(k, r)·R(k, 1) whenever h changes.
+
+Differences from scipy's implementation (beyond the functional rewrite):
+steps are clamped onto the output grid (this framework's drivers report
+states at observation times directly instead of dense-output
+interpolation), with the free-running step size restored after each
+interval; the Newton loop is fixed-length with a convergence flag folded
+into the error norm (a non-converged solve inflates the error and is
+rejected by the controller, replacing scipy's retry-with-halved-h).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.scipy.linalg import lu_factor, lu_solve
+
+from hybrid_ode_tpu.solvers import explicit as _exp
+
+MAX_ORDER = 5
+NEWTON_ITERS = 7
+NEWTON_TOL_FACTOR = 0.03
+MIN_FACTOR = 0.2
+MAX_FACTOR = 10.0
+SAFETY = 0.9
+
+# Fixed-leading-coefficient BDF constants (Shampine & Reichelt 1997, eq. 2):
+# kappa tunes stability of orders 1-5; alpha_k is the leading coefficient;
+# error_const_k scales the local truncation error estimate err = C_k * d.
+_KAPPA = np.array([0.0, -0.1850, -1.0 / 9.0, -0.0823, -0.0415, 0.0])
+_GAMMA = np.hstack([0.0, np.cumsum(1.0 / np.arange(1, MAX_ORDER + 1))])
+_ALPHA = (1.0 - _KAPPA) * _GAMMA
+_ERR_CONST = _KAPPA * _GAMMA + 1.0 / np.arange(1, MAX_ORDER + 2)
+
+
+def _R_matrix(k, factor, dtype):
+    """Difference-array rescaling matrix for step ratio `factor`, masked to
+    the identity outside the leading (k+1)x(k+1) block so rows above the
+    current order pass through unchanged."""
+    mo1 = MAX_ORDER + 1
+    I = jnp.arange(1, mo1, dtype=dtype)[:, None]
+    J = jnp.arange(1, mo1, dtype=dtype)[None, :]
+    M = jnp.zeros((mo1, mo1), dtype)
+    M = M.at[1:, 1:].set((I - 1.0 - factor * J) / I)
+    M = M.at[0].set(1.0)
+    R = jnp.cumprod(M, axis=0)
+    ii = jnp.arange(mo1)[:, None]
+    jj = jnp.arange(mo1)[None, :]
+    keep = (ii <= k) & (jj <= k)
+    return jnp.where(keep, R, jnp.eye(mo1, dtype=dtype))
+
+
+def _rescale_D(D, k, factor):
+    """D <- change-of-step-size transform (scipy BDF's change_D)."""
+    dtype = D.dtype
+    RU = _R_matrix(k, factor, dtype) @ _R_matrix(k, jnp.asarray(1.0, dtype), dtype)
+    head = RU.T @ D[: MAX_ORDER + 1]
+    return D.at[: MAX_ORDER + 1].set(head)
+
+
+def _maybe_rescale(D, k, factor, n_eq):
+    """Rescale only when the ratio is materially != 1; h changes reset the
+    equal-step counter that gates order adaptation."""
+    changed = jnp.abs(factor - 1.0) > 1e-12
+    D_new = _rescale_D(D, k, factor)
+    return (
+        jnp.where(changed, D_new, D),
+        jnp.where(changed, jnp.zeros_like(n_eq), n_eq),
+    )
+
+
+def _masked_rms(x, scale):
+    return jnp.sqrt(jnp.mean((x / scale) ** 2))
+
+
+def _attempt_bdf_step(f, t, D, k, h, args, rtol, atol):
+    """One BDF step attempt at order k: returns (y1, d, err_norm)."""
+    dtype = D.dtype
+    n = D.shape[-1]
+    alpha = jnp.asarray(_ALPHA, dtype)[k]
+    err_c = jnp.asarray(_ERR_CONST, dtype)[k]
+    gamma = jnp.asarray(np.hstack([_GAMMA, np.zeros(2)]), dtype)  # padded to MO+3
+
+    rows = jnp.arange(MAX_ORDER + 3)
+    w_pred = (rows <= k).astype(dtype)[:, None]
+    y_pred = jnp.sum(w_pred * D, axis=0)
+    w_psi = (((rows >= 1) & (rows <= k)).astype(dtype) * gamma)[:, None]
+    psi = jnp.sum(w_psi * D, axis=0) / alpha
+
+    c = h / alpha
+    t1 = t + h
+    J = jax.jacfwd(lambda yy: f(t1, yy, args))(y_pred)
+    M = jnp.eye(n, dtype=dtype) - c * J
+    lu = lu_factor(M)
+
+    def newton_body(carry, _):
+        d, _ = carry
+        y = y_pred + d
+        G = c * f(t1, y, args) - psi - d
+        dd = lu_solve(lu, G)
+        return (d + dd, jnp.sqrt(jnp.mean(dd**2))), None
+
+    (d, dd_rms), _ = lax.scan(
+        newton_body, (jnp.zeros_like(y_pred), jnp.asarray(jnp.inf, dtype)),
+        None, length=NEWTON_ITERS,
+    )
+    y1 = y_pred + d
+    scale = atol + rtol * jnp.maximum(jnp.abs(y_pred), jnp.abs(y1))
+    err_norm = _masked_rms(err_c * d, scale)
+    ok = dd_rms <= NEWTON_TOL_FACTOR * jnp.sqrt(jnp.mean(scale**2))
+    err_norm = jnp.where(ok, err_norm, jnp.maximum(err_norm, jnp.asarray(2.0, dtype)))
+    # step-size/order control is auxiliary: differentiating controller factors
+    # (e.g. pow of an inf-masked norm) poisons the cotangents with NaNs —
+    # same policy as the explicit driver (explicit.py:133)
+    return y1, d, lax.stop_gradient(err_norm), lax.stop_gradient(scale)
+
+
+def _update_D_accept(D, k, d):
+    """Post-acceptance difference update: D[k+2]=d-D[k+1]; D[k+1]=d;
+    D[i] += D[i+1] cascading from i=k down to 0 (masked static loop)."""
+    old_k1 = lax.dynamic_index_in_dim(D, k + 1, axis=0, keepdims=False)
+    D = lax.dynamic_update_index_in_dim(D, d - old_k1, k + 2, axis=0)
+    D = lax.dynamic_update_index_in_dim(D, d, k + 1, axis=0)
+    for i in range(MAX_ORDER, -1, -1):
+        D = D.at[i].add(jnp.where(i <= k, D[i + 1], jnp.zeros_like(d)))
+    return D
+
+
+def _order_and_step_adapt(D, k, h, err_norm, scale, n_eq):
+    """After k+1 equal steps: pick the order (k-1, k, k+1) whose controller
+    factor is largest, rescale D, and apply the step factor."""
+    dtype = D.dtype
+    err_c = jnp.asarray(_ERR_CONST, dtype)
+    inf = jnp.asarray(jnp.inf, dtype)
+    tiny = jnp.finfo(dtype).tiny
+
+    Dk = lax.stop_gradient(lax.dynamic_index_in_dim(D, k, axis=0, keepdims=False))
+    Dk2 = lax.stop_gradient(lax.dynamic_index_in_dim(D, k + 2, axis=0, keepdims=False))
+    err_m = jnp.where(k > 1, _masked_rms(err_c[k - 1] * Dk, scale), inf)
+    err_p = jnp.where(k < MAX_ORDER, _masked_rms(err_c[k + 1] * Dk2, scale), inf)
+
+    kf = k.astype(dtype)
+    f_m = jnp.maximum(err_m, tiny) ** (-1.0 / kf)
+    f_0 = jnp.maximum(err_norm, tiny) ** (-1.0 / (kf + 1.0))
+    f_p = jnp.maximum(err_p, tiny) ** (-1.0 / (kf + 2.0))
+    factors = jnp.stack([f_m, f_0, f_p])
+    delta = jnp.argmax(factors).astype(k.dtype) - 1
+    k_new = jnp.clip(k + delta, 1, MAX_ORDER)
+    factor = jnp.minimum(jnp.asarray(MAX_FACTOR, dtype), SAFETY * jnp.max(factors))
+    D_new, _ = _maybe_rescale(D, k_new, factor, n_eq)
+    return D_new, k_new, h * factor
+
+
+def odeint_bdf(
+    f: Callable,
+    y0: jnp.ndarray,
+    ts: jnp.ndarray,
+    args: Any,
+    *,
+    rtol: float = 1e-6,
+    atol: float = 1e-8,
+    mode: str = "scan",  # noqa: ARG001 — single fixed-shape path serves both
+    max_steps_per_interval: int = 64,
+    checkpoint_intervals: bool = True,
+    return_stats: bool = False,
+):
+    """Variable-order BDF(1-5) on the output grid; `odeint` driver contract."""
+    dtype = y0.dtype
+    ts = jnp.asarray(ts, dtype)
+    rtol_e, atol_e = _exp._effective_tols(rtol, atol, dtype)
+
+    f0 = f(ts[0], y0, args)
+    h_init = lax.stop_gradient(
+        _exp.initial_step_size(f, ts[0], y0, f0, args, 1, rtol_e, atol_e)
+    )
+
+    def interval_scan(t0, t1, D, k, h_free, n_eq):
+        def body(carry, _):
+            t, D, k, h_free, h_cur, n_eq, done, nacc, nrej = carry
+            remaining = t1 - t
+            h_eff = jnp.minimum(h_cur, jnp.maximum(remaining, jnp.finfo(dtype).tiny))
+            at_end = h_cur >= remaining
+            # clamp => step-size change => rescale the difference array
+            D_c, n_eq_c = _maybe_rescale(D, k, h_eff / h_cur, n_eq)
+
+            y1, d, errn, scale = _attempt_bdf_step(
+                f, t, D_c, k, h_eff, args, rtol_e, atol_e
+            )
+            accept = errn <= 1.0
+            move = accept & ~done
+            finish = move & at_end
+
+            # --- acceptance path ---
+            D_acc = _update_D_accept(D_c, k, d)
+            n_eq_acc = n_eq_c + 1
+            ready = n_eq_acc >= k + 1
+            D_ad, k_ad, h_ad = _order_and_step_adapt(D_acc, k, h_eff, errn, scale, n_eq_acc)
+            D_a = jnp.where(ready, D_ad, D_acc)
+            k_a = jnp.where(ready, k_ad, k)
+            h_a = jnp.where(ready, h_ad, h_eff)
+            n_eq_a = jnp.where(ready, 0, n_eq_acc)
+
+            # --- rejection path: shrink + rescale ---
+            fac_rej = jnp.maximum(
+                jnp.asarray(MIN_FACTOR, dtype),
+                SAFETY * jnp.maximum(errn, jnp.finfo(dtype).tiny)
+                ** (-1.0 / (k.astype(dtype) + 1.0)),
+            )
+            D_rej, _ = _maybe_rescale(D_c, k, fac_rej, n_eq_c)
+            h_rej = h_eff * fac_rej
+
+            t_new = jnp.where(finish, t1, jnp.where(move, t + h_eff, t))
+            D_new = jnp.where(done, D, jnp.where(move, D_a, D_rej))
+            k_new = jnp.where(done, k, jnp.where(move, k_a, k))
+            h_new = jnp.where(done, h_cur, jnp.where(move, h_a, h_rej))
+            n_eq_new = jnp.where(done, n_eq, jnp.where(move, n_eq_a, 0))
+            # free-running step size survives interval-end clamping
+            h_free_new = jnp.where(
+                done, h_free, jnp.where(move & ready, h_new, jnp.where(finish, h_free, h_new))
+            )
+            done_new = done | finish
+            nacc = nacc + move.astype(jnp.int32)
+            nrej = nrej + ((~accept) & (~done)).astype(jnp.int32)
+            return (t_new, D_new, k_new, h_free_new, h_new, n_eq_new, done_new, nacc, nrej), None
+
+        init = (
+            t0, D, k, h_free, h_free, n_eq,
+            jnp.asarray(False), jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+        )
+        (t, D, k, h_free, h_cur, n_eq, done, nacc, nrej), _ = lax.scan(
+            body, init, None, length=max_steps_per_interval
+        )
+        # restore the free-running step for the next interval (h_cur may have
+        # been clamped to a sliver at the interval end)
+        h_next = jnp.maximum(h_free, h_cur)
+        D, n_eq = _maybe_rescale(D, k, h_next / h_cur, n_eq)
+        return D, k, h_next, n_eq, done, nacc, nrej
+
+    def one_interval(carry, tpair):
+        D, k, h, n_eq = carry
+        t0, t1 = tpair
+        D1, k1, h1, n_eq1, done, nacc, nrej = interval_scan(t0, t1, D, k, h, n_eq)
+        y1 = D1[0]
+        return (D1, k1, h1, n_eq1), (y1, done, nacc, nrej)
+
+    if mode == "scan" and checkpoint_intervals:
+        one_interval = jax.checkpoint(one_interval)
+
+    n = y0.shape[-1]
+    D0 = jnp.zeros((MAX_ORDER + 3, n), dtype)
+    D0 = D0.at[0].set(y0).at[1].set(h_init * f0)
+    init = (D0, jnp.asarray(1, jnp.int32), h_init, jnp.asarray(0, jnp.int32))
+    (_, _, _, _), (ys, dones, naccs, nrejs) = lax.scan(
+        one_interval, init, (ts[:-1], ts[1:])
+    )
+    ys_full = jnp.concatenate([y0[None], ys], axis=0)
+    if return_stats:
+        stats = _exp.StepStats(
+            n_accepted=jnp.sum(naccs), n_rejected=jnp.sum(nrejs), success=jnp.all(dones)
+        )
+        return ys_full, stats
+    return ys_full

@@ -26,7 +26,7 @@ def _stiff_field(t, y, args):
     return -50.0 * (y - jnp.cos(t))
 
 
-ADAPTIVE = ["dopri5", "dop853", "bosh3", "radau", "bdf"]
+ADAPTIVE = ["dopri5", "dop853", "bosh3", "radau", "bdf", "bdf2"]
 ALL = ADAPTIVE + ["rk4"]
 
 
@@ -38,11 +38,11 @@ def test_exponential_decay_exact(solver, x64):
     args = {"lam": jnp.asarray(-1.0, jnp.float64)}
     # BDF2 is order 2: meeting rtol=1e-8 over unit intervals takes ~70 steps
     # per interval; give it a realistic tolerance instead of a huge budget.
-    rtol, atol = (1e-8, 1e-10) if solver != "bdf" else (1e-6, 1e-8)
+    rtol, atol = (1e-8, 1e-10) if solver != "bdf2" else (1e-6, 1e-8)
     ys = odeint(_linear_field, y0, ts, args, solver=solver, rtol=rtol, atol=atol,
                 substeps=64, max_steps_per_interval=128)
     expected = np.exp(-np.asarray(ts))[:, None] * np.ones(4)
-    tol = 1e-6 if solver not in ("bdf",) else 1e-4
+    tol = 1e-6 if solver not in ("bdf2",) else 1e-4
     np.testing.assert_allclose(np.asarray(ys), expected, rtol=tol, atol=tol)
 
 
@@ -50,6 +50,7 @@ def test_exponential_decay_exact(solver, x64):
     ("dopri5", "RK45"),
     ("dop853", "DOP853"),
     ("radau", "Radau"),
+    ("bdf", "BDF"),
 ])
 def test_mechanistic_vs_scipy_oracle(solver, scipy_method, x64):
     """Integrate the real 6-state field and compare against solve_ivp."""
@@ -74,9 +75,11 @@ def test_mechanistic_vs_scipy_oracle(solver, scipy_method, x64):
 
 @pytest.mark.parametrize("solver,rtol,atol,steps,tol", [
     ("radau", 1e-7, 1e-9, 256, 1e-5),
+    # variable-order BDF(1-5): scipy-BDF-class accuracy at strict tolerance
+    ("bdf", 1e-7, 1e-9, 256, 1e-5),
     # order-2 BDF needs ~(tol)^(1/3) steps through the fast transient;
     # test it at a tolerance appropriate to its order
-    ("bdf", 1e-4, 1e-6, 512, 2e-3),
+    ("bdf2", 1e-4, 1e-6, 512, 2e-3),
 ])
 def test_stiff_problem(solver, rtol, atol, steps, tol, x64):
     """Implicit solvers must handle a stiff linear problem accurately."""
@@ -118,7 +121,7 @@ def test_vmap_consistency():
     np.testing.assert_allclose(np.asarray(batched), np.asarray(single), rtol=5e-4, atol=5e-4)
 
 
-@pytest.mark.parametrize("solver", ["dopri5", "rk4", "radau"])
+@pytest.mark.parametrize("solver", ["dopri5", "rk4", "radau", "bdf"])
 def test_gradients_flow(solver):
     """Gradients flow through the integrator — the reference's central flaw
     (no_grad integration) fixed by construction."""
