@@ -298,10 +298,34 @@ def split_dataset(
     train_frac: float = 0.7,
     val_frac: float = 0.15,
     seed: int = 42,
+    level: str = "window",
 ) -> Tuple[GlucoseDataset, GlucoseDataset, GlucoseDataset]:
-    """70/15/15 random split (parity: `train_hybrid.py:185-193`, seed 42)."""
+    """70/15/15 random split (parity: `train_hybrid.py:185-193`, seed 42).
+
+    level='window' reproduces the reference's behavior: windows are split
+    independently, so overlapping windows of ONE subject can land in both
+    train and test (subject leakage — with stride < sequence_length the
+    test score is optimistic). level='subject' splits subject ids instead,
+    giving honest generalisation-to-new-patients estimates (this framework's
+    fresh-cohort evaluations showed the gap is real; no reference analogue).
+    """
     n = len(ds)
     rng = np.random.default_rng(seed)
+    if level == "subject":
+        subjects = np.unique(ds.subject_ids)
+        perm_s = rng.permutation(len(subjects))
+        n_tr = int(train_frac * len(subjects))
+        n_va = int(val_frac * len(subjects))
+        groups = (
+            subjects[perm_s[:n_tr]],
+            subjects[perm_s[n_tr: n_tr + n_va]],
+            subjects[perm_s[n_tr + n_va:]],
+        )
+        return tuple(
+            ds.select(np.where(np.isin(ds.subject_ids, g))[0]) for g in groups
+        )
+    if level != "window":
+        raise ValueError(f"unknown split level {level!r} (window|subject)")
     perm = rng.permutation(n)
     n_train = int(train_frac * n)
     n_val = int(val_frac * n)

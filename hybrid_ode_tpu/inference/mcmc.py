@@ -76,155 +76,168 @@ def _nuts_step(
     inv_mass: jnp.ndarray,
     max_depth: int,
 ):
-    """One NUTS transition. Returns (q_new, accept_stat, n_leapfrog, diverged)."""
+    """One NUTS transition. Returns (q_new, accept_stat, n_leapfrog, diverged).
+
+    SINGLE-INSTANTIATION iterative form: one `lax.while_loop` over leapfrog
+    steps, with the doubling structure (direction sampling, subtree reset,
+    merge) derived from a (depth, position) counter pair carried in the loop
+    state. The grad-of-log-posterior — for this framework a reverse-mode
+    differentiated ODE solve, by far the largest subprogram — is traced
+    EXACTLY ONCE, vs once per doubling (6x at max_depth=6) in the textbook
+    unrolled form; large solver graphs previously exhausted the TPU worker
+    (train/cli.py history). The while_loop also exits at the first U-turn /
+    divergence instead of padding to 2^max_depth-1 leapfrogs, so typical
+    transitions cost ~2^(typical depth) solves.
+    """
     dim = q0.shape[0]
+    dtype = q0.dtype
     key, pkey = jax.random.split(key)
     logp0, grad0 = logp_and_grad(q0)
     p0 = jax.random.normal(pkey, (dim,)) / jnp.sqrt(inv_mass)
     init = _LFState(q0, p0, grad0, logp0)
     H0 = _energy(init, inv_mass)
 
-    # Tree state carried across doublings.
-    class Tree(NamedTuple):
-        left: _LFState       # backward endpoint
-        right: _LFState      # forward endpoint
-        proposal_q: jnp.ndarray
-        log_weight: jnp.ndarray   # log sum of exp(-dH) over leaves
-        sum_alpha: jnp.ndarray    # sum of accept stats
-        n_leaves: jnp.ndarray
-        turning: jnp.ndarray
+    max_ck = max_depth + 1
+    levels = jnp.arange(max_ck)
+    pow2 = 2 ** levels
+
+    class Carry(NamedTuple):
+        key: jax.Array
+        # global tree
+        left: _LFState
+        right: _LFState
+        prop_q: jnp.ndarray
+        log_w: jnp.ndarray        # log sum of exp(-dH) over kept leaves
+        sum_alpha: jnp.ndarray
+        n_lf: jnp.ndarray
         diverging: jnp.ndarray
+        # current doubling (subtree under construction)
+        depth: jnp.ndarray        # doubling index, 0-based
+        pos: jnp.ndarray          # leaf position within the subtree
+        direction: jnp.ndarray
+        state: _LFState           # trajectory tip of the subtree
+        q_ck: jnp.ndarray         # (max_ck, dim) span-start checkpoints
+        p_ck: jnp.ndarray
+        sub_prop: jnp.ndarray
+        sub_log_w: jnp.ndarray
+        sub_turning: jnp.ndarray
+        sub_div: jnp.ndarray
+        done: jnp.ndarray
 
-    tree = Tree(init, init, q0, jnp.asarray(0.0), jnp.asarray(0.0),
-                jnp.asarray(1, jnp.int32), jnp.asarray(False), jnp.asarray(False))
+    carry0 = Carry(
+        key=key, left=init, right=init, prop_q=q0,
+        log_w=jnp.asarray(0.0, dtype), sum_alpha=jnp.asarray(0.0, dtype),
+        n_lf=jnp.asarray(0, jnp.int32), diverging=jnp.asarray(False),
+        depth=jnp.asarray(0, jnp.int32), pos=jnp.asarray(0, jnp.int32),
+        direction=jnp.asarray(1.0, dtype), state=init,
+        q_ck=jnp.zeros((max_ck, dim), dtype), p_ck=jnp.zeros((max_ck, dim), dtype),
+        sub_prop=q0, sub_log_w=jnp.asarray(-jnp.inf, dtype),
+        sub_turning=jnp.asarray(False), sub_div=jnp.asarray(False),
+        done=jnp.asarray(False),
+    )
 
-    def build_subtree(carry_key, start: _LFState, direction, depth_steps):
-        """Expand 2^k leapfrog steps from `start` in `direction` with
-        iterative checkpoint U-turn checks."""
-        eps_signed = eps * direction
-        max_ck = max_depth + 1
+    def cond(c: Carry):
+        return (~c.done) & (c.depth < max_depth)
 
-        def leaf_step(carry, i):
-            (state, key_c, q_ck, p_ck, prop_q, log_w, sum_a, turning, diverging) = carry
-            state_new = _leapfrog(logp_and_grad, state, eps_signed, inv_mass)
-            H_new = _energy(state_new, inv_mass)
-            dH = H0 - H_new  # > 0 means better
-            diverging_new = (~jnp.isfinite(dH)) | (dH < -1000.0)
-            log_w_leaf = jnp.where(diverging_new, -jnp.inf, dH)
-            # NaN dH (e.g. the ODE solve NaN'ing on an extreme proposal) must
-            # contribute alpha=0, not NaN — a single NaN otherwise poisons
-            # sum_alpha -> dual averaging -> step size -> the whole chain.
-            alpha = jnp.where(
-                jnp.isfinite(dH),
-                jnp.minimum(1.0, jnp.exp(jnp.minimum(dH, 0.0))),
-                0.0,
+    def body(c: Carry) -> Carry:
+        # ---- doubling start: sample a direction, reset the subtree ----
+        starting = c.pos == 0
+        key, dkey, uk, mkey = jax.random.split(c.key, 4)
+        dir_new = jnp.where(jax.random.bernoulli(dkey), 1.0, -1.0).astype(dtype)
+        direction = jnp.where(starting, dir_new, c.direction)
+        start_state = jax.tree.map(
+            lambda l, r, s: jnp.where(starting, jnp.where(direction > 0, r, l), s),
+            c.left, c.right, c.state,
+        )
+        sub_log_w = jnp.where(starting, -jnp.inf, c.sub_log_w)
+        sub_turning = jnp.where(starting, False, c.sub_turning)
+        sub_div = jnp.where(starting, False, c.sub_div)
+        sub_prop = jnp.where(starting, start_state.q, c.sub_prop)
+
+        # ---- one leapfrog leaf (the only grad-of-logp instantiation) ----
+        state_new = _leapfrog(logp_and_grad, start_state, eps * direction, inv_mass)
+        H_new = _energy(state_new, inv_mass)
+        dH = H0 - H_new  # > 0 means better
+        div_new = (~jnp.isfinite(dH)) | (dH < -1000.0)
+        log_w_leaf = jnp.where(div_new, -jnp.inf, dH)
+        # NaN dH (e.g. the ODE solve NaN'ing on an extreme proposal) must
+        # contribute alpha=0, not NaN — a single NaN otherwise poisons
+        # sum_alpha -> dual averaging -> step size -> the whole chain.
+        alpha = jnp.where(
+            jnp.isfinite(dH), jnp.minimum(1.0, jnp.exp(jnp.minimum(dH, 0.0))), 0.0
+        )
+
+        # progressive multinomial sampling within the subtree
+        sub_log_w_new = jnp.logaddexp(sub_log_w, log_w_leaf)
+        take = jnp.log(jax.random.uniform(uk)) < (log_w_leaf - sub_log_w_new)
+        sub_prop_new = jnp.where(take, state_new.q, sub_prop)
+
+        # checkpoint bookkeeping (Phan & Pradhan iterative scheme): store the
+        # post-step state at every level j with pos % 2^j == 0; check the
+        # span ending at this leaf for levels j >= 1 with (pos+1) % 2^j == 0.
+        store_mask = (c.pos % pow2) == 0
+        q_ck = jnp.where(starting, jnp.zeros_like(c.q_ck), c.q_ck)
+        p_ck = jnp.where(starting, jnp.zeros_like(c.p_ck), c.p_ck)
+        q_ck_new = jnp.where(store_mask[:, None], state_new.q[None, :], q_ck)
+        p_ck_new = jnp.where(store_mask[:, None], state_new.p[None, :], p_ck)
+        check_mask = (((c.pos + 1) % pow2) == 0) & (levels >= 1)
+
+        def check_level(j):
+            return _is_turning(
+                jnp.where(direction > 0, q_ck_new[j], state_new.q),
+                jnp.where(direction > 0, p_ck_new[j], state_new.p),
+                jnp.where(direction > 0, state_new.q, q_ck_new[j]),
+                jnp.where(direction > 0, state_new.p, p_ck_new[j]),
+                inv_mass,
             )
 
-            # multinomial progressive sampling within the subtree
-            key_c, uk = jax.random.split(key_c)
-            log_w_new = jnp.logaddexp(log_w, log_w_leaf)
-            take = jnp.log(jax.random.uniform(uk)) < (log_w_leaf - log_w_new)
-            prop_q_new = jnp.where(take, state_new.q, prop_q)
+        span_turns = jax.vmap(check_level)(jnp.arange(max_ck))
+        sub_turning_new = sub_turning | jnp.any(span_turns & check_mask)
+        sub_div_new = sub_div | div_new
 
-            # --- checkpoint bookkeeping -----------------------------------
-            # store current state at every level j with i % 2^j == 0
-            levels = jnp.arange(max_ck)
-            store_mask = (i % (2 ** levels)) == 0
-            q_ck_new = jnp.where(store_mask[:, None], state_new.q[None, :], q_ck)
-            p_ck_new = jnp.where(store_mask[:, None], state_new.p[None, :], p_ck)
-            # NOTE: checkpoints want the state at the START of each span;
-            # span [s, e] with s = i: its start state is the leaf AFTER s-1
-            # steps... we define spans over *post-step* states, checking
-            # between the stored state (first leaf of span) and the current
-            # leaf (last leaf of span) — the standard iterative scheme.
-            # check spans ending at leaf i: levels j >= 1 with (i+1) % 2^j == 0
-            check_mask = (((i + 1) % (2 ** levels)) == 0) & (levels >= 1)
+        # ---- doubling end: merge the completed subtree into the tree ----
+        n_steps = jnp.left_shift(jnp.asarray(1, jnp.int32), c.depth)
+        finishing = (c.pos + 1) == n_steps
+        log_w_total = jnp.logaddexp(c.log_w, sub_log_w_new)
+        take_new = jnp.log(jax.random.uniform(mkey)) < (sub_log_w_new - c.log_w)
+        discard = sub_turning_new | sub_div_new
+        prop_q_merged = jnp.where(take_new & ~discard, sub_prop_new, c.prop_q)
 
-            def check_level(j):
-                return _is_turning(
-                    jnp.where(direction > 0, q_ck_new[j], state_new.q),
-                    jnp.where(direction > 0, p_ck_new[j], state_new.p),
-                    jnp.where(direction > 0, state_new.q, q_ck_new[j]),
-                    jnp.where(direction > 0, state_new.p, p_ck_new[j]),
-                    inv_mass,
-                )
-
-            span_turns = jax.vmap(check_level)(jnp.arange(max_ck))
-            turning_new = turning | jnp.any(span_turns & check_mask)
-
-            carry_new = (
-                state_new, key_c, q_ck_new, p_ck_new, prop_q_new,
-                log_w_new, sum_a + alpha, turning_new, diverging | diverging_new,
-            )
-            return carry_new, None
-
-        q_ck0 = jnp.zeros((max_ck, dim), q0.dtype)
-        p_ck0 = jnp.zeros((max_ck, dim), q0.dtype)
-        carry0 = (
-            start, carry_key, q_ck0, p_ck0, start.q,
-            -jnp.inf, jnp.asarray(0.0), jnp.asarray(False), jnp.asarray(False),
+        left_m = jax.tree.map(
+            lambda cur, new: jnp.where(direction > 0, cur, new), c.left, state_new
         )
-        (state_f, key_f, _, _, prop_q, log_w, sum_a, turning, diverging), _ = lax.scan(
-            leaf_step, carry0, jnp.arange(depth_steps, dtype=jnp.int32)
-        )
-        return key_f, state_f, prop_q, log_w, sum_a, turning, diverging
-
-    # --- outer doubling loop (static unroll over max_depth) ---------------
-    def doubling(tree: Tree, key, depth):
-        key, dkey, mkey, skey = jax.random.split(key, 4)
-        direction = jnp.where(jax.random.bernoulli(dkey), 1.0, -1.0)
-        start = jax.tree.map(
-            lambda l, r: jnp.where(direction > 0, r, l), tree.left, tree.right
-        )
-        # flip momentum/grad sign handling: leapfrog with signed eps from the
-        # chosen endpoint continues the trajectory in that direction.
-        n_steps = 2 ** depth
-        key, state_f, prop_q, log_w, sum_a, turning_sub, diverging = build_subtree(
-            skey, start, direction, n_steps
-        )
-        # merge proposal: biased progressive (favor the new subtree)
-        log_w_total = jnp.logaddexp(tree.log_weight, log_w)
-        take_new = jnp.log(jax.random.uniform(mkey)) < (log_w - tree.log_weight)
-        proposal_q = jnp.where(take_new & ~turning_sub & ~diverging, prop_q, tree.proposal_q)
-
-        left_new = jax.tree.map(
-            lambda cur, new: jnp.where(direction > 0, cur, new), tree.left, state_f
-        )
-        right_new = jax.tree.map(
-            lambda cur, new: jnp.where(direction > 0, new, cur), tree.right, state_f
+        right_m = jax.tree.map(
+            lambda cur, new: jnp.where(direction > 0, new, cur), c.right, state_new
         )
         turning_total = _is_turning(
-            left_new.q, left_new.p, right_new.q, right_new.p, inv_mass
+            left_m.q, left_m.p, right_m.q, right_m.p, inv_mass
         )
-        done_now = turning_sub | diverging
-        # if the subtree itself turned/diverged, the expansion is DISCARDED
-        # (endpoints unchanged), and sampling stops.
-        tree_new = Tree(
-            left=jax.tree.map(lambda old, new: jnp.where(done_now, old, new), tree.left, left_new),
-            right=jax.tree.map(lambda old, new: jnp.where(done_now, old, new), tree.right, right_new),
-            proposal_q=proposal_q,
-            log_weight=jnp.where(done_now, tree.log_weight, log_w_total),
-            sum_alpha=tree.sum_alpha + sum_a,
-            n_leaves=tree.n_leaves + jnp.asarray(n_steps, jnp.int32),
-            turning=tree.turning | turning_sub | turning_total,
-            diverging=tree.diverging | diverging,
-        )
-        return tree_new, key
+        # a turned/diverged subtree is DISCARDED (endpoints + weight revert)
+        keep = finishing & ~discard
+        left_f = jax.tree.map(lambda old, new: jnp.where(keep, new, old), c.left, left_m)
+        right_f = jax.tree.map(lambda old, new: jnp.where(keep, new, old), c.right, right_m)
+        log_w_f = jnp.where(keep, log_w_total, c.log_w)
+        prop_q_f = jnp.where(finishing, prop_q_merged, c.prop_q)
+        done_new = c.done | div_new | (finishing & (discard | turning_total))
 
-    key_loop = key
-    done = jnp.asarray(False)
-    n_leapfrog = jnp.asarray(0, jnp.int32)
-    for depth in range(max_depth):
-        # masked doubling: once done, carry the tree through unchanged
-        tree_next, key_loop = doubling(tree, key_loop, depth)
-        n_leapfrog = n_leapfrog + jnp.where(done, 0, 2 ** depth)
-        tree = jax.tree.map(
-            lambda old, new: jnp.where(done, old, new), tree, tree_next
+        return Carry(
+            key=key,
+            left=left_f, right=right_f, prop_q=prop_q_f, log_w=log_w_f,
+            sum_alpha=c.sum_alpha + alpha,
+            n_lf=c.n_lf + 1,
+            diverging=c.diverging | div_new,
+            depth=jnp.where(finishing, c.depth + 1, c.depth),
+            pos=jnp.where(finishing, 0, c.pos + 1),
+            direction=direction, state=state_new,
+            q_ck=q_ck_new, p_ck=p_ck_new,
+            sub_prop=sub_prop_new, sub_log_w=sub_log_w_new,
+            sub_turning=sub_turning_new, sub_div=sub_div_new,
+            done=done_new,
         )
-        done = done | tree.turning | tree.diverging
 
-    accept_stat = tree.sum_alpha / jnp.maximum(tree.n_leaves.astype(jnp.float32) - 1.0, 1.0)
-    return tree.proposal_q, accept_stat, n_leapfrog, tree.diverging
+    out = lax.while_loop(cond, body, carry0)
+    accept_stat = out.sum_alpha / jnp.maximum(out.n_lf.astype(dtype), 1.0)
+    return out.prop_q, accept_stat, out.n_lf, out.diverging
 
 
 # ---------------------------------------------------------------------------
@@ -275,10 +288,18 @@ def nuts_sample(
     init_step_size: float = 0.1,
     adapt_mass: bool = True,
     thin: int = 1,
+    dispatch_chunk: int = 10,
 ) -> Dict[str, np.ndarray]:
     """Run vectorized NUTS; returns dict with 'samples' (chains, draws, dim),
-    'accept_stat', 'diverging', 'step_size', 'inv_mass'."""
+    'accept_stat', 'diverging', 'step_size', 'inv_mass'.
+
+    dispatch_chunk: transitions executed per device dispatch. The scans are
+    chunked from the host so no single XLA dispatch runs for many minutes —
+    long monolithic warmup/sampling dispatches (deep trees x expensive
+    grad-of-ODE-solve leapfrogs) can exceed remote-worker execution limits
+    and kill the TPU worker; chunking also yields progress logging."""
     n_chains, dim = q_init.shape
+    chunk = max(1, int(dispatch_chunk))
 
     def logp_and_grad(q):
         return jax.value_and_grad(logp_fn)(q)
@@ -305,10 +326,23 @@ def nuts_sample(
         m2_new = m2 + jnp.sum(delta * (q_new - mean_new[None, :]), axis=0)
         return (q_new, da_new, inv_m, mean_new, m2_new, cnt_new), astat
 
+    warmup_chunk = jax.jit(lambda c, ks: lax.scan(warmup_step, c, ks))
+
+    def run_warmup(carry, n, k, label):
+        done = 0
+        while done < n:
+            m = min(chunk, n - done)
+            k, kc = jax.random.split(k)
+            carry, _ = warmup_chunk(carry, jax.random.split(kc, m))
+            jax.block_until_ready(carry[0])
+            done += m
+            logger.debug("%s %d/%d", label, done, n)
+        return carry
+
     half = num_warmup // 2
     carry = (q_init, da0, inv_mass, jnp.zeros(dim), jnp.zeros(dim), jnp.asarray(0.0))
     key, k1, k2, k3 = jax.random.split(key, 4)
-    carry, _ = lax.scan(warmup_step, carry, jax.random.split(k1, max(half, 1)))
+    carry = run_warmup(carry, max(half, 1), k1, "warmup(I)")
     q, da, inv_mass, mean, m2, cnt = carry
     if adapt_mass and num_warmup > 10:
         var = m2 / jnp.maximum(cnt - 1.0, 1.0)
@@ -317,7 +351,7 @@ def nuts_sample(
         da = jax.vmap(lambda le: _DAState(le, jnp.asarray(0.0), jnp.asarray(0.0),
                                           le + jnp.log(10.0), jnp.asarray(0.0)))(da.log_eps)
     carry = (q, da, inv_mass, jnp.zeros(dim), jnp.zeros(dim), jnp.asarray(0.0))
-    carry, _ = lax.scan(warmup_step, carry, jax.random.split(k2, max(num_warmup - half, 1)))
+    carry = run_warmup(carry, max(num_warmup - half, 1), k2, "warmup(II)")
     q, da, inv_mass, _, _, _ = carry
     eps_final = jnp.exp(da.log_eps_bar)
 
@@ -333,12 +367,24 @@ def nuts_sample(
         q_s, astat, div, n_lf = outs
         return q, (q_s[-1], astat[-1], div[-1], jnp.sum(n_lf))
 
-    q_final, (samples, astats, divs, n_lfs) = lax.scan(
-        thin_step, q, jax.random.split(k3, num_samples)
+    sample_chunk = jax.jit(lambda q_c, ks: lax.scan(thin_step, q_c, ks))
+
+    outs = []
+    done = 0
+    while done < num_samples:
+        m = min(chunk, num_samples - done)
+        k3, kc = jax.random.split(k3)
+        q, out_c = sample_chunk(q, jax.random.split(kc, m))
+        jax.block_until_ready(q)
+        outs.append(jax.tree.map(np.asarray, out_c))
+        done += m
+        logger.debug("sampling %d/%d", done, num_samples)
+    samples, astats, divs, n_lfs = (
+        np.concatenate([o[i] for o in outs], axis=0) for i in range(4)
     )
 
     return {
-        "samples": np.asarray(jnp.swapaxes(samples, 0, 1)),  # (chains, draws, dim)
+        "samples": np.swapaxes(samples, 0, 1),  # (chains, draws, dim)
         "accept_stat": np.asarray(astats),
         "diverging": np.asarray(divs),
         "n_leapfrog": np.asarray(n_lfs),

@@ -244,6 +244,10 @@ def forward(
     return odeint(field, y0, ts, (params, controls), **kw)
 
 
+def _has_step_stats(config: HybridConfig) -> bool:
+    return config.solver not in ("rk4", "euler") and config.adjoint != "backsolve"
+
+
 def batched_forward(
     params: Mapping[str, Any],
     y0: jnp.ndarray,          # (B, n)
@@ -266,7 +270,8 @@ def batched_forward(
         ts=0, signals={k: 0 for k in controls.signals}
     )
     fn = lambda y0_, ts_, c_: forward(params, y0_, ts_, c_, config, **solver_overrides)
-    return jax.vmap(fn, in_axes=(0, 0, ctrl_axes))(y0, ts, controls)
+    return jax.vmap(fn, in_axes=(0, 0, ctrl_axes))(y0, ts, controls)  # incl.
+    # (preds, StepStats) pairs when return_stats=True rides solver_overrides
 
 
 def _pallas_forward(
@@ -410,7 +415,18 @@ def hybrid_loss(
     controls = with_context(params, batch, controls, config)
     mask = batch.get("mask")
 
-    preds = batched_forward(params, y0, ts, controls, config)
+    # Surface solver health: an adaptive interval that exhausts its step
+    # budget (done=False) no longer fails silently — the success fraction
+    # rides the metrics dict and the train loop warns on < 1 (the reference
+    # at least logs + zero-pads failed solves, hybrid_ode_nn.py:243-256).
+    solver_success = jnp.asarray(1.0)
+    if _has_step_stats(config) and not config.use_pallas:
+        preds, stats = batched_forward(
+            params, y0, ts, controls, config, return_stats=True
+        )
+        solver_success = jnp.mean(stats.success.astype(preds.dtype))
+    else:
+        preds = batched_forward(params, y0, ts, controls, config)
 
     # per-state inverse-variance weights (identity for z-scored data; for
     # physical-units training they reproduce z-scored MSE while the dynamics
@@ -463,7 +479,8 @@ def hybrid_loss(
         reg_loss = mlp_l2(params["nn"], l2_weight=lambda2)
 
     total = data_loss + lambda1 * physics_loss + lambda2 * reg_loss
-    return total, {"data": data_loss, "physics": physics_loss, "reg": reg_loss}
+    return total, {"data": data_loss, "physics": physics_loss, "reg": reg_loss,
+                   "solver_success": solver_success}
 
 
 # ---------------------------------------------------------------------------

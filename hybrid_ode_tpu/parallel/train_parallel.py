@@ -72,18 +72,17 @@ def parallel_cohort_sim(
     """Cohort simulator sharded over chips via shard_map: each device
     integrates its shard of subjects; zero cross-device traffic during the
     solve (embarrassingly parallel — the win is pure throughput scaling)."""
-    from jax.experimental.shard_map import shard_map
 
     def local_sim(params, y0s, ts):
         # y0s: (local_B, n); ts: (T,) replicated
         fn = lambda y0: forward(params, y0, ts, None, config, mode="while")
         return jax.vmap(fn)(y0s)
 
-    sim = shard_map(
+    sim = jax.shard_map(
         local_sim,
         mesh=mesh,
         in_specs=(P(), P(axis), P()),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sim)

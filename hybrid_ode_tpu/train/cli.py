@@ -90,7 +90,9 @@ def main(argv=None) -> None:
         stride=cfg["data"].get("stride", 30),
         normalize=cfg["data"].get("normalize", True),
     )
-    train_ds, val_ds, test_ds = split_dataset(ds, seed=42)
+    train_ds, val_ds, test_ds = split_dataset(
+        ds, seed=42, level=cfg["data"].get("split_level", "window")
+    )
     logger.info("dataset: %d windows (train %d / val %d / test %d)",
                 len(ds), len(train_ds), len(val_ds), len(test_ds))
 
@@ -155,14 +157,12 @@ def _run_mcmc(cfg, args, train_ds, val_ds, ckpt_dir, log_dir, seed):
                       max_epochs=min(50, cfg["training"]["epochs"]))
 
     batch = next(batch_iterator(val_ds, cfg["training"]["batch_size"], shuffle=False))
-    # Sampling solver: fixed-grid RK4. Each NUTS transition takes up to
-    # 2^max_depth gradient-of-solve leapfrogs; the adaptive scan-mode solver
-    # inside that tree produces a compile so large it can crash the TPU
-    # worker, and its bounded-step masking buys nothing for smooth dynamics.
-    base_cfg = config_from_dict(cfg)
-    import dataclasses as _dc
-
-    sample_cfg = _dc.replace(base_cfg, solver="rk4", substeps=4, mode="scan")
+    # The sampler uses the config's own solver (incl. adaptive dopri5): the
+    # iterative single-instantiation NUTS transition traces the
+    # grad-of-solve exactly once, so the compiled program stays ~6x smaller
+    # than the unrolled-doubling form that used to crash the TPU worker and
+    # forced an RK4 pin here.
+    sample_cfg = config_from_dict(cfg)
     samples = run_nuts(
         pre.params, batch, sample_cfg,
         key=jax.random.PRNGKey(seed),

@@ -207,13 +207,24 @@ def train_model(
         t0 = time.time()
         key, ek = jax.random.split(key)
         total, nb = 0.0, 0
+        min_success = 1.0
         for batch in batch_iterator(train_ds, batch_size, shuffle=True, seed=cfg.get("seed", 0) + epoch):
             batch, _ = pad_batch(batch, batch_size)
             ek, sk = jax.random.split(ek)
             state, metrics = train_step(state, batch, sk)
             total += float(metrics["loss"])
+            min_success = min(min_success, float(metrics.get("solver_success", 1.0)))
             nb += 1
         train_loss = total / max(nb, 1)
+        if min_success < 1.0:
+            # an adaptive interval exhausted its step budget somewhere this
+            # epoch (parity: the reference warns + zero-pads failed solves,
+            # hybrid_ode_nn.py:243-256); raise max_steps_per_interval or
+            # loosen tolerances if this persists
+            logger.warning(
+                "epoch %d: solver step budget exhausted in >=1 batch "
+                "(min success fraction %.3f)", epoch, min_success,
+            )
 
         # validation
         vtotal, vb = 0.0, 0

@@ -21,7 +21,12 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from hybrid_ode_tpu.models.hybrid import HybridConfig, batched_forward, hybrid_loss
+from hybrid_ode_tpu.models.hybrid import (
+    HybridConfig,
+    batched_forward,
+    hybrid_loss,
+    with_context,
+)
 from hybrid_ode_tpu.dynamics.controls import Controls
 
 logger = logging.getLogger("hybrid_ode_tpu.online")
@@ -107,6 +112,7 @@ def online_adaptation_eval(
     adapt_steps: int = 50,
     learning_rate: float = 1e-3,
     state_index: int = 0,
+    anchor_weight: float = 1.0,
 ) -> Dict[float, float]:
     """Per-subject adaptation RMSE at multiple reveal horizons.
 
@@ -126,16 +132,29 @@ def online_adaptation_eval(
         for h in horizons_hours:
             reveal = int(np.searchsorted(ds.time_points[w], t0 + h))
             reveal = int(np.clip(reveal, 4, len(ds.time_points[w]) - 4))
-            adapted = adapt_subject(params, window, config, reveal,
-                                    adapt_steps, learning_rate)
+            if adapt_steps > 0:
+                adapted = adapt_subject(params, window, config, reveal,
+                                        adapt_steps, learning_rate,
+                                        anchor_weight=anchor_weight)
+            else:
+                adapted = params  # no-adaptation baseline row
+            eval_batch = {
+                "initial_state": jnp.asarray(ds.observations[w : w + 1, 0]),
+                "observations": jnp.asarray(ds.observations[w : w + 1]),
+                "time_points": jnp.asarray(ds.time_points[w : w + 1]),
+            }
             controls = Controls(
                 ts=jnp.asarray(ds.time_points[w : w + 1]),
                 signals={"meal": jnp.asarray(ds.meal[w : w + 1]),
                          "tVNS": jnp.asarray(ds.tvns[w : w + 1])},
             )
+            # context-conditioned models: same subject encoding at eval as
+            # hybrid_loss used during adaptation (was: zero context — the
+            # adapted model was evaluated unconditioned)
+            controls = with_context(adapted, eval_batch, controls, config)
             preds = np.asarray(batched_forward(
-                adapted, jnp.asarray(ds.observations[w : w + 1, 0]),
-                jnp.asarray(ds.time_points[w : w + 1]), controls, config,
+                adapted, eval_batch["initial_state"],
+                eval_batch["time_points"], controls, config,
             ))[0]
             err = (preds[reveal:, state_index] - ds.observations[w, reveal:, state_index])
             m = ds.mask[w, reveal:] > 0

@@ -21,6 +21,22 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long integration tests (skipped unless RUN_SLOW=1)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default suite stays fast; `RUN_SLOW=1 pytest tests/` runs everything."""
+    if os.environ.get("RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow integration test; set RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def x64():
     """Enable float64 within a test (for scipy-oracle comparisons)."""

@@ -162,6 +162,7 @@ def test_nuts_correlated_gaussian():
     np.testing.assert_allclose(np.cov(s.T), cov, atol=0.35)
 
 
+@pytest.mark.slow
 def test_run_nuts_on_hybrid_model():
     """End-to-end posterior over ODE params through the differentiable solve."""
     params = init_hybrid_params(jax.random.PRNGKey(0), FAST)

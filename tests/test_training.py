@@ -179,6 +179,7 @@ def test_train_model_end_to_end(tmp_path, csv_path):
     assert np.isfinite(metrics["rmse"])
 
 
+@pytest.mark.slow
 def test_resume_from_checkpoint(tmp_path, csv_path):
     """Mid-training resume restores params + optimizer state and continues."""
     cfg = default_config()
