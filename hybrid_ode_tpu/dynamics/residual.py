@@ -70,13 +70,25 @@ def mlp_apply(
     params: Dict[str, jnp.ndarray],
     x: jnp.ndarray,
     activation: str = "relu",
+    dropout: float = 0.0,
+    key: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    """Apply the MLP to features x of shape (..., input_dim)."""
+    """Apply the MLP to features x of shape (..., input_dim).
+
+    dropout: optional hidden-layer dropout (parity: `nn_residual.py:40-57` —
+    the reference offers it, defaulted off; randomising an ODE right-hand
+    side makes the field non-smooth, so it stays a deliberately unused
+    option here too). Active only when a key is given (training-mode
+    semantics of torch's nn.Dropout); inverted scaling keeps expectations."""
     act = Activation[activation]
     n = mlp_num_layers(params)
     h = x
     for i in range(n - 1):
         h = act(h @ params[f"w{i}"] + params[f"b{i}"])
+        if dropout > 0.0 and key is not None:
+            key, sub = jax.random.split(key)
+            keep = jax.random.bernoulli(sub, 1.0 - dropout, h.shape)
+            h = jnp.where(keep, h / (1.0 - dropout), 0.0)
     return h @ params[f"w{n-1}"] + params[f"b{n-1}"]
 
 

@@ -42,21 +42,38 @@ logger = logging.getLogger("hybrid_ode_tpu.robustness")
 DEFAULT_OBS_SIGMA_Z = 0.33
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_rollout(config: HybridConfig):
+    import jax
+
+    def roll(params, batch):
+        controls = Controls(
+            ts=batch["time_points"],
+            signals=dict(batch["external_inputs"]),
+        )
+        controls = with_context(params, batch, controls, config)
+        return batched_forward(
+            params, batch["initial_state"], batch["time_points"], controls, config,
+        )
+
+    return jax.jit(roll)
+
+
 def _predict(params, batch: Dict, config: HybridConfig) -> np.ndarray:
     """Full-horizon rollout conditioned on the (possibly corrupted) batch."""
     import jax.numpy as jnp
 
-    controls = Controls(
-        ts=jnp.asarray(batch["time_points"]),
-        signals={k: jnp.asarray(v) for k, v in batch["external_inputs"].items()},
-    )
-    controls = with_context(params, batch, controls, config)
-    return np.asarray(
-        batched_forward(
-            params, jnp.asarray(batch["initial_state"]),
-            jnp.asarray(batch["time_points"]), controls, config,
-        )
-    )
+    dev_batch = {
+        "initial_state": jnp.asarray(batch["initial_state"]),
+        "observations": jnp.asarray(batch["observations"]),
+        "time_points": jnp.asarray(batch["time_points"]),
+        "external_inputs": {k: jnp.asarray(v)
+                            for k, v in batch["external_inputs"].items()},
+    }
+    return np.asarray(_jitted_rollout(config)(params, dev_batch))
 
 
 def _clean_batch(ds: GlucoseDataset) -> Dict:
@@ -80,25 +97,31 @@ def missing_data_sweep(
     fractions: Sequence[float] = (0.0, 0.1, 0.3, 0.5),
     seed: int = 0,
     state_index: int = 0,
+    n_seeds: int = 1,
 ) -> Dict[float, float]:
     """RMSE when a fraction of the CONDITIONING observations is missing.
 
     Dropped points vanish from the context-encoder input (zeroed + their
     loss-mask cleared); a dropped first point replaces the initial state
-    with the cohort mean. Scoring is vs the uncorrupted observations."""
-    rng = np.random.default_rng(seed)
+    with the cohort mean. Scoring is vs the uncorrupted observations;
+    results average over `n_seeds` corruption draws."""
     out = {}
     for frac in fractions:
-        batch = _clean_batch(ds)
-        if frac > 0:
-            keep = rng.uniform(size=ds.mask.shape) >= frac  # (N, T)
-            obs_c = np.where(keep[..., None], batch["observations"], 0.0)
-            init_c = np.where(keep[:, :1], batch["initial_state"], 0.0)
-            batch = dict(batch, observations=obs_c.astype(np.float32),
-                         initial_state=init_c.astype(np.float32),
-                         mask=(batch["mask"] * keep).astype(np.float32))
-        preds = _predict(params, batch, config)
-        out[frac] = _score(preds, ds, state_index)
+        vals = []
+        for s in range(max(1, n_seeds)):
+            rng = np.random.default_rng(seed + s)
+            batch = _clean_batch(ds)
+            if frac > 0:
+                keep = rng.uniform(size=ds.mask.shape) >= frac  # (N, T)
+                obs_c = np.where(keep[..., None], batch["observations"], 0.0)
+                init_c = np.where(keep[:, :1], batch["initial_state"], 0.0)
+                batch = dict(batch, observations=obs_c.astype(np.float32),
+                             initial_state=init_c.astype(np.float32),
+                             mask=(batch["mask"] * keep).astype(np.float32))
+            vals.append(_score(_predict(params, batch, config), ds, state_index))
+            if frac == 0:
+                break  # no randomness in the clean row
+        out[frac] = float(np.mean(vals))
         logger.info("missing %.0f%%: glucose RMSE %.3f", frac * 100, out[frac])
     return out
 
@@ -111,6 +134,7 @@ def noise_sweep(
     obs_sigma_z: Optional[np.ndarray] = None,
     seed: int = 0,
     state_index: int = 0,
+    n_seeds: int = 1,
 ) -> Dict[float, float]:
     """RMSE when the conditioning observations carry k× the measurement noise.
 
@@ -119,23 +143,27 @@ def noise_sweep(
     dataset. Tests whether the learned dynamics amplify observation noise —
     the manuscript's 2σ row is where its hybrid collapses (8.29 mmol/L,
     manuscript.tex:405) while the pure mechanistic model contracts."""
-    rng = np.random.default_rng(seed)
     sigma = np.asarray(
         obs_sigma_z if obs_sigma_z is not None else DEFAULT_OBS_SIGMA_Z,
         np.float32,
     )
     out = {}
     for k in noise_multipliers:
-        batch = _clean_batch(ds)
-        if k > 1.0:
-            extra = np.sqrt(k**2 - 1.0) * sigma
-            noise = (extra * rng.standard_normal(
-                np.shape(batch["observations"]))).astype(np.float32)
-            obs_c = batch["observations"] + noise * ds.mask[..., None]
-            batch = dict(batch, observations=obs_c,
-                         initial_state=obs_c[:, 0].astype(np.float32))
-        preds = _predict(params, batch, config)
-        out[k] = _score(preds, ds, state_index)
+        vals = []
+        for s in range(max(1, n_seeds)):
+            rng = np.random.default_rng(seed + s)
+            batch = _clean_batch(ds)
+            if k > 1.0:
+                extra = np.sqrt(k**2 - 1.0) * sigma
+                noise = (extra * rng.standard_normal(
+                    np.shape(batch["observations"]))).astype(np.float32)
+                obs_c = batch["observations"] + noise * ds.mask[..., None]
+                batch = dict(batch, observations=obs_c,
+                             initial_state=obs_c[:, 0].astype(np.float32))
+            vals.append(_score(_predict(params, batch, config), ds, state_index))
+            if k <= 1.0:
+                break
+        out[k] = float(np.mean(vals))
         logger.info("noise %gx: glucose RMSE %.3f", k, out[k])
     return out
 
@@ -158,13 +186,13 @@ def estimate_obs_sigma_z(ds: GlucoseDataset, truth_df) -> np.ndarray:
 
 def robustness_report(
     params: Any, ds: GlucoseDataset, config: HybridConfig, out_path: str = None,
-    obs_sigma_z: Optional[np.ndarray] = None,
+    obs_sigma_z: Optional[np.ndarray] = None, n_seeds: int = 1,
 ) -> Dict[str, Dict[float, float]]:
     report = {
-        "missing_data": missing_data_sweep(params, ds, config),
+        "missing_data": missing_data_sweep(params, ds, config, n_seeds=n_seeds),
         "conditioning_noise": noise_sweep(
             params, ds, config, noise_multipliers=(1.0, 2.0),
-            obs_sigma_z=obs_sigma_z,
+            obs_sigma_z=obs_sigma_z, n_seeds=n_seeds,
         ),
     }
     if out_path:

@@ -1,7 +1,9 @@
+from hybrid_ode_tpu.parallel import distributed
 from hybrid_ode_tpu.parallel.mesh import make_mesh, shard_batch, replicate
 from hybrid_ode_tpu.parallel.train_parallel import make_parallel_train_step, parallel_cohort_sim
 
 __all__ = [
+    "distributed",
     "make_mesh",
     "shard_batch",
     "replicate",

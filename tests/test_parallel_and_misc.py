@@ -239,3 +239,42 @@ def test_latent_recovery_metrics():
     # batched DTW averaging
     m3 = latent_recovery_metrics(np.stack([a, b]), np.stack([a, a]))
     assert np.isfinite(m3["dtw"])
+
+
+# --------------------------------------------------------------------------
+# Multi-host initialization helpers (single-process semantics + batch placement)
+# --------------------------------------------------------------------------
+
+def test_distributed_initialize_single_process_noop():
+    from hybrid_ode_tpu.parallel import distributed
+
+    assert distributed.initialize() is False  # no coordinator configured
+    assert jax.process_count() == 1
+
+
+def test_process_local_batch_places_on_mesh():
+    from hybrid_ode_tpu.parallel import distributed
+    from hybrid_ode_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    batch = {"x": np.arange(16 * 3, dtype=np.float32).reshape(16, 3)}
+    placed = distributed.process_local_batch(batch, mesh)
+    assert placed["x"].shape == (16, 3)
+    np.testing.assert_array_equal(np.asarray(placed["x"]), batch["x"])
+    # sharded over the data axis: 8 addressable shards of 2 rows
+    assert len(placed["x"].addressable_shards) == 8
+
+
+def test_mlp_dropout_option():
+    """Dropout parity knob (reference nn_residual.py:40-57): active only
+    with a key; expectation-preserving inverted scaling."""
+    from hybrid_ode_tpu.dynamics.residual import init_mlp_params, mlp_apply
+
+    params = init_mlp_params(jax.random.PRNGKey(0), hidden_dim=32, n_layers=2)
+    params["w2"] = 0.1 * jax.random.normal(jax.random.PRNGKey(1), params["w2"].shape)
+    x = jax.random.normal(jax.random.PRNGKey(2), (64, 9))
+    y_det = mlp_apply(params, x, dropout=0.5)            # no key -> deterministic
+    np.testing.assert_array_equal(np.asarray(y_det), np.asarray(mlp_apply(params, x)))
+    y_a = mlp_apply(params, x, dropout=0.5, key=jax.random.PRNGKey(3))
+    y_b = mlp_apply(params, x, dropout=0.5, key=jax.random.PRNGKey(4))
+    assert np.abs(np.asarray(y_a) - np.asarray(y_b)).max() > 0
