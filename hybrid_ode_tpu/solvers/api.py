@@ -56,6 +56,18 @@ def odeint(
         return_stats: also return StepStats (adaptive solvers only).
     """
     solver = solver.lower()
+    if mode == "dense":
+        # free-running steps + 4th-order dense interpolation (dopri5 only):
+        # step size set by the dynamics, not by the observation grid
+        if solver not in ("dopri5", "rk45"):
+            raise ValueError("mode='dense' is implemented for dopri5/rk45")
+        from hybrid_ode_tpu.solvers.dense import odeint_dopri5_dense
+
+        return odeint_dopri5_dense(
+            f, y0, ts, args, rtol=rtol, atol=atol,
+            max_steps=max_steps_per_interval * max(ts.shape[0] - 1, 1) // 4,
+            return_stats=return_stats,
+        )
     if adjoint == "backsolve":
         from hybrid_ode_tpu.solvers.adjoint import odeint_backsolve
 
