@@ -10,8 +10,11 @@ first 6/12/24 h, and score glucose RMSE on the remaining stream — vs noisy
 observations and vs simulator truth.
 
 Rows: no adaptation / batch re-train (anchor 0) / anchored online (ours).
+The population model is pretrained here on its own long-stream cohort
+(subject-level split) — a 5 h-window model's raw-time NN feature
+extrapolates at t > 5 h and diverges.
 
-Usage: python benchmarks/online_adapt.py [--checkpoint checkpoints/accuracy_benchmark/best_model]
+Usage: python benchmarks/online_adapt.py [--pretrain-epochs 1500]
 Writes results/online_adaptation.json.
 """
 
@@ -33,32 +36,66 @@ STREAM_HOURS = 30.0
 MEALS = ((1.0, 75.0), (5.0, 50.0), (9.5, 60.0), (25.0, 75.0), (28.5, 50.0))
 
 
-def run(args):
-    import pandas as pd
+POP_CFG = {
+    "data": {"path": "", "sequence_length": 361, "stride": 361,
+             "normalize": True},
+    "model": {"nn_hidden": 128, "nn_layers": 4, "solver": "rk4",
+              "substeps": 4, "mode": "scan", "context_points": 12,
+              "context_dim": 16, "use_pallas": True},
+    "training": {"epochs": 1500, "batch_size": 16, "learning_rate": 3.0e-3,
+                 "lambda1": 0.0, "lambda2": 0.01, "gradient_clip": 5.0,
+                 "early_stopping_patience": 100000,
+                 "train_ode_params": True},
+    "ablation": {"no_nn": False, "no_bayes": True, "no_physics": True},
+    "logging": {"tensorboard": False, "save_interval": 200},
+    "seed": 0,
+}
 
-    from hybrid_ode_tpu.data.dataset import create_data_arrays
+
+def run(args):
+    import copy
+    import dataclasses
+
+    from hybrid_ode_tpu.data.dataset import create_data_arrays, split_dataset
     from hybrid_ode_tpu.data.fourgi_gen import generate_4gi_dataset
     from hybrid_ode_tpu.models.hybrid import config_from_dict
+    from hybrid_ode_tpu.train.loop import train_model
     from hybrid_ode_tpu.train.online import online_adaptation_eval
-    from hybrid_ode_tpu.utils.checkpoint import load_checkpoint
 
-    state, meta = load_checkpoint(args.checkpoint)
-    params = state["params"]
-    config = config_from_dict(meta.get("config", {}))
+    # ---- population model trained on long streams (a model trained on the
+    # shipped 5 h windows extrapolates its raw-time NN feature far outside
+    # the training range at t=6..30 h and diverges — measured 7.6-12.4
+    # mmol/L no-adaptation RMSE; the honest protocol pretrains at the
+    # stream duration the manuscript's 6/12/24 h horizons imply) ----------
+    T = int(STREAM_HOURS * 12) + 1  # 5-min grid
+    train_csv = REPO / "results" / "online_train_cohort.csv"
+    generate_4gi_dataset(
+        path=str(train_csv), seed=args.seed + 1, n_subjects=args.subjects,
+        duration_hours=STREAM_HOURS,
+        meal_times=[m for m, _ in MEALS], meal_sizes=[s for _, s in MEALS],
+    )
+    train_all = create_data_arrays(str(train_csv), sequence_length=T, stride=T)
+    tr, va, _ = split_dataset(train_all, 0.85, 0.15, seed=1, level="subject")
+    cfg = copy.deepcopy(POP_CFG)
+    cfg["data"]["path"] = str(train_csv)
+    cfg["training"]["epochs"] = args.pretrain_epochs
+    t0 = time.time()
+    res = train_model(cfg, tr, va,
+                      checkpoint_dir=str(REPO / "checkpoints" / "online_population"))
+    print(f"population pretrain: {time.time()-t0:.0f}s, "
+          f"best val {res.best_val_loss:.4f}")
+    params = res.params
+    config = config_from_dict(cfg)
+    pop_mean, pop_std = train_all.state_mean, train_all.state_std
 
+    # ---- fresh evaluation streams, rebased to the population frame -------
     stream_csv = REPO / "results" / "online_stream_cohort.csv"
     generate_4gi_dataset(
         path=str(stream_csv), seed=args.seed, n_subjects=args.subjects,
         duration_hours=STREAM_HOURS,
         meal_times=[m for m, _ in MEALS], meal_sizes=[s for _, s in MEALS],
     )
-    T = int(STREAM_HOURS * 12) + 1  # 5-min grid
     ds = create_data_arrays(str(stream_csv), sequence_length=T, stride=T)
-    # score in the population model's normalisation frame
-    pop_mean = np.asarray(meta["state_mean"], np.float32)
-    pop_std = np.asarray(meta["state_std"], np.float32)
-    import dataclasses
-
     obs_phys = ds.observations * ds.state_std + ds.state_mean
     init_phys = ds.initial_state * ds.state_std + ds.state_mean
     ds = dataclasses.replace(
@@ -88,10 +125,11 @@ def run(args):
         "online": {"6.0": 0.82, "12.0": 0.72, "24.0": 0.65},
     }
     rows["_protocol"] = (
-        f"fresh {args.subjects}-subject {STREAM_HOURS}h simulated streams "
-        f"(meals at {[m for m, _ in MEALS]}h); population checkpoint "
-        f"{args.checkpoint}; adapt NN on first h hours ({args.steps} steps, "
-        f"lr {args.lr}), glucose RMSE on the remainder vs noisy obs (mmol/L)"
+        f"population model trained on {args.subjects} fresh {STREAM_HOURS}h "
+        f"streams (subject-level split); evaluated on {args.subjects} UNSEEN "
+        f"{STREAM_HOURS}h streams (meals at {[m for m, _ in MEALS]}h); adapt "
+        f"NN on first h hours ({args.steps} steps, lr {args.lr}), glucose "
+        f"RMSE on the remainder vs noisy obs (mmol/L)"
     )
     out = REPO / "results" / "online_adaptation.json"
     out.write_text(json.dumps(rows, indent=2))
@@ -100,9 +138,8 @@ def run(args):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--checkpoint",
-                    default=str(REPO / "checkpoints" / "accuracy_benchmark" / "best_model"))
     ap.add_argument("--subjects", type=int, default=20)
+    ap.add_argument("--pretrain-epochs", type=int, default=1500)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--anchor", type=float, default=1.0)

@@ -51,4 +51,23 @@ def latent_recovery_metrics(predicted: np.ndarray, truth: np.ndarray) -> Dict[st
         t2 = t.reshape(-1, t.shape[-1])
         dtw = float(np.mean([dtw_distance(p2[i], t2[i]) for i in range(p2.shape[0])]))
 
-    return {"r2": r2, "pearson": float(pc), "dtw": dtw}
+    # scale-free companions: R²/DTW after standardising predicted and true
+    # trajectories separately (shape recovery irrespective of amplitude).
+    # Needed because the 6-state model family's GLP-1 scale (V_max/k_L ≈ 250
+    # pmol/L at Table-I values) cannot represent the 4GI generator's
+    # 3000-pmol/L truth — the manuscript's DTW is itself in "a.u.".
+    def std_(x):
+        s = x.std()
+        return (x - x.mean()) / (s if s > 0 else 1.0)
+
+    ps, ts_ = std_(pf), std_(tf)
+    r2_std = float(1.0 - np.sum((ts_ - ps) ** 2) / max(np.sum(ts_**2), 1e-12))
+    if p.ndim == 1:
+        dtw_std = dtw_distance(std_(p), std_(t))
+    else:
+        dtw_std = float(np.mean([
+            dtw_distance(std_(p2[i]), std_(t2[i])) for i in range(p2.shape[0])
+        ]))
+
+    return {"r2": r2, "pearson": float(pc), "dtw": dtw,
+            "r2_standardized": r2_std, "dtw_standardized": dtw_std}
