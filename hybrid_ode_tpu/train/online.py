@@ -117,8 +117,11 @@ def online_adaptation_eval(
     """Per-subject adaptation RMSE at multiple reveal horizons.
 
     For each test window: adapt on observations within the horizon, then
-    measure glucose RMSE on the remaining points (physical units). Horizons
-    beyond the window length use all-but-last-quarter as the reveal.
+    FORECAST the remainder — the rollout re-anchors at the last revealed
+    observation (the online-deployment contract: at time t you know the
+    subject's state at t; predicting the future from the day-old initial
+    state would conflate adaptation quality with long-horizon drift) — and
+    measure glucose RMSE on the remaining points (physical units).
     """
     results: Dict[float, list] = {h: [] for h in horizons_hours}
     for w in range(len(ds)):
@@ -138,25 +141,38 @@ def online_adaptation_eval(
                                         anchor_weight=anchor_weight)
             else:
                 adapted = params  # no-adaptation baseline row
+            # forecast the remainder from the last REVEALED observation
+            r0 = reveal - 1
             eval_batch = {
-                "initial_state": jnp.asarray(ds.observations[w : w + 1, 0]),
-                "observations": jnp.asarray(ds.observations[w : w + 1]),
-                "time_points": jnp.asarray(ds.time_points[w : w + 1]),
+                "initial_state": jnp.asarray(ds.observations[w : w + 1, r0]),
+                "observations": jnp.asarray(ds.observations[w : w + 1, r0:]),
+                "time_points": jnp.asarray(ds.time_points[w : w + 1, r0:]),
             }
             controls = Controls(
-                ts=jnp.asarray(ds.time_points[w : w + 1]),
-                signals={"meal": jnp.asarray(ds.meal[w : w + 1]),
-                         "tVNS": jnp.asarray(ds.tvns[w : w + 1])},
+                ts=jnp.asarray(ds.time_points[w : w + 1, r0:]),
+                signals={"meal": jnp.asarray(ds.meal[w : w + 1, r0:]),
+                         "tVNS": jnp.asarray(ds.tvns[w : w + 1, r0:])},
             )
-            # context-conditioned models: same subject encoding at eval as
-            # hybrid_loss used during adaptation (was: zero context — the
-            # adapted model was evaluated unconditioned)
-            controls = with_context(adapted, eval_batch, controls, config)
+            # context-conditioned models: encode the subject from the
+            # REVEALED prefix (same data adaptation saw — encoding from
+            # eval_batch would peek at forecast-region observations)
+            k = max(reveal, config.context_points)  # pad-by-repeat if the
+            # reveal is shorter than the encoder's window
+            obs_r = np.asarray(ds.observations[w, :reveal])
+            tp_r = np.asarray(ds.time_points[w, :reveal])
+            if k > reveal:
+                obs_r = np.concatenate([obs_r, np.repeat(obs_r[-1:], k - reveal, 0)])
+                tp_r = np.concatenate([tp_r, np.repeat(tp_r[-1:], k - reveal, 0)])
+            ctx_batch = {
+                "observations": jnp.asarray(obs_r[None]),
+                "time_points": jnp.asarray(tp_r[None]),
+            }
+            controls = with_context(adapted, ctx_batch, controls, config)
             preds = np.asarray(batched_forward(
                 adapted, eval_batch["initial_state"],
                 eval_batch["time_points"], controls, config,
             ))[0]
-            err = (preds[reveal:, state_index] - ds.observations[w, reveal:, state_index])
+            err = (preds[1:, state_index] - ds.observations[w, reveal:, state_index])
             m = ds.mask[w, reveal:] > 0
             if m.any():
                 rmse = float(np.sqrt(np.mean(err[m] ** 2))) * float(ds.state_std[state_index])
