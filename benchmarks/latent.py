@@ -67,11 +67,19 @@ GLP1 = 3  # state index
 
 
 def hide_glp1(ds):
-    """Zero the GLP-1 channel everywhere the model could see it."""
+    """Hide the GLP-1 channel everywhere the model could see it.
+
+    Observations/context are zeroed (z-space neutral); the INITIAL latent is
+    set to the model's own basal (physical 0 pmol/L — `steady_state()`'s
+    GLP-1), not the cohort mean: with no information about the subject the
+    physiological prior is 'basal', and a cohort-mean start (≈1772 pmol/L,
+    dominated by post-meal excursions) forces the mechanistic latent into
+    pure decay while the truth rises from ≈10 (measured ρ = -0.86)."""
     obs = np.array(ds.observations)
     obs[..., GLP1] = 0.0
     init = np.array(ds.initial_state)
-    init[..., GLP1] = 0.0
+    z_basal = (0.0 - float(ds.state_mean[GLP1])) / float(ds.state_std[GLP1])
+    init[..., GLP1] = z_basal
     lw = np.array(ds.loss_weights)
     lw[GLP1] = 0.0
     return dataclasses.replace(
