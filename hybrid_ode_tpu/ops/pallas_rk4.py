@@ -54,8 +54,11 @@ PARAM_ORDER = (
 )
 
 BLOCK_B = 2048       # batch lanes per forward kernel instance
-BLOCK_B_BWD = 512    # batch lanes per backward kernel instance (vjp residuals
-                     # of 4 live RK4 stages cap the usable lane width)
+BLOCK_B_BWD = 256    # batch lanes per backward kernel instance: the vjp
+                     # residuals of 4 live RK4 stages (4 stages x ~5 (H, Bb)
+                     # activations each) cap the lane width — 512 lanes
+                     # measurably exceeds the 16 MB VMEM scoped limit
+                     # (25.3 MB requested) at H=64, T=61
 
 
 def pallas_available() -> bool:
