@@ -61,6 +61,13 @@ VARIANTS = [
     ("hybrid", {}, {}, {}),
     # z-space hybrid (reference-parity frame), fixed mechanistic params
     ("hybrid_z", {}, {"physical_core": False}, {}),
+    # amplitude recovery: free ONLY the GLP-1 pathway scale (V_max, k_L) —
+    # selective freedom lets the latent's amplitude be identified through
+    # the insulin coupling without the sign-flip degeneracy of the full
+    # 17-parameter space
+    # (couplings rho/E_max stay at Table-I: freeing them reintroduces the
+    # sign-flip degeneracy)
+    ("hybrid_scale", {}, {}, {"train_ode_params": ["V_max", "k_L"]}),
 ]
 
 GLP1 = 3  # state index

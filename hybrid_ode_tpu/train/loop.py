@@ -49,8 +49,14 @@ def make_optimizer(
     epochs: int,
     steps_per_epoch: int,
     gradient_clip: float = 5.0,
-    train_ode_params: bool = False,
+    train_ode_params=False,
 ) -> optax.GradientTransformation:
+    """train_ode_params: False (reference parity: ODE params are frozen
+    buffers), True (all 17 train through the solver), or a list/tuple of
+    parameter NAMES to train selectively (e.g. ['V_max', 'k_L'] for
+    system-identification of one pathway while the rest stay at Table-I —
+    selective freedom also removes sign-flip degeneracies, see
+    benchmarks/latent.py)."""
     schedule = optax.cosine_decay_schedule(
         init_value=learning_rate,
         decay_steps=max(1, epochs * steps_per_epoch),
@@ -60,17 +66,25 @@ def make_optimizer(
         optax.clip_by_global_norm(gradient_clip) if gradient_clip > 0 else optax.identity(),
         optax.adam(schedule),
     )
-    # Frozen groups: 'norm' (never trainable), 'ode' unless train_ode_params
-    # (reference parity: ODE params are non-trainable buffers). Anything else
-    # ('nn', 'enc', ...) trains. NOTE: optax.masked would pass unmasked
-    # leaves' updates (= raw gradients) straight through — must ZERO them.
-    frozen = {"norm"} | (set() if train_ode_params else {"ode"})
+    # Frozen groups: 'norm' (never trainable), 'ode' per train_ode_params.
+    # Anything else ('nn', 'enc', ...) trains. NOTE: optax.masked would pass
+    # unmasked leaves' updates (= raw gradients) straight through — must
+    # ZERO them.
+    selective = isinstance(train_ode_params, (list, tuple, set))
 
     def labels(params):
-        return {
-            k: jax.tree.map(lambda _: "freeze" if k in frozen else "train", v)
-            for k, v in params.items()
-        }
+        out = {}
+        for k, v in params.items():
+            if k == "norm":
+                out[k] = jax.tree.map(lambda _: "freeze", v)
+            elif k == "ode" and selective:
+                names = set(train_ode_params)
+                out[k] = {n: ("train" if n in names else "freeze") for n in v}
+            elif k == "ode" and not train_ode_params:
+                out[k] = jax.tree.map(lambda _: "freeze", v)
+            else:
+                out[k] = jax.tree.map(lambda _: "train", v)
+        return out
 
     return optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
 

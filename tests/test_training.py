@@ -238,3 +238,20 @@ def test_context_checkpoint_roundtrips_all_clis(dataset, tmp_path):
     assert rebuilt.context_dim == 3
     # shooting_segments carried from a raw config dict too
     assert config_from_dict({"model": {"shooting_segments": 3}}).shooting_segments == 3
+
+
+def test_selective_ode_param_training():
+    """make_optimizer with a list of ODE names trains exactly those."""
+    import optax
+    from hybrid_ode_tpu.train.loop import make_optimizer
+
+    cfg = HybridConfig(solver="rk4", substeps=2, nn_hidden=8, nn_layers=2)
+    params = init_hybrid_params(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(1e-2, 10, 1, train_ode_params=["V_max", "k_L"])
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    assert float(jnp.abs(updates["ode"]["V_max"])) > 0
+    assert float(jnp.abs(updates["ode"]["k_L"])) > 0
+    assert float(jnp.abs(updates["ode"]["a_GI"])) == 0.0
+    assert float(jnp.abs(updates["nn"]["w0"]).sum()) > 0
