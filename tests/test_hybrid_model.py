@@ -149,3 +149,24 @@ def test_loss_mask_excludes_points():
     batch["observations"] = jnp.asarray(obs)
     l2, _ = hybrid_loss(params, batch, key, FAST, use_physics_loss=False)
     assert float(l1) == pytest.approx(float(l2), rel=1e-6)
+
+
+def test_hybrid_loss_dense_mode():
+    """mode='dense' (free-running dopri5 + interpolation) composes with
+    vmap + grad in the training path; solver health flows to metrics."""
+    cfg = HybridConfig(solver="dopri5", mode="dense", nn_hidden=16, nn_layers=2,
+                       rtol=1e-5, atol=1e-7, max_steps_per_interval=16)
+    params = init_hybrid_params(jax.random.PRNGKey(0), cfg)
+    B, T = 3, 9
+    obs = jnp.abs(jnp.array([8.0, 100.0, 90.0, 20.0, 0.0, 1.2])[None, None, :]
+                  * (1 + 0.05 * jax.random.normal(jax.random.PRNGKey(1), (B, T, 6))))
+    ts = jnp.broadcast_to(jnp.linspace(0.0, 2.0, T), (B, T))
+    batch = {"initial_state": obs[:, 0], "observations": obs, "time_points": ts,
+             "external_inputs": {"meal": jnp.zeros((B, T)).at[:, 3].set(2.0),
+                                 "tVNS": jnp.zeros((B, T))}}
+    (l, comps), g = jax.value_and_grad(
+        lambda p: hybrid_loss(p, batch, jax.random.PRNGKey(2), cfg,
+                              lambda1=1.0, lambda2=0.01), has_aux=True)(params)
+    assert np.isfinite(float(l))
+    assert float(comps["solver_success"]) == 1.0
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in jax.tree.leaves(g))
