@@ -70,11 +70,18 @@ class HybridConfig:
     # 1 = single shooting (reference-parity default).
     shooting_segments: int = 1
     # subject conditioning: encode the first `context_points` observations of
-    # each window into a `context_dim` latent fed to the NN residual —
-    # amortized subject identification attacking the population-heterogeneity
-    # error floor (no reference analogue). 0 = off.
+    # each window into a latent subject code — amortized subject
+    # identification attacking the population-heterogeneity error floor (no
+    # reference analogue). 0 = off. Two modes:
+    #   'features': `context_dim` latent appended to the NN-residual input
+    #   'params':   per-subject multipliers e^delta on the mechanistic
+    #               parameters named in `context_params` — matches the 4GI
+    #               generator's actual heterogeneity (per-subject BASELINE
+    #               multipliers, data/fourgi_gen.py:78-83)
     context_points: int = 0
     context_dim: int = 8
+    context_mode: str = "features"
+    context_params: tuple = ("G_b", "I_b", "Glu_b")
     # fused Pallas trajectory kernel (forward + custom-VJP backward) for the
     # rk4 solver: the whole integration (and its reverse-time adjoint) runs
     # in VMEM — see ops/pallas_rk4.py. Requires solver='rk4', relu, no
@@ -110,6 +117,8 @@ def config_from_dict(cfg: Mapping[str, Any], use_nn: Optional[bool] = None,
         shooting_segments=m.get("shooting_segments", 1),
         context_points=m.get("context_points", 0),
         context_dim=m.get("context_dim", 8),
+        context_mode=m.get("context_mode", "features"),
+        context_params=tuple(m.get("context_params", ("G_b", "I_b", "Glu_b"))),
         use_pallas=m.get("use_pallas", False),
     )
     kw.update(overrides)
@@ -132,10 +141,12 @@ def init_hybrid_params(
     (its "mechanistic" core is dimensionally meaningless during training).
     """
     key, enc_key = jax.random.split(key)
-    ctx = config.context_dim if config.context_points > 0 else 0
+    feat_ctx = (config.context_dim
+                if config.context_points > 0 and config.context_mode == "features"
+                else 0)
     nn = init_mlp_params(
         key,
-        input_dim=3 + config.n_states + ctx,
+        input_dim=3 + config.n_states + feat_ctx,
         hidden_dim=config.nn_hidden,
         output_dim=config.n_states,
         n_layers=config.nn_layers,
@@ -145,18 +156,22 @@ def init_hybrid_params(
     if config.context_points > 0:
         # context encoder: flattened first-k observations (+ their times,
         # relative to window start) -> latent subject code
+        out_dim = (config.context_dim if config.context_mode == "features"
+                   else len(config.context_params))
         params["enc"] = init_mlp_params(
             enc_key,
             input_dim=config.context_points * (config.n_states + 1),
             hidden_dim=32,
-            output_dim=config.context_dim,
+            output_dim=out_dim,
             n_layers=2,
             dtype=dtype,
         )
-        # non-zero output init: the context is a feature, not a residual
-        params["enc"]["w2"] = 0.1 * jax.random.normal(
-            jax.random.fold_in(enc_key, 1), params["enc"]["w2"].shape, dtype
-        )
+        if config.context_mode == "features":
+            # non-zero output init: the context is a feature, not a residual
+            params["enc"]["w2"] = 0.1 * jax.random.normal(
+                jax.random.fold_in(enc_key, 1), params["enc"]["w2"].shape, dtype
+            )
+        # params mode keeps the zero output init: e^0 = 1 (population start)
     if norm_stats is not None:
         mean = jnp.asarray(norm_stats[0], dtype)
         std = jnp.asarray(norm_stats[1], dtype)
@@ -194,19 +209,31 @@ def hybrid_field(
             signals={k: v for k, v in controls.signals.items() if k != "context"},
         )
     inputs = eval_controls(controls, t)
+    ode_p = params["ode"]
+    if config.context_points > 0 and config.context_mode == "params":
+        # subject-conditioned mechanistic parameters: p_i <- p_i * e^{delta_i}
+        # (zero encoder output = population values; multiplicative, so sign
+        # and scale of the Table-I physiology are preserved)
+        delta = (context if context is not None
+                 else jnp.zeros((len(config.context_params),), y.dtype))
+        ode_p = dict(ode_p)
+        for i, name in enumerate(config.context_params):
+            ode_p[name] = ode_p[name] * jnp.exp(delta[..., i])
+        context = None  # consumed; the NN residual sees no extra features
     if not config.use_mech:
         dy = jnp.zeros_like(y)
     elif "norm" in params:
         mean, std = params["norm"]["mean"], params["norm"]["std"]
-        dy = mechanistic_field(t, y * std + mean, params["ode"], inputs) / std
+        dy = mechanistic_field(t, y * std + mean, ode_p, inputs) / std
     else:
-        dy = mechanistic_field(t, y, params["ode"], inputs)
+        dy = mechanistic_field(t, y, ode_p, inputs)
     if config.use_nn:
         # Parity: reference feeds the GLP1 *state* as the external-GLP1
         # feature and tVNS from the inputs (`models/hybrid_ode_nn.py:125-129`).
         glp1 = y[..., 3]
         tvns = inputs.get("tVNS", jnp.zeros_like(glp1))
-        if config.context_points > 0 and context is None:
+        if (config.context_points > 0 and config.context_mode == "features"
+                and context is None):
             # unconditioned call sites: neutral (zero) context
             context = jnp.zeros((config.context_dim,), y.dtype)
         dy = dy + residual_apply(
@@ -294,6 +321,8 @@ def _pallas_forward(
         raise ValueError("use_pallas requires use_nn=True (kernel fuses the MLP)")
     if not config.use_mech:
         raise ValueError("use_pallas requires use_mech=True (kernel fuses the mechanistic drift)")
+    if config.context_points > 0 and config.context_mode != "features":
+        raise ValueError("use_pallas supports context_mode='features' only")
     signals = dict(controls.signals) if controls is not None else {}
     context = signals.pop("context", None)
     B, T = ts.shape

@@ -70,3 +70,36 @@ def test_unconditioned_call_sites_use_zero_context():
     a = batched_forward(params, batch["initial_state"], batch["time_points"], controls, CTX)
     b = batched_forward(params, batch["initial_state"], batch["time_points"], ctr2, CTX)
     assert float(jnp.abs(a - b).max()) > 0
+
+
+def test_context_mode_params_conditions_mechanistic_field():
+    """context_mode='params': encoder deltas multiply mechanistic params
+    (e^0 = population at init), gradients reach the encoder."""
+    from hybrid_ode_tpu.models.hybrid import hybrid_loss
+
+    cfg = HybridConfig(solver="rk4", substeps=2, mode="scan", nn_hidden=16,
+                       nn_layers=2, context_points=3, context_mode="params")
+    params = init_hybrid_params(jax.random.PRNGKey(0), cfg)
+    assert params["enc"]["w2"].shape[1] == len(cfg.context_params)
+    # zero-init encoder output => exactly the unconditioned model
+    assert float(jnp.abs(params["enc"]["w2"]).max()) == 0.0
+
+    B, T = 3, 7
+    obs = jnp.abs(jnp.array([8.0, 100.0, 90.0, 20.0, 0.0, 1.2])[None, None, :]
+                  * (1 + 0.05 * jax.random.normal(jax.random.PRNGKey(1), (B, T, 6))))
+    ts = jnp.broadcast_to(jnp.linspace(0.0, 2.0, T), (B, T))
+    batch = {"initial_state": obs[:, 0], "observations": obs, "time_points": ts,
+             "external_inputs": {"meal": jnp.zeros((B, T)).at[:, 3].set(2.0),
+                                 "tVNS": jnp.zeros((B, T))}}
+    (l, _), g = jax.value_and_grad(
+        lambda p: hybrid_loss(p, batch, jax.random.PRNGKey(2), cfg,
+                              lambda1=0.0, lambda2=0.01), has_aux=True)(params)
+    assert np.isfinite(float(l))
+    enc_gnorm = float(sum(jnp.sum(v**2) for v in g["enc"].values())) ** 0.5
+    assert enc_gnorm > 0.0
+    # perturbing the encoder changes the loss (the conditioning is live)
+    p2 = dict(params, enc=dict(params["enc"], w2=params["enc"]["w2"] + 0.3))
+    (l2, _), _ = jax.value_and_grad(
+        lambda p: hybrid_loss(p, batch, jax.random.PRNGKey(2), cfg,
+                              lambda1=0.0, lambda2=0.01), has_aux=True)(p2)
+    assert abs(float(l2) - float(l)) > 1e-6
