@@ -321,8 +321,17 @@ def _pallas_forward(
         raise ValueError("use_pallas requires use_nn=True (kernel fuses the MLP)")
     if not config.use_mech:
         raise ValueError("use_pallas requires use_mech=True (kernel fuses the mechanistic drift)")
-    if config.context_points > 0 and config.context_mode != "features":
-        raise ValueError("use_pallas supports context_mode='features' only")
+    ctx_param_idx = ()
+    if config.context_points > 0 and config.context_mode == "params":
+        from hybrid_ode_tpu.ops.pallas_rk4 import PARAM_ORDER
+
+        try:
+            ctx_param_idx = tuple(PARAM_ORDER.index(n) for n in config.context_params)
+        except ValueError as e:
+            raise ValueError(
+                f"use_pallas context_mode='params': every conditioned "
+                f"parameter must be in the kernel's PARAM_ORDER ({e})"
+            ) from None
     signals = dict(controls.signals) if controls is not None else {}
     context = signals.pop("context", None)
     B, T = ts.shape
@@ -336,7 +345,7 @@ def _pallas_forward(
     return fused_rk4_hybrid(
         y0, ts, meal, tvns, params["ode"], params["nn"],
         substeps=config.substeps, n_layers=config.nn_layers,
-        interpret=interpret, context=context,
+        interpret=interpret, context=context, context_param_idx=ctx_param_idx,
     )
 
 

@@ -111,13 +111,25 @@ def _pack_params(ode_params: Dict[str, jnp.ndarray], dtype=jnp.float32):
     return jnp.concatenate(vals + [pad], axis=1)  # (1, 32)
 
 
-def _hybrid_field_t(t_row, Y, meal_row, tvns_row, ws, bs, pv, ctx, n_layers):
+def _hybrid_field_t(t_row, Y, meal_row, tvns_row, ws, bs, pv, ctx, n_layers,
+                    ctx_param_idx=()):
     """Transposed-layout hybrid field: (8, Bb) states -> (8, Bb) derivative.
 
     Pure function of VALUES (not refs) so `jax.vjp` can transpose it inside
     the backward kernel. Parity: `dynamics.ode_core.mechanistic_field` with
-    GD=0 + `dynamics.residual.residual_apply` (relu)."""
+    GD=0 + `dynamics.residual.residual_apply` (relu).
+
+    ctx_param_idx: static tuple of PARAM_ORDER indices — when non-empty, the
+    context rows are per-sample multiplicative deltas on those mechanistic
+    parameters (P_i <- P_i * e^{ctx_row}, models/hybrid.py
+    context_mode='params'); the affected P entries become (1, Bb) rows and
+    the MLP sees no context features."""
     P = {name: pv[0, i] for i, name in enumerate(PARAM_ORDER)}
+    if ctx_param_idx:
+        for row, pidx in enumerate(ctx_param_idx):
+            name = PARAM_ORDER[pidx]
+            P[name] = P[name] * jnp.exp(ctx[row: row + 1])  # (1, Bb)
+        ctx = None  # consumed: not an MLP feature
     G = Y[0:1]
     I = Y[1:2]
     Glu = Y[2:3]
@@ -160,11 +172,12 @@ def _hybrid_field_t(t_row, Y, meal_row, tvns_row, ws, bs, pv, ctx, n_layers):
     return dY + R
 
 
-def _rk4_substep_t(Y, t, h, ctrls, ws, bs, pv, ctx, n_layers):
+def _rk4_substep_t(Y, t, h, ctrls, ws, bs, pv, ctx, n_layers, ctx_param_idx=()):
     """One transposed-layout RK4 substep. ctrls = ((m0,v0),(m1,v1),(m2,v2))
     are the control rows at stage offsets 0, h/2, h (constants wrt the vjp)."""
     (m0, v0), (m1, v1), (m2, v2) = ctrls
-    f = lambda tt, YY, m, v: _hybrid_field_t(tt, YY, m, v, ws, bs, pv, ctx, n_layers)
+    f = lambda tt, YY, m, v: _hybrid_field_t(tt, YY, m, v, ws, bs, pv, ctx,
+                                             n_layers, ctx_param_idx)
     k1 = f(t, Y, m0, v0)
     k2 = f(t + 0.5 * h, Y + 0.5 * h * k1, m1, v1)
     k3 = f(t + 0.5 * h, Y + 0.5 * h * k2, m1, v1)
@@ -195,7 +208,7 @@ def _interval_inputs(pl, ts_ref, meal_ref, tvns_ref, i, jf, inv_s):
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(n_steps, substeps, n_layers, has_ctx,
+def _fwd_kernel(n_steps, substeps, n_layers, has_ctx, ctx_param_idx,
                 y0_ref, ts_ref, meal_ref, tvns_ref, *rest):
     from jax.experimental import pallas as pl
 
@@ -221,7 +234,8 @@ def _fwd_kernel(n_steps, substeps, n_layers, has_ctx,
         j = s - i * substeps
         jf = j.astype(jnp.float32)
         t, h, ctrls = _interval_inputs(pl, ts_ref, meal_ref, tvns_ref, i, jf, inv_s)
-        Y_new = _rk4_substep_t(Y, t, h, ctrls, ws, bs, pv, ctx, n_layers)
+        Y_new = _rk4_substep_t(Y, t, h, ctrls, ws, bs, pv, ctx, n_layers,
+                               ctx_param_idx)
 
         @pl.when(j == substeps - 1)
         def _():
@@ -255,7 +269,7 @@ def _prep_inputs(y0, ts, meal, tvns, context, block_b):
 
 
 def _fwd_pallas(y0_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
-                substeps, n_layers, interpret, Bb):
+                substeps, n_layers, interpret, Bb, ctx_param_idx=()):
     """Run the forward kernel on pre-packed inputs -> (T, 8, Bp) trajectory."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -288,7 +302,8 @@ def _fwd_pallas(y0_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
     args.append(pvec)
 
     kernel = functools.partial(
-        _fwd_kernel, n_steps, substeps, n_layers, ctx_t is not None
+        _fwd_kernel, n_steps, substeps, n_layers, ctx_t is not None,
+        ctx_param_idx,
     )
     return pl.pallas_call(
         kernel,
@@ -339,7 +354,7 @@ def fused_rk4_trajectory(
 # recomputation from the saved observation-grid trajectory.
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(substeps, n_layers, has_ctx, n_ctx,
+def _bwd_kernel(substeps, n_layers, has_ctx, n_ctx, ctx_param_idx,
                 traj_ref, gbar_ref, ts_ref, meal_ref, tvns_ref, *rest):
     from jax.experimental import pallas as pl
 
@@ -366,7 +381,7 @@ def _bwd_kernel(substeps, n_layers, has_ctx, n_ctx,
 
     def substep_fn(Y, ws_, bs_, pv_, ctx_, t, h, ctrls):
         return _rk4_substep_t(Y, t, h, ctrls, list(ws_), list(bs_), pv_,
-                              ctx_, n_layers)
+                              ctx_, n_layers, ctx_param_idx)
 
     zero_ws = tuple(jnp.zeros_like(w) for w in ws)
     zero_bs = tuple(jnp.zeros_like(b) for b in bs)
@@ -445,7 +460,7 @@ def _bwd_kernel(substeps, n_layers, has_ctx, n_ctx,
 
 
 def _bwd_pallas(traj, gbar_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
-                substeps, n_layers, interpret, Bb):
+                substeps, n_layers, interpret, Bb, ctx_param_idx=()):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -494,7 +509,7 @@ def _bwd_pallas(traj, gbar_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
 
     kernel = functools.partial(
         _bwd_kernel, substeps, n_layers, has_ctx,
-        ctx_t.shape[0] if has_ctx else 0,
+        ctx_t.shape[0] if has_ctx else 0, ctx_param_idx,
     )
     return pl.pallas_call(
         kernel,
@@ -512,7 +527,7 @@ def _bwd_pallas(traj, gbar_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
 
 @functools.lru_cache(maxsize=None)
 def _make_fused_rk4(substeps: int, n_layers: int, interpret: bool,
-                    block_b: int, block_b_bwd: int):
+                    block_b: int, block_b_bwd: int, ctx_param_idx: tuple = ()):
     """Build (and cache) the custom-VJP fused trajectory function for one
     static configuration."""
 
@@ -523,7 +538,7 @@ def _make_fused_rk4(substeps: int, n_layers: int, interpret: bool,
         ws, bs = _pack_weights(nn_params, n_layers)
         pvec = _pack_params(ode_params)
         traj = _fwd_pallas(y0_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
-                           substeps, n_layers, interpret, Bb)
+                           substeps, n_layers, interpret, Bb, ctx_param_idx)
         return traj
 
     @jax.custom_vjp
@@ -565,7 +580,8 @@ def _make_fused_rk4(substeps: int, n_layers: int, interpret: bool,
         ws, bs = _pack_weights(nn_params, n_layers)
         pvec = _pack_params(ode_params)
         outs = _bwd_pallas(traj, gbar_t, ts_t, meal_t, tvns_t, ctx_t,
-                           ws, bs, pvec, substeps, n_layers, interpret, Bb)
+                           ws, bs, pvec, substeps, n_layers, interpret, Bb,
+                           ctx_param_idx)
         ybar0 = outs[0]
         dws = outs[1: n_layers + 2]
         dbs = outs[n_layers + 2: 2 * (n_layers + 1) + 1]
@@ -601,6 +617,7 @@ def fused_rk4_hybrid(
     block_b: int = BLOCK_B,
     block_b_bwd: int = BLOCK_B_BWD,
     context: Optional[jnp.ndarray] = None,  # (B, C)
+    context_param_idx: tuple = (),
 ) -> jnp.ndarray:
     """Differentiable fused-RK4 trajectory: custom-VJP Pallas forward AND
     backward. Gradients flow to y0, context, ode_params and nn_params
@@ -608,5 +625,6 @@ def fused_rk4_hybrid(
 
     Matches `odeint(..., solver='rk4', mode='scan')` gradients to float32
     accuracy (tests/test_pallas_kernel.py::test_fused_rk4_gradients)."""
-    fn = _make_fused_rk4(substeps, n_layers, interpret, block_b, block_b_bwd)
+    fn = _make_fused_rk4(substeps, n_layers, interpret, block_b, block_b_bwd,
+                         tuple(context_param_idx))
     return fn(y0, ts, meal, tvns, context, ode_params, nn_params)

@@ -166,3 +166,34 @@ def test_fused_rk4_nondefault_layers():
     out = fused_rk4_trajectory(y0, ts, meal, tvns, params["ode"], params["nn"],
                                substeps=2, n_layers=2, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_use_pallas_context_params_mode():
+    """context_mode='params' through the kernels: per-sample e^delta
+    multipliers on mechanistic params, loss/grad parity with XLA."""
+    import dataclasses
+    from hybrid_ode_tpu.models.hybrid import hybrid_loss
+
+    cfg = HybridConfig(solver="rk4", substeps=2, mode="scan", nn_hidden=16,
+                       nn_layers=2, context_points=3, context_mode="params")
+    cfg_p = dataclasses.replace(cfg, use_pallas=True)
+    params = init_hybrid_params(jax.random.PRNGKey(0), cfg)
+    params["enc"]["w2"] = 0.05 * jax.random.normal(jax.random.PRNGKey(7), params["enc"]["w2"].shape)
+    params["nn"]["w2"] = 0.01 * jax.random.normal(jax.random.PRNGKey(2), params["nn"]["w2"].shape)
+    B, T = 3, 7
+    obs = jnp.abs(jnp.array([8.0, 100.0, 90.0, 20.0, 0.0, 1.2])[None, None, :]
+                  * (1 + 0.05 * jax.random.normal(jax.random.PRNGKey(1), (B, T, 6))))
+    ts = jnp.broadcast_to(jnp.linspace(0.0, 2.0, T), (B, T))
+    batch = {"initial_state": obs[:, 0], "observations": obs, "time_points": ts,
+             "external_inputs": {"meal": jnp.zeros((B, T)).at[:, 3].set(2.0),
+                                 "tVNS": jnp.zeros((B, T))}}
+    k = jax.random.PRNGKey(9)
+    (l1, _), g1 = jax.value_and_grad(
+        lambda p: hybrid_loss(p, batch, k, cfg, lambda1=0.0, lambda2=0.01),
+        has_aux=True)(params)
+    (l2, _), g2 = jax.value_and_grad(
+        lambda p: hybrid_loss(p, batch, k, cfg_p, lambda1=0.0, lambda2=0.01),
+        has_aux=True)(params)
+    assert abs(float(l1) - float(l2)) < 1e-5 * abs(float(l1))
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        assert _rel_err(a, b) < 1e-5
