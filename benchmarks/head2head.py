@@ -134,8 +134,16 @@ def run(data_path: str, out_dir: Path):
                                  "physics loss there is no gradient path"}
 
     (REPO / "results" / "head2head.json").write_text(json.dumps(results, indent=2))
+    emit_table5(results)
 
-    # table 5 (measured ablation) — manuscript.tex:779-798 counterpart
+
+def emit_table5(results: dict) -> None:
+    """Write the measured ablation table (manuscript.tex:779-798 counterpart).
+
+    This function OWNS results/tables/table5_ablation.csv — no other writer
+    may target that path (the figures CLI clobbered it in round 2; it now
+    writes table5_models.csv). Re-emit any time with `--table-only`.
+    """
     rows = []
     label = {"hybrid": "Hybrid (ours, reference protocol)",
              "mech_only": "Mechanistic only (ours)",
@@ -147,10 +155,11 @@ def run(data_path: str, out_dir: Path):
              "ref_no_physics": "Reference no-physics (measured)"}
     for name, row in results.items():
         if "error" in row:
-            rows.append({"variant": label[name], "glucose_rmse_mmol": "crash",
+            rows.append({"variant": label.get(name, name),
+                         "glucose_rmse_mmol": "crash",
                          "rmse_z": "", "nrmse": "", "train_wall_s": ""})
         else:
-            rows.append({"variant": label[name],
+            rows.append({"variant": label.get(name, name),
                          "glucose_rmse_mmol": f"{row['rmse_glucose_mmol']:.3f}",
                          "rmse_z": f"{row['rmse']:.3f}",
                          "nrmse": f"{row['nrmse']:.3f}",
@@ -170,5 +179,10 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default=str(REPO / "data" / "4gi_dataset.csv"))
     ap.add_argument("--out", default=str(REPO / "checkpoints"))
+    ap.add_argument("--table-only", action="store_true",
+                    help="re-emit table5 from the existing results/head2head.json")
     args = ap.parse_args()
-    run(args.data, Path(args.out))
+    if args.table_only:
+        emit_table5(json.loads((REPO / "results" / "head2head.json").read_text()))
+    else:
+        run(args.data, Path(args.out))

@@ -218,7 +218,13 @@ def _nuts_step(
         right_f = jax.tree.map(lambda old, new: jnp.where(keep, new, old), c.right, right_m)
         log_w_f = jnp.where(keep, log_w_total, c.log_w)
         prop_q_f = jnp.where(finishing, prop_q_merged, c.prop_q)
-        done_new = c.done | div_new | (finishing & (discard | turning_total))
+        # stop as soon as the subtree turns or diverges: the subtree is
+        # already doomed to be discarded, and the extra leapfrogs (each a
+        # grad-of-ODE-solve) would only waste compute and bias sum_alpha
+        # with leaves that can never be proposed (advisor r2 finding).
+        done_new = c.done | div_new | sub_turning_new | (
+            finishing & (discard | turning_total)
+        )
 
         return Carry(
             key=key,

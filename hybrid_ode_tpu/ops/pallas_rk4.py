@@ -317,7 +317,9 @@ def _fwd_pallas(y0_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("substeps", "n_layers", "interpret", "block_b"),
+    static_argnames=(
+        "substeps", "n_layers", "interpret", "block_b", "context_param_idx"
+    ),
 )
 def fused_rk4_trajectory(
     y0: jnp.ndarray,                 # (B, 6) states
@@ -331,12 +333,18 @@ def fused_rk4_trajectory(
     interpret: bool = False,
     block_b: int = BLOCK_B,
     context: Optional[jnp.ndarray] = None,  # (B, C) per-sample features
+    context_param_idx: tuple = (),
 ) -> jnp.ndarray:
     """Integrate the hybrid field with fused RK4 (forward only); (B, T, 6).
 
     Equivalent to `odeint(hybrid_field, ..., solver='rk4', substeps=s)` with
     linear control interpolation — verified against the XLA path in tests.
     For a differentiable version use `fused_rk4_hybrid`.
+
+    `context_param_idx` selects `context_mode='params'` semantics (context
+    rows perturb the named mechanistic parameters instead of feeding the MLP)
+    — it must be passed for params-conditioned models or the conditioning is
+    silently dropped onto zero-padded MLP weight columns (advisor r2 finding).
     """
     (y0_t, ts_t, meal_t, tvns_t, ctx_t), Bb, Bp, T = _prep_inputs(
         y0, ts, meal, tvns, context, block_b
@@ -344,7 +352,8 @@ def fused_rk4_trajectory(
     ws, bs = _pack_weights(nn_params, n_layers)
     pvec = _pack_params(ode_params)
     out = _fwd_pallas(y0_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
-                      substeps, n_layers, interpret, Bb)
+                      substeps, n_layers, interpret, Bb,
+                      ctx_param_idx=tuple(context_param_idx))
     B = y0.shape[0]
     return jnp.transpose(out[:, :6, :B], (2, 0, 1))  # (B, T, 6)
 

@@ -59,6 +59,11 @@ def odeint(
     if mode == "dense":
         # free-running steps + 4th-order dense interpolation (dopri5 only):
         # step size set by the dynamics, not by the observation grid
+        if adjoint == "backsolve":
+            raise ValueError(
+                "mode='dense' uses discretize-then-optimize gradients; "
+                "adjoint='backsolve' is unsupported with dense output"
+            )
         if solver not in ("dopri5", "rk45"):
             raise ValueError("mode='dense' is implemented for dopri5/rk45")
         from hybrid_ode_tpu.solvers.dense import odeint_dopri5_dense

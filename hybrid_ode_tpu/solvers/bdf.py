@@ -76,17 +76,36 @@ def _R_matrix(k, factor, dtype):
 
 
 def _rescale_D(D, k, factor):
-    """D <- change-of-step-size transform (scipy BDF's change_D)."""
+    """D <- change-of-step-size transform (scipy BDF's change_D).
+
+    precision=HIGHEST is load-bearing: TPU f32 matmuls default to bf16 MXU
+    passes (~3 decimal digits), which corrupts the backward-difference array
+    at ~1e-3 relative on every rescale — measured as wildly oscillating
+    error norms and cascading rejections on v5e (round-3 TPU-only bug).
+    """
     dtype = D.dtype
-    RU = _R_matrix(k, factor, dtype) @ _R_matrix(k, jnp.asarray(1.0, dtype), dtype)
-    head = RU.T @ D[: MAX_ORDER + 1]
+    hi = jax.lax.Precision.HIGHEST
+    RU = jnp.matmul(
+        _R_matrix(k, factor, dtype),
+        _R_matrix(k, jnp.asarray(1.0, dtype), dtype),
+        precision=hi,
+    )
+    head = jnp.matmul(RU.T, D[: MAX_ORDER + 1], precision=hi)
     return D.at[: MAX_ORDER + 1].set(head)
 
 
 def _maybe_rescale(D, k, factor, n_eq):
     """Rescale only when the ratio is materially != 1; h changes reset the
-    equal-step counter that gates order adaptation."""
-    changed = jnp.abs(factor - 1.0) > 1e-12
+    equal-step counter that gates order adaptation.
+
+    The threshold must absorb TPU division rounding: the VPU computes a/b as
+    a reciprocal approximation, so h/h can be 1 - 1ulp (measured 0.99999988
+    on v5e). A 1e-12 threshold made `changed` true on EVERY step there, so
+    n_eq reset each step, order/step adaptation never fired, h stayed at
+    h_init, and intervals never completed (round-3 TPU-only bug). A ratio
+    within 1e-5 of 1 rescales D by ~identity — skipping it is exact enough.
+    """
+    changed = jnp.abs(factor - 1.0) > 1e-5
     D_new = _rescale_D(D, k, factor)
     return (
         jnp.where(changed, D_new, D),
@@ -230,6 +249,13 @@ def odeint_bdf(
                 jnp.asarray(MIN_FACTOR, dtype),
                 SAFETY * jnp.maximum(errn, jnp.finfo(dtype).tiny)
                 ** (-1.0 / (k.astype(dtype) + 1.0)),
+            )
+            # a NaN error norm (pathological field, e.g. an extreme NUTS
+            # proposal) must not poison the controller: max(MIN, NaN) = NaN
+            # would lock h at NaN forever — clamp to the maximal shrink so
+            # the step size stays finite and recovery is possible.
+            fac_rej = jnp.where(
+                jnp.isfinite(errn), fac_rej, jnp.asarray(MIN_FACTOR, dtype)
             )
             D_rej, _ = _maybe_rescale(D_c, k, fac_rej, n_eq_c)
             h_rej = h_eff * fac_rej

@@ -63,7 +63,7 @@ def odeint_dopri5_dense(
     A = jnp.asarray(tab.a, dtype)
     B = jnp.asarray(tab.b, dtype)
     C = jnp.asarray(tab.c, dtype)
-    E = jnp.asarray(tab.err_weights, dtype)   # (8,): stages + FSAL row
+    E = jnp.asarray(tab.err_weights, dtype)   # (7,): stages incl. FSAL stage
     D = jnp.asarray(_D_CONT, dtype)
     rtol_e, atol_e = _exp._effective_tols(rtol, atol, dtype)
     error_order = 4
@@ -90,9 +90,10 @@ def odeint_dopri5_dense(
             yi = y + h_eff * sum(A[i, j] * ks[j] for j in range(i))
             ks.append(f(t + C[i] * h_eff, yi, args))
         K = jnp.stack(ks)                      # (7, n)
-        y1 = y + h_eff * (B @ K)               # b[6] = 0
+        hi = jax.lax.Precision.HIGHEST        # TPU f32 @ defaults to bf16 MXU
+        y1 = y + h_eff * jnp.matmul(B, K, precision=hi)  # b[6] = 0
         k_last = ks[6]                         # FSAL stage f(t+h, y1)
-        err = h_eff * (E @ K)
+        err = h_eff * jnp.matmul(E, K, precision=hi)
         scale = atol_e + rtol_e * jnp.maximum(jnp.abs(y), jnp.abs(y1))
         err_norm = lax.stop_gradient(jnp.sqrt(jnp.mean((err / scale) ** 2)))
 
@@ -104,7 +105,7 @@ def odeint_dopri5_dense(
         ydiff = y1 - y
         bspl = h_eff * ks[0] - ydiff
         r4 = ydiff - h_eff * k_last - bspl
-        r5 = h_eff * (D @ K)
+        r5 = h_eff * jnp.matmul(D, K, precision=hi)
         theta = (ts - t) / h_eff               # (T,)
         th = jnp.clip(theta, 0.0, 1.0)[:, None]
         interp = y + th * (ydiff + (1.0 - th) * (bspl + th * (r4 + (1.0 - th) * r5)))

@@ -64,15 +64,16 @@ def _error_norm(tab: ERKTableau, K: jnp.ndarray, h, y0, y1, rtol, atol) -> jnp.n
     """RMS error norm; accept when <= 1."""
     scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
     n = y0.shape[-1]
+    hi = jax.lax.Precision.HIGHEST  # TPU f32 @ defaults to bf16 MXU passes
     if tab.err_weights_low is None:
         e = jnp.asarray(tab.err_weights, K.dtype)
-        err = h * (e @ K)
+        err = h * jnp.matmul(e, K, precision=hi)
         return jnp.sqrt(jnp.mean((err / scale) ** 2))
     # DOP853: err = err5 * |err5| / sqrt(|err5|^2 + 0.01 |err3|^2)
     e5 = jnp.asarray(tab.err_weights, K.dtype)
     e3 = jnp.asarray(tab.err_weights_low, K.dtype)
-    v5 = (e5 @ K) / scale
-    v3 = (e3 @ K) / scale
+    v5 = jnp.matmul(e5, K, precision=hi) / scale
+    v3 = jnp.matmul(e3, K, precision=hi) / scale
     n5 = jnp.sum(v5 * v5)
     n3 = jnp.sum(v3 * v3)
     denom = n5 + 0.01 * n3

@@ -82,7 +82,9 @@ def make_radau_step(f: Callable, rtol: float, atol: float) -> Callable:
         def newton_body(carry, _):
             Z, _prev_dz = carry
             Fz = F_of_Z(Z)
-            G = Z - h * (A @ Fz)  # residual, (3, n)
+            # HIGHEST: TPU f32 matmul defaults to bf16 MXU passes, which
+            # would noise the Newton residual below f32 accuracy
+            G = Z - h * jnp.matmul(A, Fz, precision=jax.lax.Precision.HIGHEST)
             dZ = -lu_solve(lu, G.reshape(-1)).reshape(3, n)
             Z_new = Z + dZ
             dz_rms = jnp.sqrt(jnp.mean(dZ**2))
@@ -96,7 +98,8 @@ def make_radau_step(f: Callable, rtol: float, atol: float) -> Callable:
         f1 = Fz[2]
 
         # Embedded error, smoothed through (I - h*gamma0*J)
-        err_raw = h * (g0 * fy + ew @ Fz)  # (n,)
+        err_raw = h * (g0 * fy + jnp.matmul(
+            ew, Fz, precision=jax.lax.Precision.HIGHEST))  # (n,)
         Msm = jnp.eye(n, dtype=dtype) - h * g0 * J
         err = jnp.linalg.solve(Msm, err_raw)
 

@@ -168,6 +168,35 @@ def test_fused_rk4_nondefault_layers():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
+def test_fused_trajectory_context_params_mode():
+    """The forward-only API honors context_param_idx (advisor r2: previously
+    absent — params-mode context silently fell onto zero-padded MLP columns)."""
+    from hybrid_ode_tpu.ops.pallas_rk4 import PARAM_ORDER, fused_rk4_hybrid
+
+    cfg = HybridConfig(solver="rk4", substeps=2, mode="scan", nn_hidden=16, nn_layers=2)
+    params = init_hybrid_params(jax.random.PRNGKey(0), cfg)
+    params["nn"]["w2"] = 0.01 * jax.random.normal(jax.random.PRNGKey(2), params["nn"]["w2"].shape)
+    idx = (PARAM_ORDER.index("k_I"), PARAM_ORDER.index("G_b"))
+    B, T = 3, 6
+    y0 = jnp.abs(jnp.ones((B, 6)) * jnp.array([8.0, 100.0, 90.0, 20.0, 0.0, 1.2]))
+    ts = jnp.broadcast_to(jnp.linspace(0.0, 1.0, T), (B, T))
+    meal = jnp.zeros((B, T)).at[:, 2].set(1.5)
+    tvns = jnp.zeros((B, T))
+    ctx = 0.3 * jax.random.normal(jax.random.PRNGKey(7), (B, len(idx)))
+
+    out = fused_rk4_trajectory(y0, ts, meal, tvns, params["ode"], params["nn"],
+                               substeps=2, n_layers=2, interpret=True,
+                               context=ctx, context_param_idx=idx)
+    ref = fused_rk4_hybrid(y0, ts, meal, tvns, params["ode"], params["nn"],
+                           substeps=2, n_layers=2, interpret=True,
+                           context=ctx, context_param_idx=idx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
+    # and the conditioning is actually live: dropping it changes the output
+    base = fused_rk4_trajectory(y0, ts, meal, tvns, params["ode"], params["nn"],
+                                substeps=2, n_layers=2, interpret=True)
+    assert np.abs(np.asarray(out) - np.asarray(base)).max() > 1e-4
+
+
 def test_use_pallas_context_params_mode():
     """context_mode='params' through the kernels: per-sample e^delta
     multipliers on mechanistic params, loss/grad parity with XLA."""
