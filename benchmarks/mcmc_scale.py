@@ -35,7 +35,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from hybrid_ode_tpu.inference.mcmc import run_nuts, split_rhat
+    from hybrid_ode_tpu.inference.mcmc import ess_bulk, ess_tail, rhat, run_nuts
     from hybrid_ode_tpu.models.hybrid import HybridConfig, init_hybrid_params
 
     config = HybridConfig(solver="rk4", substeps=2, mode="scan",
@@ -66,17 +66,28 @@ def main(argv=None):
     lf_per_transition = 2**args.max_depth - 1
     total_transitions = args.chains * (args.samples + args.warmup)
     a = samples["ode_a_GI"].reshape(args.chains, args.samples)
-    print(json.dumps({
+    result = {
         "chains": args.chains,
+        "samples_per_chain": args.samples,
+        "warmup": args.warmup,
+        "max_depth": args.max_depth,
         "draws_per_sec": round(total_draws / wall),
         "transitions_per_sec": round(total_transitions / wall),
         "max_leapfrogs_per_sec": round(total_transitions * lf_per_transition / wall),
         "wall_s": round(wall, 2),
-        "rhat_a_GI": round(split_rhat(a), 4),
+        # Vehtari et al. (2021) rank-normalized diagnostics (round 3)
+        "rhat_a_GI": round(rhat(a), 4),
+        "ess_bulk_a_GI": round(ess_bulk(a)),
+        "ess_tail_a_GI": round(ess_tail(a)),
         "posterior_mean_a_GI": round(float(a.mean()), 6),
         "accept_stat": round(float(samples["_accept_stat"].mean()), 3),
         "divergence_rate": round(float(samples["_diverging"].mean()), 4),
-    }))
+        "device": str(jax.devices()[0].device_kind),
+    }
+    print(json.dumps(result))
+    out = Path(__file__).resolve().parents[1] / "results" / "mcmc_scale.json"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(result, indent=2))
 
 
 if __name__ == "__main__":

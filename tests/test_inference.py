@@ -13,9 +13,12 @@ import pytest
 
 from hybrid_ode_tpu.inference.mcmc import (
     compute_ess,
+    ess_bulk,
+    ess_tail,
     nuts_sample,
     posterior_summary,
     run_nuts,
+    rhat,
     save_mcmc_results,
     load_mcmc_results,
     split_rhat,
@@ -191,3 +194,65 @@ def test_ess_and_persistence(tmp_path):
     save_mcmc_results(samples, str(tmp_path / "mcmc"))
     loaded, meta = load_mcmc_results(str(tmp_path / "mcmc"))
     np.testing.assert_allclose(loaded["a"], samples["a"])
+
+
+def test_rank_normalized_diagnostics():
+    """Vehtari et al. (2021) R-hat/ESS validated on known-geometry chains."""
+    rng = np.random.default_rng(0)
+
+    # iid normal: ESS ~ total draws, R-hat ~ 1
+    iid = rng.standard_normal((4, 1000))
+    assert 3200 < ess_bulk(iid) < 4800
+    assert 3200 < ess_tail(iid) < 4800
+    assert rhat(iid) < 1.01
+
+    # AR(1) phi=0.9: true ESS factor (1-phi)/(1+phi) ~ 0.0526
+    phi, N = 0.9, 2000
+    e = rng.standard_normal((4, 2 * N))
+    ar = np.zeros_like(e)
+    for t in range(1, e.shape[1]):
+        ar[:, t] = phi * ar[:, t - 1] + e[:, t] * np.sqrt(1 - phi**2)
+    ar = ar[:, N:]
+    expect = 4 * N * (1 - phi) / (1 + phi)
+    assert 0.5 * expect < ess_bulk(ar) < 2.0 * expect
+
+    # disagreeing chains: the old flattened-chain ESS inflated here; the
+    # rank-normalized multichain estimate must collapse and R-hat must flag
+    bad = rng.standard_normal((4, 500)) + np.array([[0.0], [10.0], [0.0], [10.0]])
+    assert ess_bulk(bad) < 50
+    assert rhat(bad) > 1.2
+
+    # heavy tails: rank normalization keeps Cauchy chains diagnosable
+    cc = rng.standard_cauchy((4, 1000))
+    assert ess_bulk(cc) > 3000
+    assert rhat(cc) < 1.01
+
+
+def test_netcdf_roundtrip_h5py(tmp_path):
+    """ArviZ-free NetCDF persistence (parity: reference mcmc.py:252-318):
+    posterior + sample_stats groups, attached dimension scales, metadata."""
+    rng = np.random.default_rng(0)
+    samples = {
+        "ode_a_GI": rng.standard_normal(400),
+        "nn_scale": rng.standard_normal((400, 3)),
+        "_diverging": np.zeros(400, bool),
+        "_accept_stat": rng.random(400),
+    }
+    p = str(tmp_path / "mcmc_results")
+    save_mcmc_results(samples, p, metadata={"n_chains": 4, "solver": "dopri5"})
+    assert (tmp_path / "mcmc_results.nc").exists()
+
+    loaded, meta = load_mcmc_results(p)
+    assert meta["n_chains"] == 4
+    for k in samples:
+        np.testing.assert_allclose(
+            np.asarray(loaded[k], float), np.asarray(samples[k], float))
+
+    import h5py
+
+    with h5py.File(p + ".nc", "r") as f:
+        assert "_NCProperties" in f.attrs           # NetCDF4 signature
+        g = f["posterior"]
+        assert g["draw"].attrs["CLASS"] == b"DIMENSION_SCALE"
+        assert g["ode_a_GI"].dims[1][0] == g["draw"]
+        assert "sample_stats" in f and "accept_stat" in f["sample_stats"]

@@ -216,3 +216,29 @@ def test_dense_output_dopri5(x64):
                                           mode="dense", rtol=1e-6,
                                           atol=1e-8)[-1] ** 2))(params)
     assert np.isfinite(float(g["a_GI"])) and float(g["a_GI"]) != 0.0
+
+def test_dense_output_dop853(x64):
+    """mode='dense' for dop853: 8th-order free-running steps + 7th-order
+    continuous extension (round 3; parity: scipy dense `t_eval`,
+    reference models/hybrid_ode_nn.py:240-241). Fewer steps than dense
+    dopri5 at equal tolerance; gradients flow."""
+    params = make_ode_params(dtype=jnp.float64)
+    y0 = jnp.asarray(steady_state(params), jnp.float64) + 0.3
+    ts = jnp.linspace(0.0, 5.0, 61, dtype=jnp.float64)
+    f = lambda t, y, a: mechanistic_field(t, y, a, None)
+
+    ys_d, st_d = odeint(f, y0, ts, params, solver="dop853", mode="dense",
+                        rtol=1e-7, atol=1e-9, return_stats=True)
+    ys_i = odeint(f, y0, ts, params, solver="dopri5", mode="scan",
+                  rtol=1e-9, atol=1e-11, max_steps_per_interval=64)
+    assert bool(st_d.success)
+    _, st_5 = odeint(f, y0, ts, params, solver="dopri5", mode="dense",
+                     rtol=1e-7, atol=1e-9, return_stats=True)
+    assert int(st_d.n_accepted) <= int(st_5.n_accepted)
+    np.testing.assert_allclose(np.asarray(ys_d), np.asarray(ys_i),
+                               rtol=2e-5, atol=2e-5)
+
+    g = jax.grad(lambda p: jnp.sum(odeint(f, y0, ts, p, solver="dop853",
+                                          mode="dense", rtol=1e-6,
+                                          atol=1e-8)[-1] ** 2))(params)
+    assert np.isfinite(float(g["a_GI"])) and float(g["a_GI"]) != 0.0
