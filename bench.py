@@ -10,8 +10,18 @@ workload `models/hybrid_ode_nn.py:136-261` at production scale):
 
   1. PRIMARY: Pallas fused full-trajectory RK4 kernel (ops/pallas_rk4.py) —
      states + weights resident in VMEM for the whole integration.
-  2. SECONDARY: adaptive dopri5 (while mode) through the generic solver
+  2. train_step_ms: full fwd+bwd through the custom-VJP adjoint kernel.
+  3. SECONDARY: adaptive dopri5 (while mode) through the generic solver
      stack, reported as `adaptive_steps_per_sec`.
+
+Timing discipline (round 3): kernel calls are AMORTIZED — N_INNER calls with
+per-iteration input variation run inside ONE dispatched `lax.scan` program,
+and the wall is divided by N_INNER. The axon remote-execution tunnel costs
+~29 ms per dispatch round-trip (measured; `dispatch_overhead_ms` below),
+which swamped the 4.8 ms kernel when timed one-call-per-dispatch — rounds
+1-2 reported 62M substeps/s for a kernel actually running at ~400M. Inputs
+still vary per iteration (axon dedupes identical program+input pairs) and a
+scalar materialisation forces completion.
 
 Baseline: the authentic reference implementation measured on this machine:
 HybridODENN.forward (torch + scipy DOP853, serial per-subject callback
@@ -33,10 +43,11 @@ def main():
 
     import hybrid_ode_tpu as ht
     from hybrid_ode_tpu.dynamics.controls import Controls
-    from hybrid_ode_tpu.ops.pallas_rk4 import fused_rk4_trajectory
+    from hybrid_ode_tpu.ops.pallas_rk4 import fused_rk4_hybrid, fused_rk4_trajectory
     from hybrid_ode_tpu.solvers.api import odeint
 
     N, T, SUB = 8192, 61, 4
+    N_INNER = 20
     config = ht.HybridConfig(solver="dopri5", rtol=1e-5, atol=1e-7)
     params = ht.init_hybrid_params(jax.random.PRNGKey(0), config)
     params["nn"]["w4"] = 0.01 * jax.random.normal(jax.random.PRNGKey(2), params["nn"]["w4"].shape)
@@ -49,24 +60,53 @@ def main():
     mealB = jnp.broadcast_to(meal1, (N, T))
     tvnsB = jnp.zeros((N, T))
 
-    # ---- primary: fused Pallas RK4 ----------------------------------------
-    # Timing discipline for the axon remote-execution platform: distinct
-    # inputs per rep (identical dispatches are deduped) AND a scalar
-    # materialisation per rep (block_until_ready alone returns early for
-    # queued remote work — measured 70us for a 30ms kernel).
-    reps = 10
-    y0_reps = [y0s * (1.0 + 1e-6 * i) for i in range(reps)]
-    reducer = jax.jit(lambda x: x.sum())
-    sync = lambda x: float(reducer(x))
-    fused = lambda y: fused_rk4_trajectory(y, tsB, mealB, tvnsB, params["ode"], params["nn"], substeps=SUB)
-    sync(fused(y0_reps[0]))  # compile both programs
+    # ---- dispatch overhead (reported for transparency) --------------------
+    bump = jax.jit(lambda x: x + 1.0)
+    float(bump(jnp.float32(0)))
     t0 = time.time()
-    for y in y0_reps:
-        sync(fused(y))
-    dt_fused = (time.time() - t0) / reps
+    for i in range(10):
+        float(bump(jnp.float32(i)))
+    dispatch_ms = (time.time() - t0) / 10 * 1e3
+
+    # ---- primary: fused Pallas RK4, amortized -----------------------------
+    @jax.jit
+    def many_fwd(seed):
+        def body(c, i):
+            y = y0s * (1.0 + 1e-6 * (seed + i))
+            tr = fused_rk4_trajectory(y, tsB, mealB, tvnsB,
+                                      params["ode"], params["nn"], substeps=SUB)
+            return c + tr[:, -1, 0].sum(), None
+        out, _ = jax.lax.scan(body, 0.0, jnp.arange(N_INNER, dtype=jnp.float32))
+        return out
+
+    float(many_fwd(jnp.float32(0)))  # compile
+    t0 = time.time()
+    float(many_fwd(jnp.float32(1)))
+    dt_fused = (time.time() - t0) / N_INNER
     fused_substeps = N * (T - 1) * SUB
     fused_sps = fused_substeps / dt_fused
     fused_subjects = N / dt_fused
+
+    # ---- train step: fwd + custom-VJP backward kernel, amortized ----------
+    tgt = y0s[:, None, :] * jnp.ones((1, T, 1))
+
+    def loss(p, y):
+        pred = fused_rk4_hybrid(y, tsB, mealB, tvnsB, p["ode"], p["nn"], substeps=SUB)
+        return jnp.sum((pred - tgt) ** 2)
+
+    @jax.jit
+    def many_grad(seed):
+        def body(c, i):
+            y = y0s * (1.0 + 1e-6 * (seed + i))
+            g = jax.grad(loss)(params, y)
+            return c + g["nn"]["w2"].sum(), None
+        out, _ = jax.lax.scan(body, 0.0, jnp.arange(8, dtype=jnp.float32))
+        return out
+
+    float(many_grad(jnp.float32(0)))
+    t0 = time.time()
+    float(many_grad(jnp.float32(1)))
+    dt_grad = (time.time() - t0) / 8
 
     # ---- secondary: adaptive dopri5 through the generic stack -------------
     controls = Controls(ts=ts1, signals={"meal": meal1, "tVNS": jnp.zeros(T)})
@@ -79,14 +119,24 @@ def main():
             mode="while", max_steps_per_interval=32, return_stats=True,
         )
 
-    sim = jax.jit(jax.vmap(one))
-    outa, stats = sim(y0_reps[0]); sync(outa)
+    sim = jax.vmap(one)
+
+    @jax.jit
+    def many_adapt(seed):
+        def body(c, i):
+            y = y0s * (1.0 + 1e-6 * (seed + i))
+            out, stats = sim(y)
+            return c + out[:, -1, 0].sum(), jnp.sum(stats.n_accepted + stats.n_rejected)
+        out, steps = jax.lax.scan(body, 0.0, jnp.arange(5, dtype=jnp.float32))
+        return out, steps[0]
+
+    _, adapt_steps = many_adapt(jnp.float32(0))
+    float(adapt_steps)
     t0 = time.time()
-    for y in y0_reps[:5]:
-        outa, stats = sim(y)
-        sync(outa)
+    out, adapt_steps = many_adapt(jnp.float32(1))
+    float(out)
     dt_adapt = (time.time() - t0) / 5
-    adapt_steps = int(jnp.sum(stats.n_accepted) + jnp.sum(stats.n_rejected))
+    adapt_steps = int(adapt_steps)
 
     print(
         json.dumps(
@@ -97,11 +147,14 @@ def main():
                 "vs_baseline": round(fused_subjects / REFERENCE_SUBJECTS_PER_SEC, 1),
                 "fused_subjects_per_sec": round(fused_subjects),
                 "fused_rhs_evals_per_sec": round(fused_sps * 4),
+                "train_step_ms": round(dt_grad * 1e3, 2),
                 "adaptive_steps_per_sec": round(adapt_steps / dt_adapt),
                 "adaptive_subjects_per_sec": round(N / dt_adapt),
                 "cohort_size": N,
                 "fused_wall_s": round(dt_fused, 5),
                 "adaptive_wall_s": round(dt_adapt, 5),
+                "dispatch_overhead_ms": round(dispatch_ms, 1),
+                "n_inner_amortized": N_INNER,
                 "device": str(jax.devices()[0]),
             }
         )

@@ -54,11 +54,13 @@ PARAM_ORDER = (
 )
 
 BLOCK_B = 2048       # batch lanes per forward kernel instance
-BLOCK_B_BWD = 256    # batch lanes per backward kernel instance: the vjp
-                     # residuals of 4 live RK4 stages (4 stages x ~5 (H, Bb)
-                     # activations each) cap the lane width — 512 lanes
-                     # measurably exceeds the 16 MB VMEM scoped limit
-                     # (25.3 MB requested) at H=64, T=61
+BLOCK_B_BWD = 1024   # batch lanes per backward kernel instance. The vjp
+                     # residuals of 4 live RK4 stages cap the lane width
+                     # under Mosaic's default 16 MB scoped-VMEM limit at 256;
+                     # with the limit raised to 96 MB (v5e has 128 MB VMEM)
+                     # the sweep measures 80.0 / 65.6 / 41.2 ms full fwd+bwd
+                     # at Bb=256/512/1024 (B=8192, T=61, H=64) and OOM at
+                     # 2048 — 1024 is the knee
 
 
 def pallas_available() -> bool:
@@ -69,6 +71,10 @@ def pallas_available() -> bool:
         return True
     except Exception:  # pragma: no cover
         return False
+
+
+#: static-arg spelling -> matmul input dtype for the in-kernel MLP
+_MLP_DTYPES = {"f32": jnp.float32, "bf16": jnp.bfloat16}
 
 
 def _round8(n: int) -> int:
@@ -112,7 +118,7 @@ def _pack_params(ode_params: Dict[str, jnp.ndarray], dtype=jnp.float32):
 
 
 def _hybrid_field_t(t_row, Y, meal_row, tvns_row, ws, bs, pv, ctx, n_layers,
-                    ctx_param_idx=()):
+                    ctx_param_idx=(), mlp_dtype=jnp.float32):
     """Transposed-layout hybrid field: (8, Bb) states -> (8, Bb) derivative.
 
     Pure function of VALUES (not refs) so `jax.vjp` can transpose it inside
@@ -123,7 +129,11 @@ def _hybrid_field_t(t_row, Y, meal_row, tvns_row, ws, bs, pv, ctx, n_layers,
     context rows are per-sample multiplicative deltas on those mechanistic
     parameters (P_i <- P_i * e^{ctx_row}, models/hybrid.py
     context_mode='params'); the affected P entries become (1, Bb) rows and
-    the MLP sees no context features."""
+    the MLP sees no context features.
+
+    mlp_dtype: jnp.bfloat16 runs the MLP matmuls as single-pass bf16 MXU
+    ops with f32 accumulation (the v5e-native mode; f32 matmuls decompose
+    into multiple bf16 passes). Mechanistic math stays f32 on the VPU."""
     P = {name: pv[0, i] for i, name in enumerate(PARAM_ORDER)}
     if ctx_param_idx:
         for row, pidx in enumerate(ctx_param_idx):
@@ -156,28 +166,29 @@ def _hybrid_field_t(t_row, Y, meal_row, tvns_row, ws, bs, pv, ctx, n_layers,
     if in_pad > n_feat:
         feats.append(jnp.zeros((in_pad - n_feat, Y.shape[1]), Y.dtype))
     X = jnp.concatenate(feats, axis=0)
-    H = X
+    H = X.astype(mlp_dtype)
     for li in range(n_layers):
         H = jnp.maximum(
             jax.lax.dot_general(
-                ws[li], H, (((1,), (0,)), ((), ())),
+                ws[li].astype(mlp_dtype), H, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + bs[li],
             0.0,
-        )
+        ).astype(mlp_dtype)
     R = jax.lax.dot_general(
-        ws[n_layers], H, (((1,), (0,)), ((), ())),
+        ws[n_layers].astype(mlp_dtype), H, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bs[n_layers]
     return dY + R
 
 
-def _rk4_substep_t(Y, t, h, ctrls, ws, bs, pv, ctx, n_layers, ctx_param_idx=()):
+def _rk4_substep_t(Y, t, h, ctrls, ws, bs, pv, ctx, n_layers, ctx_param_idx=(),
+                   mlp_dtype=jnp.float32):
     """One transposed-layout RK4 substep. ctrls = ((m0,v0),(m1,v1),(m2,v2))
     are the control rows at stage offsets 0, h/2, h (constants wrt the vjp)."""
     (m0, v0), (m1, v1), (m2, v2) = ctrls
     f = lambda tt, YY, m, v: _hybrid_field_t(tt, YY, m, v, ws, bs, pv, ctx,
-                                             n_layers, ctx_param_idx)
+                                             n_layers, ctx_param_idx, mlp_dtype)
     k1 = f(t, Y, m0, v0)
     k2 = f(t + 0.5 * h, Y + 0.5 * h * k1, m1, v1)
     k3 = f(t + 0.5 * h, Y + 0.5 * h * k2, m1, v1)
@@ -208,7 +219,7 @@ def _interval_inputs(pl, ts_ref, meal_ref, tvns_ref, i, jf, inv_s):
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(n_steps, substeps, n_layers, has_ctx, ctx_param_idx,
+def _fwd_kernel(n_steps, substeps, n_layers, has_ctx, ctx_param_idx, mlp_dtype,
                 y0_ref, ts_ref, meal_ref, tvns_ref, *rest):
     from jax.experimental import pallas as pl
 
@@ -235,7 +246,7 @@ def _fwd_kernel(n_steps, substeps, n_layers, has_ctx, ctx_param_idx,
         jf = j.astype(jnp.float32)
         t, h, ctrls = _interval_inputs(pl, ts_ref, meal_ref, tvns_ref, i, jf, inv_s)
         Y_new = _rk4_substep_t(Y, t, h, ctrls, ws, bs, pv, ctx, n_layers,
-                               ctx_param_idx)
+                               ctx_param_idx, mlp_dtype)
 
         @pl.when(j == substeps - 1)
         def _():
@@ -269,7 +280,8 @@ def _prep_inputs(y0, ts, meal, tvns, context, block_b):
 
 
 def _fwd_pallas(y0_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
-                substeps, n_layers, interpret, Bb, ctx_param_idx=()):
+                substeps, n_layers, interpret, Bb, ctx_param_idx=(),
+                mlp_dtype="f32"):
     """Run the forward kernel on pre-packed inputs -> (T, 8, Bp) trajectory."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -303,7 +315,7 @@ def _fwd_pallas(y0_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
 
     kernel = functools.partial(
         _fwd_kernel, n_steps, substeps, n_layers, ctx_t is not None,
-        ctx_param_idx,
+        ctx_param_idx, _MLP_DTYPES[mlp_dtype],
     )
     return pl.pallas_call(
         kernel,
@@ -318,7 +330,8 @@ def _fwd_pallas(y0_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "substeps", "n_layers", "interpret", "block_b", "context_param_idx"
+        "substeps", "n_layers", "interpret", "block_b", "context_param_idx",
+        "mlp_dtype",
     ),
 )
 def fused_rk4_trajectory(
@@ -334,6 +347,7 @@ def fused_rk4_trajectory(
     block_b: int = BLOCK_B,
     context: Optional[jnp.ndarray] = None,  # (B, C) per-sample features
     context_param_idx: tuple = (),
+    mlp_dtype: str = "f32",
 ) -> jnp.ndarray:
     """Integrate the hybrid field with fused RK4 (forward only); (B, T, 6).
 
@@ -353,7 +367,8 @@ def fused_rk4_trajectory(
     pvec = _pack_params(ode_params)
     out = _fwd_pallas(y0_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
                       substeps, n_layers, interpret, Bb,
-                      ctx_param_idx=tuple(context_param_idx))
+                      ctx_param_idx=tuple(context_param_idx),
+                      mlp_dtype=mlp_dtype)
     B = y0.shape[0]
     return jnp.transpose(out[:, :6, :B], (2, 0, 1))  # (B, T, 6)
 
@@ -363,7 +378,7 @@ def fused_rk4_trajectory(
 # recomputation from the saved observation-grid trajectory.
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(substeps, n_layers, has_ctx, n_ctx, ctx_param_idx,
+def _bwd_kernel(substeps, n_layers, has_ctx, n_ctx, ctx_param_idx, mlp_dtype,
                 traj_ref, gbar_ref, ts_ref, meal_ref, tvns_ref, *rest):
     from jax.experimental import pallas as pl
 
@@ -390,7 +405,7 @@ def _bwd_kernel(substeps, n_layers, has_ctx, n_ctx, ctx_param_idx,
 
     def substep_fn(Y, ws_, bs_, pv_, ctx_, t, h, ctrls):
         return _rk4_substep_t(Y, t, h, ctrls, list(ws_), list(bs_), pv_,
-                              ctx_, n_layers, ctx_param_idx)
+                              ctx_, n_layers, ctx_param_idx, mlp_dtype)
 
     zero_ws = tuple(jnp.zeros_like(w) for w in ws)
     zero_bs = tuple(jnp.zeros_like(b) for b in bs)
@@ -469,7 +484,8 @@ def _bwd_kernel(substeps, n_layers, has_ctx, n_ctx, ctx_param_idx,
 
 
 def _bwd_pallas(traj, gbar_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
-                substeps, n_layers, interpret, Bb, ctx_param_idx=()):
+                substeps, n_layers, interpret, Bb, ctx_param_idx=(),
+                mlp_dtype="f32"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -519,7 +535,14 @@ def _bwd_pallas(traj, gbar_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
     kernel = functools.partial(
         _bwd_kernel, substeps, n_layers, has_ctx,
         ctx_t.shape[0] if has_ctx else 0, ctx_param_idx,
+        _MLP_DTYPES[mlp_dtype],
     )
+    # Raise Mosaic's scoped-VMEM allowance above the 16 MB default: v5e has
+    # 128 MB of VMEM per core, and the backward residuals (4 live RK stages
+    # of MLP activations per substep) are what capped the lane block at 256.
+    # 96 MB admits Bb=1024 (measured: 80.2 -> 41.2 ms full fwd+bwd at
+    # B=8192, T=61 — see RESULTS.md roofline section).
+    params = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -527,6 +550,7 @@ def _bwd_pallas(traj, gbar_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
+        compiler_params=None if interpret else params,
     )(*args)
 
 
@@ -536,7 +560,8 @@ def _bwd_pallas(traj, gbar_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
 
 @functools.lru_cache(maxsize=None)
 def _make_fused_rk4(substeps: int, n_layers: int, interpret: bool,
-                    block_b: int, block_b_bwd: int, ctx_param_idx: tuple = ()):
+                    block_b: int, block_b_bwd: int, ctx_param_idx: tuple = (),
+                    mlp_dtype: str = "f32"):
     """Build (and cache) the custom-VJP fused trajectory function for one
     static configuration."""
 
@@ -547,7 +572,8 @@ def _make_fused_rk4(substeps: int, n_layers: int, interpret: bool,
         ws, bs = _pack_weights(nn_params, n_layers)
         pvec = _pack_params(ode_params)
         traj = _fwd_pallas(y0_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
-                           substeps, n_layers, interpret, Bb, ctx_param_idx)
+                           substeps, n_layers, interpret, Bb, ctx_param_idx,
+                           mlp_dtype)
         return traj
 
     @jax.custom_vjp
@@ -590,7 +616,7 @@ def _make_fused_rk4(substeps: int, n_layers: int, interpret: bool,
         pvec = _pack_params(ode_params)
         outs = _bwd_pallas(traj, gbar_t, ts_t, meal_t, tvns_t, ctx_t,
                            ws, bs, pvec, substeps, n_layers, interpret, Bb,
-                           ctx_param_idx)
+                           ctx_param_idx, mlp_dtype)
         ybar0 = outs[0]
         dws = outs[1: n_layers + 2]
         dbs = outs[n_layers + 2: 2 * (n_layers + 1) + 1]
@@ -627,13 +653,20 @@ def fused_rk4_hybrid(
     block_b_bwd: int = BLOCK_B_BWD,
     context: Optional[jnp.ndarray] = None,  # (B, C)
     context_param_idx: tuple = (),
+    mlp_dtype: str = "f32",
 ) -> jnp.ndarray:
     """Differentiable fused-RK4 trajectory: custom-VJP Pallas forward AND
     backward. Gradients flow to y0, context, ode_params and nn_params
     (ts/meal/tvns receive symbolic zeros — they are data, not parameters).
 
     Matches `odeint(..., solver='rk4', mode='scan')` gradients to float32
-    accuracy (tests/test_pallas_kernel.py::test_fused_rk4_gradients)."""
+    accuracy (tests/test_pallas_kernel.py::test_fused_rk4_gradients).
+
+    mlp_dtype='bf16' (opt-in) runs the in-kernel MLP matmuls — forward AND
+    the vjp's transposed matmuls — as single-pass bf16 MXU ops with f32
+    accumulation; everything else (states, mechanistic drift, RK combine,
+    cotangent accumulators) stays f32. DEVIATION from exact XLA-path
+    parity by design: trajectories/grads agree to ~bf16 resolution."""
     fn = _make_fused_rk4(substeps, n_layers, interpret, block_b, block_b_bwd,
-                         tuple(context_param_idx))
+                         tuple(context_param_idx), mlp_dtype)
     return fn(y0, ts, meal, tvns, context, ode_params, nn_params)
