@@ -1,0 +1,152 @@
+"""UQ calibration benchmark: last-layer posterior + learned noise + recal.
+
+Parity target: the manuscript's UQ table (manuscript.tex:707-720, :765 —
+ECE 0.08, Coverage95 >= 0.95 claimed on MIMIC). Round 2 measured ECE 0.138
+/ Cov95 0.70 with an ODE-parameter-only posterior and a GUESSED fixed
+observation noise (sigma=0.35) — under-dispersed intervals. Round 3 attacks
+all three causes (VERDICT r2 next-round #3):
+
+  1. include_nn='last': the posterior also covers the MLP's output layer
+     (last-layer Bayesian approximation) so functional uncertainty is no
+     longer structurally absent;
+  2. learn_noise=True: the observation-noise scale is optimized WITH the
+     ELBO instead of guessed — sigma sets both the likelihood temperature
+     and the predictive-interval width;
+  3. scalar variance recalibration fitted on the VALIDATION split
+     (evals/metrics.fit_uncertainty_scale), applied to test.
+
+Uses the round-2 accuracy-benchmark point estimate as the posterior mean
+template (checkpoints/accuracy_benchmark_r2). Writes
+results/uq_calibration.json with before/after metrics.
+
+Usage: python benchmarks/uq_calibration.py [--vi-epochs 150]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def collect_predictive(vi, ds, config, batch_size=32, n_samples=100, seed=0):
+    """Posterior-predictive mean/std arrays over a dataset split."""
+    import jax
+    import jax.numpy as jnp
+
+    from hybrid_ode_tpu.data.dataset import batch_iterator, pad_batch
+    from hybrid_ode_tpu.models.hybrid import controls_from_batch, with_context
+
+    key = jax.random.PRNGKey(seed)
+    preds, uncs, targs, masks = [], [], [], []
+    template = vi.template
+    for batch in batch_iterator(ds, batch_size, shuffle=False):
+        b, valid = pad_batch(batch, batch_size)
+        controls = controls_from_batch(b)
+        controls = with_context(template, b, controls, config)
+        nb = int(valid.sum())
+        key, sk = jax.random.split(key)
+        mean, std = vi.posterior_predictive(
+            sk, jnp.asarray(b["initial_state"]), jnp.asarray(b["time_points"]),
+            controls, n_samples=n_samples,
+        )
+        unc = jnp.sqrt(std**2 + vi.noise_sigma**2)
+        preds.append(np.asarray(mean)[:nb])
+        uncs.append(np.asarray(unc)[:nb])
+        targs.append(np.asarray(b["observations"])[:nb])
+        masks.append(np.asarray(b["mask"])[:nb])
+    return (np.concatenate(preds), np.concatenate(uncs),
+            np.concatenate(targs), np.concatenate(masks))
+
+
+def metrics_at(preds, unc, targs, mask, scale=1.0):
+    from hybrid_ode_tpu.evals.metrics import (
+        compute_calibration_error,
+        compute_coverage,
+        compute_crps,
+        compute_nll,
+    )
+
+    u = scale * unc
+    out = compute_calibration_error(preds, u, targs, mask=mask)
+    out["coverage_80"] = compute_coverage(preds, u, targs, 0.8, mask=mask)
+    out["coverage_90"] = compute_coverage(preds, u, targs, 0.9, mask=mask)
+    out["nll"] = compute_nll(preds, u, targs, mask=mask)
+    out["crps"] = compute_crps(preds, u, targs, mask=mask)
+    return {k: round(float(v), 4) for k, v in out.items()}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vi-epochs", type=int, default=150)
+    ap.add_argument("--n-samples", type=int, default=100)
+    ap.add_argument("--checkpoint",
+                    default=str(REPO / "checkpoints" / "accuracy_benchmark_r2" / "best_model"))
+    args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
+    from hybrid_ode_tpu.data.dataset import create_data_arrays, split_dataset
+    from hybrid_ode_tpu.evals.metrics import fit_uncertainty_scale
+    from hybrid_ode_tpu.inference.vi import VariationalInference
+    from hybrid_ode_tpu.models.hybrid import config_from_dict
+    from hybrid_ode_tpu.utils.checkpoint import load_checkpoint
+
+    state, meta = load_checkpoint(args.checkpoint)
+    cfg_dict = meta["config"]
+    config = config_from_dict(cfg_dict)
+    params = state["params"]
+
+    ds = create_data_arrays(str(REPO / "data" / "4gi_dataset.csv"),
+                            sequence_length=61,
+                            stride=cfg_dict["data"].get("stride", 30))
+    tr, va, te = split_dataset(ds, seed=42)
+    print(f"windows: train {len(tr)} / val {len(va)} / test {len(te)}")
+
+    results = {}
+    for label, include_nn, learn_noise in (
+        ("ode_only_fixed_noise", False, False),   # round-2 configuration
+        ("last_layer_learned_noise", "last", True),
+    ):
+        vi = VariationalInference(
+            params, config,
+            prior_params=cfg_dict.get("ode_param_priors"),
+            n_samples=5, noise_sigma=0.35,
+            kl_annealing=True, annealing_epochs=30,
+            include_nn=include_nn, learn_noise=learn_noise,
+        )
+        t0 = time.time()
+        vi.train(tr, va, epochs=args.vi_epochs, batch_size=16,
+                 early_stopping_patience=40)
+        wall = time.time() - t0
+
+        pv, uv, tv, mv = collect_predictive(vi, va, config, n_samples=args.n_samples, seed=1)
+        pt, ut, tt, mt = collect_predictive(vi, te, config, n_samples=args.n_samples, seed=2)
+        s = fit_uncertainty_scale(pv, uv, tv, mask=mv)
+        results[label] = {
+            "noise_sigma": round(vi.noise_sigma, 4),
+            "recalibration_scale_val": round(s, 4),
+            "test_raw": metrics_at(pt, ut, tt, mt, 1.0),
+            "test_recalibrated": metrics_at(pt, ut, tt, mt, s),
+            "vi_train_wall_s": round(wall, 1),
+        }
+        print(label, json.dumps(results[label], indent=1))
+
+    results["_targets"] = {"ece": 0.08, "coverage_95": 0.95,
+                           "source": "manuscript.tex:707-720,:765 (claimed on MIMIC)"}
+    out = REPO / "results" / "uq_calibration.json"
+    out.write_text(json.dumps(results, indent=2))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

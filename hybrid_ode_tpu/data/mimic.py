@@ -168,6 +168,221 @@ class MIMICDownloader:
         )
 
 
+# ---------------------------------------------------------------------------
+# Physiologically-grounded ICU cohort (round 3)
+# ---------------------------------------------------------------------------
+
+
+def generate_icu_cohort(
+    path: Optional[str] = None,
+    n_patients: int = 80,
+    hours: float = 72.0,
+    grid_minutes: float = 5.0,
+    seed: int = 0,
+    obs_gap_min: float = 40.0,
+    t2dm_fraction: float = 0.7,
+    output_dir: str = "data",
+):
+    """Synthetic ICU glucose-management cohort with REAL dynamics.
+
+    The reference's synthetic "MIMIC" generator draws glucose as baseline +
+    meal-hour Gaussian bumps + iid noise (`download_mimic.py:86-137`) — it
+    has NO differential structure, so a mechanistic glucose-insulin prior
+    cannot be informative on it and the hybrid's central claimed advantage
+    (manuscript.tex:753-768: mech 1.10 / NN 0.85 / hybrid 0.72 mmol/L)
+    is unreachable by construction (measured in round 2: hybrid 0.950 vs
+    NN-only 0.921). This generator closes that gap the defensible way:
+    each patient is simulated from the 8-state 4GI physiology
+    (`dynamics/fourgi.py` — a RICHER model family than the 6-state
+    mechanistic core the trained models use, so the hybrid cannot win "by
+    construction") under ICU-style exogenous drivers:
+
+      * enteral nutrition: randomized continuous carb-infusion blocks
+        (4-8 h on, 2-4 h off) + occasional IV dextrose boluses;
+      * exogenous IV insulin under a sliding-scale protocol: the infusion
+        rate is recomputed at hourly "nurse checks" from the currently
+        charted glucose — a closed feedback loop, simulated in hourly
+        chunks exactly as an ICU runs it;
+      * UNMODELED physiology both model families must learn from data:
+        circadian modulation of endogenous glucose production and random
+        stress (cortisol-like) excursion episodes;
+      * per-patient parameter heterogeneity (insulin sensitivity/clearance
+        log-normal jitter) on top of the T2DM / healthy split.
+
+    Observations are sparse and irregular: charting events with exponential
+    gaps (mean `obs_gap_min`), all channels assayed at an event (the
+    dataset layer masks whole rows), multiplicative assay noise. The carb
+    and insulin infusion rates are exported as the `meal_indicator` and
+    `tvns` control columns (scaled to O(1)), so trained models condition
+    on what the care team actually did — the mechanistic core sees the
+    carb input in its dG term; the insulin input is NN-visible.
+
+    Noiseless truth columns ride along for truth-referenced evaluation.
+    """
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from hybrid_ode_tpu.dynamics.fourgi import (
+        fourgi_field,
+        fourgi_initial_state,
+        fourgi_params,
+    )
+    from hybrid_ode_tpu.solvers.api import odeint
+
+    rng = np.random.default_rng(seed)
+    N = n_patients
+    dt_h = grid_minutes / 60.0
+    T = int(round(hours / dt_h)) + 1
+    t_grid = np.arange(T) * dt_h                      # (T,) hours
+    steps_per_hour = int(round(1.0 / dt_h))
+
+    # --- per-patient physiology ------------------------------------------
+    diabetic = rng.uniform(size=N) < t2dm_fraction
+    p_t2 = fourgi_params("T2DM")
+    p_hv = fourgi_params("HV")
+    jitter_cv = {"CLglc": 0.25, "CLglci": 0.30, "CLins": 0.20,
+                 "BSLglc": 0.12, "BSLins": 0.20, "BSLglp": 0.15, "BSLglg": 0.15}
+    params = {}
+    for name in p_t2:
+        base = np.where(diabetic, float(p_t2[name]), float(p_hv[name]))
+        if name in jitter_cv:
+            base = base * np.exp(jitter_cv[name] * rng.standard_normal(N)
+                                 - 0.5 * jitter_cv[name] ** 2)
+        params[name] = jnp.asarray(base, jnp.float32)   # (N,)
+
+    # --- exogenous carb schedule (enteral blocks + dextrose boluses) ------
+    carb = np.zeros((N, T), np.float64)                 # mmol glucose / h
+    for i in range(N):
+        t = 0.0
+        while t < hours:
+            on = rng.uniform(4.0, 8.0)
+            rate = rng.uniform(10.0, 35.0)
+            i0, i1 = int(t / dt_h), min(int((t + on) / dt_h), T)
+            carb[i, i0:i1] += rate
+            t += on + rng.uniform(2.0, 4.0)             # off-block
+        for _ in range(rng.poisson(2.0)):               # IV dextrose boluses
+            tb = rng.uniform(0, hours - 0.25)
+            i0 = int(tb / dt_h)
+            carb[i, i0: i0 + 3] += 25.0 / 0.25          # 25 mmol over 15 min
+
+    # --- unmodeled physiology: circadian + stress episodes ----------------
+    circ_amp = rng.uniform(0.08, 0.20, N)
+    circ_phase = rng.uniform(0, 24, N)
+    circ = circ_amp[:, None] * np.sin(
+        2 * np.pi * (t_grid[None, :] - circ_phase[:, None]) / 24.0
+    )
+    stress = np.zeros((N, T), np.float64)
+    for i in range(N):
+        for _ in range(rng.poisson(2.5)):
+            t0s = rng.uniform(0, hours - 1.0)
+            dur = rng.uniform(1.0, 3.0)
+            amp = rng.uniform(0.15, 0.45)
+            i0, i1 = int(t0s / dt_h), min(int((t0s + dur) / dt_h), T)
+            stress[i, i0:i1] += amp
+    # fractional modulation of endogenous glucose production
+    prod_mod = jnp.asarray(1.0 + circ + stress, jnp.float32)     # (N, T)
+    carb_j = jnp.asarray(carb, jnp.float32)
+    ts_j = jnp.asarray(t_grid, jnp.float32)
+
+    def icu_field(t, y, args):
+        p, carb_row, mod_row, ins_rate = args
+        idx = jnp.clip(
+            jnp.searchsorted(ts_j, t, side="right") - 1, 0, T - 2
+        )
+        dy = fourgi_field(t, y, p, {"meal_rate": carb_row[idx]})
+        KINglc = p["BSLglc"] * (p["CLglc"] + p["CLglci"] * p["BSLins"])
+        dy = dy.at[0].add(KINglc * (mod_row[idx] - 1.0))  # circadian+stress
+        dy = dy.at[1].add(ins_rate)                       # IV insulin, pmol/h
+        return dy
+
+    # --- closed-loop simulation in hourly chunks (sliding scale) ----------
+    n_chunks = int(round(hours))
+
+    @jax.jit
+    def sim_chunk(y0, chunk_ts, ins_rate):
+        def one(y0_i, carb_i, mod_i, rate_i, leaves):
+            p_i = dict(zip(sorted(params), leaves))
+            return odeint(
+                icu_field, y0_i, chunk_ts, (p_i, carb_i, mod_i, rate_i),
+                solver="dopri5", rtol=1e-5, atol=1e-7, mode="while",
+                max_steps_per_interval=32, checkpoint_intervals=False,
+            )
+        leaves = [params[k] for k in sorted(params)]
+        return jax.vmap(one, in_axes=(0, 0, 0, 0, 0))(
+            y0, carb_j, prod_mod, ins_rate, leaves
+        )
+
+    y0 = jax.vmap(lambda *leaves: fourgi_initial_state(
+        dict(zip(sorted(params), leaves))))(*[params[k] for k in sorted(params)])
+    # start T2DM patients hyperglycaemic (ICU admission state)
+    admit = 1.0 + rng.uniform(0.0, 0.6, N) * diabetic
+    y0 = y0.at[:, 0].mul(jnp.asarray(admit, jnp.float32))
+    y0 = y0.at[:, 5].mul(jnp.asarray(admit, jnp.float32))
+
+    ins_rate = jnp.zeros((N,), jnp.float32)
+    traj = np.zeros((N, T, 8), np.float32)
+    traj[:, 0] = np.asarray(y0)
+    ins_rate_grid = np.zeros((N, T), np.float32)
+    glucose_target = 7.0
+    for c in range(n_chunks):
+        i0 = c * steps_per_hour
+        i1 = min(i0 + steps_per_hour, T - 1)
+        chunk_ts = ts_j[i0: i1 + 1]
+        out = sim_chunk(jnp.asarray(traj[:, i0]), chunk_ts, ins_rate)
+        traj[:, i0: i1 + 1] = np.asarray(out)
+        ins_rate_grid[:, i0: i1 + 1] = np.asarray(ins_rate)[:, None]
+        # nurse check: charted glucose (with meter noise) -> new rate
+        G = traj[:, i1, 0] / np.asarray(params["VCglc"])
+        G_meter = G * (1.0 + 0.03 * rng.standard_normal(N))
+        new_rate = np.clip(900.0 * (G_meter - glucose_target), 0.0, 7000.0)
+        ins_rate = jnp.asarray(new_rate, jnp.float32)
+
+    conc = {
+        "glucose": traj[..., 0] / np.asarray(params["VCglc"])[:, None],
+        "insulin": traj[..., 1] / np.asarray(params["VCins"])[:, None],
+        "glp1": traj[..., 2] / np.asarray(params["VCglp"])[:, None],
+        "glucagon": traj[..., 3] / np.asarray(params["VCglg"])[:, None],
+    }
+
+    # --- sparse irregular charting + assay noise --------------------------
+    cv = {"glucose": 0.02, "insulin": 0.08, "glp1": 0.12, "glucagon": 0.10}
+    frames = []
+    for i in range(N):
+        # event times: exponential gaps, snapped to the grid
+        evts = np.cumsum(rng.exponential(obs_gap_min, int(hours * 60 / obs_gap_min * 2)))
+        evts = evts[evts < hours * 60.0]
+        idx = np.unique(np.clip(np.round(evts / grid_minutes).astype(int), 0, T - 1))
+        obs_mask = np.zeros(T, bool)
+        obs_mask[idx] = True
+        obs_mask[0] = True
+        cols: Dict[str, np.ndarray] = {
+            "subject_id": np.full(T, i),
+            "time_minutes": t_grid * 60.0,
+        }
+        for name, unit in (("glucose", "mmol_L"), ("insulin", "pmol_L"),
+                           ("glucagon", "pmol_L"), ("glp1", "pmol_L")):
+            v = conc[name][i] * (1.0 + cv[name] * rng.standard_normal(T))
+            v = np.where(obs_mask, np.maximum(v, 0.1), np.nan)
+            cols[f"{name}_{unit}"] = v
+            cols[f"{name}_true_{unit}"] = conc[name][i]
+        cols["meal_indicator"] = carb[i] / 20.0          # O(1) carb rate
+        cols["tvns"] = ins_rate_grid[i] / 2000.0         # O(1) insulin rate
+        cols["diabetic"] = np.full(T, bool(diabetic[i]))
+        frames.append(pd.DataFrame(cols))
+    df = pd.concat(frames, ignore_index=True)
+
+    if path is None:
+        path = str(Path(output_dir) / "icu_cohort.parquet")
+    MIMICDownloader(output_dir=str(Path(path).parent)).save_to_parquet(
+        df, Path(path).name,
+        metadata={"generator": "hybrid_ode_tpu ICU cohort (4GI + exogenous "
+                  "insulin + circadian/stress)", "n_patients": N,
+                  "hours": hours, "seed": seed, "obs_gap_min": obs_gap_min},
+    )
+    return df
+
+
 if __name__ == "__main__":
     import argparse
     import getpass

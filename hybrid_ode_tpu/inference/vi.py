@@ -105,57 +105,82 @@ class VariationalInference:
         noise_sigma: float = 1.0,
         kl_annealing: bool = False,
         annealing_epochs: int = 50,
-        include_nn: bool = False,
+        include_nn=False,
+        learn_noise: bool = False,
     ):
-        """include_nn: put the NN weights under the posterior too (reference
-        behavior). Default False — ODE-parameter-only UQ is stable and
-        interpretable; full-NN mean-field collapses to the prior on small
-        cohorts (documented deviation)."""
+        """include_nn: False = ODE-parameter-only posterior (stable,
+        interpretable); True = all NN weights too (reference behavior — full
+        mean-field collapses to the prior on small cohorts, documented
+        deviation); "last" = ODE params + the MLP's OUTPUT layer (last-layer
+        Bayesian approximation, round 3 — captures functional uncertainty at
+        a few hundred dimensions).
+
+        learn_noise: optimize the observation-noise scale with the ELBO
+        (round 3). A fixed guessed sigma is the main reason round-2
+        calibration sat at ECE 0.138: sigma sets the likelihood temperature
+        AND the predictive interval width."""
         self.template = template_params
         self.config = config
         self.n_samples = n_samples
-        self.noise_sigma = noise_sigma
         self.kl_annealing = kl_annealing
         self.annealing_epochs = annealing_epochs
+        self.learn_noise = learn_noise
+        self.log_noise = jnp.asarray(np.log(max(noise_sigma, 1e-6)), jnp.float32)
 
         flat = params_to_flat(template_params)
         self.vstate, self.priors = init_variational(flat, prior_params, include_nn=include_nn)
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(5.0), optax.adam(learning_rate)
         )
-        self.opt_state = self.optimizer.init(self.vstate)
+        self.opt_state = self.optimizer.init((self.vstate, self.log_noise))
         self.history = {"elbo": [], "kl": [], "log_likelihood": []}
         self._train_step = None
         self._eval_elbo = None
 
+    @property
+    def noise_sigma(self) -> float:
+        return float(np.exp(self.log_noise))
+
+    @noise_sigma.setter
+    def noise_sigma(self, value: float) -> None:
+        self.log_noise = jnp.asarray(np.log(max(float(value), 1e-6)), jnp.float32)
+
     # -- jitted kernels ----------------------------------------------------
     def _build(self):
-        cfg, ns, sigma = self.config, self.n_samples, self.noise_sigma
+        cfg, ns = self.config, self.n_samples
         priors, template, optimizer = self.priors, self.template, self.optimizer
+        learn_noise = self.learn_noise
 
-        def loss_fn(vstate, batch, key, kl_scale):
+        def loss_fn(state, batch, key, kl_scale):
+            vstate, log_noise = state
+            if not learn_noise:
+                log_noise = jax.lax.stop_gradient(log_noise)
+            sigma = jnp.exp(log_noise)
             value, comps = elbo(vstate, priors, template, batch, key, cfg, ns, sigma, kl_scale)
             return -value, comps
 
-        def train_step(vstate, opt_state, batch, key, kl_scale):
+        def train_step(state, opt_state, batch, key, kl_scale):
             (loss, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                vstate, batch, key, kl_scale
+                state, batch, key, kl_scale
             )
-            updates, opt_state = optimizer.update(grads, opt_state, vstate)
-            vstate = optax.apply_updates(vstate, updates)
-            return vstate, opt_state, loss, comps
+            updates, opt_state = optimizer.update(grads, opt_state, state)
+            state = optax.apply_updates(state, updates)
+            return state, opt_state, loss, comps
 
         self._train_step = jax.jit(train_step)
         self._eval_elbo = jax.jit(
-            lambda vstate, batch, key: elbo(vstate, priors, template, batch, key, cfg, ns, sigma)
+            lambda state, batch, key: elbo(
+                state[0], priors, template, batch, key, cfg, ns, jnp.exp(state[1])
+            )
         )
 
     # -- public API ---------------------------------------------------------
     def train_step(self, batch: Dict, key: jax.Array, kl_scale: float = 1.0) -> Dict[str, float]:
         if self._train_step is None:
             self._build()
-        self.vstate, self.opt_state, loss, comps = self._train_step(
-            self.vstate, self.opt_state, batch, key, jnp.asarray(kl_scale, jnp.float32)
+        (self.vstate, self.log_noise), self.opt_state, loss, comps = self._train_step(
+            (self.vstate, self.log_noise), self.opt_state, batch, key,
+            jnp.asarray(kl_scale, jnp.float32),
         )
         return {
             "loss": float(loss),
@@ -202,7 +227,7 @@ class VariationalInference:
                 for batch in batch_iterator(val_ds, batch_size, shuffle=False):
                     batch, _ = pad_batch(batch, batch_size)
                     key, sk = jax.random.split(key)
-                    v, _ = self._eval_elbo(self.vstate, batch, sk)
+                    v, _ = self._eval_elbo((self.vstate, self.log_noise), batch, sk)
                     vtotal += float(v)
                     vb += 1
                 val_elbo = vtotal / max(vb, 1)
@@ -269,6 +294,7 @@ class VariationalInference:
             {"history": self.history,
              "priors": {k: list(v) for k, v in self.priors.items()},
              "noise_sigma": self.noise_sigma,
+             "learn_noise": self.learn_noise,
              "model_config": dataclasses.asdict(self.config)},
         )
 
@@ -281,7 +307,6 @@ class VariationalInference:
             # pickle-free spec loader reconstructs
             means, log_stds = loaded
         self.vstate = VariationalState(means=dict(means), log_stds=dict(log_stds))
-        self.opt_state = state["opt_state"]
         self.history = meta.get("history", self.history)
         if "template" in state:
             self.template = state["template"]
@@ -289,6 +314,18 @@ class VariationalInference:
             self.priors = {k: tuple(v) for k, v in meta["priors"].items()}
         if "noise_sigma" in meta:
             self.noise_sigma = float(meta["noise_sigma"])
+        self.learn_noise = bool(meta.get("learn_noise", False))
+        # optimizer state: round-3 steps optimize (vstate, log_noise); a
+        # legacy checkpoint's opt_state covers vstate only — re-init then
+        try:
+            saved = state["opt_state"]
+            want = jax.tree.structure(self.optimizer.init((self.vstate, self.log_noise)))
+            if jax.tree.structure(saved) == want:
+                self.opt_state = saved
+            else:
+                raise ValueError("legacy opt_state layout")
+        except Exception:
+            self.opt_state = self.optimizer.init((self.vstate, self.log_noise))
         self._train_step = None  # priors/template changed: rebuild jits lazily
         self._eval_elbo = None
 

@@ -31,20 +31,37 @@ class VariationalState(NamedTuple):
 
 
 def select_bayes_params(
-    flat_params: Mapping[str, jnp.ndarray], include_nn: bool = True
+    flat_params: Mapping[str, jnp.ndarray], include_nn=True
 ) -> Dict[str, jnp.ndarray]:
     """Parameters receiving variational treatment: the 8 selected ODE params
-    (+ all NN params when include_nn, parity: `models/hybrid_ode_nn.py:82-91`).
+    (+ NN params per include_nn, parity: `models/hybrid_ode_nn.py:82-91`).
 
-    include_nn=False restricts the posterior to the interpretable
-    physiological parameters — mean-field over ~13k NN weights against a
-    handful of training windows collapses to the prior and dominates the KL,
-    one reason the reference's VI never worked."""
+    include_nn:
+      * True  — all NN weights (reference behavior). Mean-field over ~13k
+        weights against a handful of training windows collapses to the prior
+        and dominates the KL — one reason the reference's VI never worked.
+      * False — ODE parameters only (round-1/2 default): stable but the
+        posterior misses functional uncertainty (round-2 ECE 0.138).
+      * "last" — ODE params + the OUTPUT layer of the MLP (the standard
+        last-layer Bayesian approximation: the network's final linear map
+        carries most of the tractable functional uncertainty at a few
+        hundred dimensions; round-3 default).
+    """
+    last_idx = -1
+    if include_nn == "last":
+        for name in flat_params:
+            if name.startswith("nn_w"):
+                try:
+                    last_idx = max(last_idx, int(name[4:]))
+                except ValueError:
+                    pass
     chosen = {}
     for name, v in flat_params.items():
         if name.startswith("ode_") and name[4:] in BAYES_ODE_PARAM_NAMES:
             chosen[name] = v
-        elif include_nn and name.startswith("nn_"):
+        elif include_nn is True and name.startswith("nn_"):
+            chosen[name] = v
+        elif include_nn == "last" and name in (f"nn_w{last_idx}", f"nn_b{last_idx}"):
             chosen[name] = v
     return chosen
 

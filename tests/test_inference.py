@@ -256,3 +256,33 @@ def test_netcdf_roundtrip_h5py(tmp_path):
         assert g["draw"].attrs["CLASS"] == b"DIMENSION_SCALE"
         assert g["ode_a_GI"].dims[1][0] == g["draw"]
         assert "sample_stats" in f and "accept_stat" in f["sample_stats"]
+
+
+def test_vi_last_layer_and_learned_noise():
+    """Round-3 VI options: include_nn='last' selects ODE + output-layer
+    params only; learn_noise moves the observation-noise scale."""
+    from hybrid_ode_tpu.models.hybrid import params_to_flat
+
+    params = init_hybrid_params(jax.random.PRNGKey(0), FAST)
+    flat = params_to_flat(params)
+    chosen = select_bayes_params(flat, include_nn="last")
+    nn_keys = [k for k in chosen if k.startswith("nn_")]
+    n_layers_last = max(int(k[4:]) for k in flat if k.startswith("nn_w"))
+    assert sorted(nn_keys) == sorted([f"nn_w{n_layers_last}", f"nn_b{n_layers_last}"])
+    assert any(k.startswith("ode_") for k in chosen)
+
+    vi = VariationalInference(params, FAST, n_samples=2, noise_sigma=0.5,
+                              include_nn="last", learn_noise=True)
+    assert abs(vi.noise_sigma - 0.5) < 1e-6
+    batch = _tiny_batch(jax.random.PRNGKey(2), B=2, T=5)
+    sigma0 = vi.noise_sigma
+    for i in range(5):
+        vi.train_step(batch, jax.random.PRNGKey(i))
+    assert vi.noise_sigma != sigma0  # the noise scale is actually learned
+
+    # fixed-noise path must NOT move sigma
+    vi2 = VariationalInference(params, FAST, n_samples=2, noise_sigma=0.5,
+                               include_nn=False, learn_noise=False)
+    for i in range(3):
+        vi2.train_step(batch, jax.random.PRNGKey(i))
+    assert abs(vi2.noise_sigma - 0.5) < 1e-9
