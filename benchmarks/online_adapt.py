@@ -105,6 +105,13 @@ def run(args):
         state_mean=pop_mean, state_std=pop_std,
     )
 
+    # round 3: split the fresh streams into policy-tuning (val) and report
+    # (test) halves — the per-horizon policy is selected on val subjects
+    # (incl. the no-adaptation arm), then frozen and measured on test
+    n = len(ds)
+    val_idx = list(range(0, n // 2))
+    test_idx = list(range(n // 2, n))
+
     rows = {}
     for name, steps, anchor in [
         ("no_adaptation", 0, 0.0),
@@ -115,10 +122,23 @@ def run(args):
         res = online_adaptation_eval(
             params, ds, config, horizons_hours=HORIZONS,
             adapt_steps=steps, learning_rate=args.lr, anchor_weight=anchor,
+            window_indices=test_idx,
         )
         rows[name] = {str(h): round(v, 4) for h, v in res.items()}
         rows[name]["wall_s"] = round(time.time() - t0, 1)
-        print(name, rows[name])
+        print(name, rows[name], flush=True)
+
+    from hybrid_ode_tpu.train.online import tune_online_policy
+
+    t0 = time.time()
+    policy = tune_online_policy(params, ds, config, horizons_hours=HORIZONS,
+                                window_indices=val_idx, verbose=True)
+    res = online_adaptation_eval(params, ds, config, horizons_hours=HORIZONS,
+                                 policy=policy, window_indices=test_idx)
+    rows["online_tuned_policy"] = {str(h): round(v, 4) for h, v in res.items()}
+    rows["online_tuned_policy"]["wall_s"] = round(time.time() - t0, 1)
+    rows["_tuned_policy"] = {str(h): p for h, p in policy.items()}
+    print("online_tuned_policy", rows["online_tuned_policy"], flush=True)
 
     rows["_manuscript_targets_mmol"] = {
         "batch_retrain": {"6.0": 0.86, "12.0": 0.78, "24.0": 0.70},

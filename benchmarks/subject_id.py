@@ -1,0 +1,155 @@
+"""Subject-identification benchmark: params-context + test-time refinement.
+
+VERDICT r2 next-round #5: round 2's `context_mode='params'` produced the
+best observed fresh-cohort run (0.72 mmol/L truth RMSE) but with a
+0.72/0.79/0.90 spread across seeds — encoder variance, not model variance.
+Round 3 adds `identify_context` (models/hybrid.py): per-window MAP
+refinement of the subject latent on the identification window with the
+trained model frozen, so the fresh-cohort result no longer depends on how
+well the amortized encoder happened to train.
+
+Protocol: train the params-context recipe on the shipped 10-subject 4GI
+cohort for 3 seeds; evaluate each seed's fresh-cohort (50 unseen subjects,
+seed 123 — same as benchmarks/accuracy.py) glucose RMSE vs simulator truth
+with (a) the encoder's amortized code and (b) the identified code.
+Done-criterion: identified RMSE <= 0.75 on ALL seeds.
+
+Writes results/subject_id.json.
+Usage: python benchmarks/subject_id.py [--epochs 2500] [--seeds 0 1 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=2500)
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    ap.add_argument("--fresh-subjects", type=int, default=50)
+    ap.add_argument("--id-steps", type=int, default=150)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    import pandas as pd
+
+    from hybrid_ode_tpu.data.dataset import (
+        GlucoseDataset,
+        create_data_arrays,
+        split_dataset,
+    )
+    from hybrid_ode_tpu.data.fourgi_gen import generate_4gi_dataset
+    from hybrid_ode_tpu.dynamics.controls import Controls
+    from hybrid_ode_tpu.models.hybrid import (
+        batched_forward,
+        config_from_dict,
+        identify_context,
+        with_context,
+    )
+    from hybrid_ode_tpu.train.loop import train_model
+    from hybrid_ode_tpu.utils.config import default_config
+
+    data_path = str(REPO / "data" / "4gi_dataset.csv")
+    ds = create_data_arrays(data_path)
+    tr, va, _ = split_dataset(ds, seed=42)
+
+    # fresh cohort in the TRAINING normalization (accuracy.py protocol)
+    fresh_path = "/tmp/4gi_fresh_cohort_sid.csv"
+    fresh_df = generate_4gi_dataset(fresh_path, seed=123,
+                                    n_subjects=args.fresh_subjects)
+    fresh_raw = create_data_arrays(fresh_path)
+    phys = fresh_raw.observations * fresh_raw.state_std + fresh_raw.state_mean
+    renorm = (phys - ds.state_mean) / ds.state_std
+    fresh = GlucoseDataset(
+        initial_state=renorm[:, 0].astype(np.float32),
+        observations=renorm.astype(np.float32),
+        time_points=fresh_raw.time_points, meal=fresh_raw.meal,
+        tvns=fresh_raw.tvns, mask=fresh_raw.mask,
+        state_mean=ds.state_mean, state_std=ds.state_std,
+        subject_ids=fresh_raw.subject_ids, loss_weights=ds.loss_weights,
+    )
+    truth = {sid: sub["glucose_true_mmol_L"].to_numpy()
+             for sid, sub in fresh_df.groupby("subject_id")}
+
+    def truth_rmse(params, config, ctx):
+        batch = fresh.batch(np.arange(len(fresh)))
+        signals = {"meal": jnp.asarray(fresh.meal), "tVNS": jnp.asarray(fresh.tvns)}
+        if ctx is not None:
+            signals["context"] = ctx
+        controls = Controls(ts=jnp.asarray(fresh.time_points), signals=signals)
+        if ctx is None:
+            controls = with_context(params, batch, controls, config)
+        preds = np.asarray(batched_forward(
+            params, jnp.asarray(fresh.initial_state),
+            jnp.asarray(fresh.time_points), controls, config,
+        ))
+        preds_phys = preds * fresh.state_std + fresh.state_mean
+        errs = [preds_phys[w, :, 0] - truth[fresh.subject_ids[w]]
+                for w in range(len(fresh))]
+        return float(np.sqrt(np.mean(np.square(errs))))
+
+    results = {"per_seed": {}}
+    for seed in args.seeds:
+        cfg = default_config()
+        cfg["data"]["path"] = data_path
+        cfg["model"].update(
+            solver="rk4", substeps=4, mode="scan", nn_hidden=128, nn_layers=4,
+            context_points=12, context_mode="params",
+            context_params=["G_b", "I_b", "Glu_b"],
+        )
+        cfg["training"].update(
+            epochs=args.epochs, batch_size=32, learning_rate=3e-3,
+            lambda1=0.0, lambda2=0.01, early_stopping_patience=args.epochs,
+            train_ode_params=True,
+        )
+        cfg["seed"] = seed
+        t0 = time.time()
+        res = train_model(cfg, tr, va,
+                          str(REPO / "checkpoints" / f"subject_id_s{seed}"))
+        wall = time.time() - t0
+        config = config_from_dict(cfg)
+
+        rmse_enc = truth_rmse(res.params, config, None)
+        batch = fresh.batch(np.arange(len(fresh)))
+        ctx_id = identify_context(res.params, batch, config,
+                                  steps=args.id_steps, lr=0.05, l2=1e-3)
+        rmse_id = truth_rmse(res.params, config, ctx_id)
+        results["per_seed"][seed] = {
+            "fresh_rmse_encoder": round(rmse_enc, 4),
+            "fresh_rmse_identified": round(rmse_id, 4),
+            "train_wall_s": round(wall, 1),
+            "epochs_run": res.epochs_run,
+        }
+        print(f"seed {seed}: encoder {rmse_enc:.3f} -> identified {rmse_id:.3f} "
+              f"mmol/L ({wall:.0f}s)", flush=True)
+        jax.clear_caches()
+
+    ids = [v["fresh_rmse_identified"] for v in results["per_seed"].values()]
+    encs = [v["fresh_rmse_encoder"] for v in results["per_seed"].values()]
+    results["summary"] = {
+        "identified_max": round(max(ids), 4),
+        "identified_mean": round(float(np.mean(ids)), 4),
+        "encoder_max": round(max(encs), 4),
+        "target_all_seeds_leq": 0.75,
+        "target_met": bool(max(ids) <= 0.75),
+    }
+    out = REPO / "results" / "subject_id.json"
+    out.write_text(json.dumps(results, indent=2))
+    print(json.dumps(results["summary"]))
+
+
+if __name__ == "__main__":
+    main()

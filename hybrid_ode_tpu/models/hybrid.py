@@ -381,6 +381,77 @@ def with_context(
     return Controls(ts=controls.ts, signals=dict(controls.signals, context=ctx))
 
 
+def identify_context(
+    params: Mapping[str, Any],
+    batch: Mapping[str, Any],
+    config: HybridConfig,
+    *,
+    steps: int = 100,
+    lr: float = 0.05,
+    l2: float = 1e-3,
+) -> jnp.ndarray:
+    """Test-time subject identification: refine each window's context code by
+    gradient descent on the masked data loss over the first
+    `config.context_points` observations, with the trained model FROZEN.
+
+    This is the MAP estimate of the per-subject latent given the
+    identification window — initialization comes from the amortized encoder
+    (when present), but the returned code no longer depends on how well
+    that encoder happened to train: round-2 measured a 0.72/0.79/0.90
+    fresh-cohort RMSE spread across seeds for `context_mode='params'`
+    traced to encoder variance (RESULTS.md round-2 heterogeneity account;
+    VERDICT r2 next-round #5). The l2 term is a Gaussian prior on the
+    latent keeping unidentifiable directions at zero.
+
+    Returns the refined (B, context_dim) codes; inject them via
+    `Controls(signals={'context': ctx, ...})` (what `with_context` does
+    with the encoder output). Jit-compatible; one compiled program runs
+    all `steps` Adam iterations (lax.scan).
+    """
+    import optax
+
+    k = config.context_points
+    if k <= 0:
+        raise ValueError("identify_context requires context_points > 0")
+    obs_k = jnp.asarray(batch["observations"])[:, :k]
+    ts_k = jnp.asarray(batch["time_points"])[:, :k]
+    mask = batch.get("mask")
+    mask_k = (jnp.asarray(mask)[:, :k] if mask is not None
+              else jnp.ones(ts_k.shape, obs_k.dtype))
+    ext = batch.get("external_inputs") or {}
+    sig_k = {n: jnp.asarray(v)[:, :k] for n, v in ext.items()}
+
+    if "enc" in params:
+        ctx0 = encode_context(
+            params["enc"], jnp.asarray(batch["observations"]),
+            jnp.asarray(batch["time_points"]), k, config.activation,
+        )
+    else:
+        dim = (len(config.context_params)
+               if config.context_mode == "params" else config.context_dim)
+        ctx0 = jnp.zeros((obs_k.shape[0], dim), obs_k.dtype)
+
+    y0 = jnp.asarray(batch["initial_state"])
+    denom = jnp.maximum(jnp.sum(mask_k) * obs_k.shape[-1], 1.0)
+
+    def loss(ctx):
+        ctrls = Controls(ts=ts_k, signals=dict(sig_k, context=ctx))
+        preds = batched_forward(params, y0, ts_k, ctrls, config)
+        se = ((preds - obs_k) ** 2) * mask_k[..., None]
+        return jnp.sum(se) / denom + l2 * jnp.mean(ctx**2)
+
+    opt = optax.adam(lr)
+
+    def one_step(carry, _):
+        ctx, ostate = carry
+        g = jax.grad(loss)(ctx)
+        upd, ostate = opt.update(g, ostate)
+        return (optax.apply_updates(ctx, upd), ostate), None
+
+    (ctx, _), _ = jax.lax.scan(one_step, (ctx0, opt.init(ctx0)), None, length=steps)
+    return ctx
+
+
 def segment_batch(batch: Mapping[str, Any], k: int) -> Dict[str, Any]:
     """Multiple-shooting view: split each (T-point) window into k segments,
     each re-initialised from the OBSERVED state at its left edge.

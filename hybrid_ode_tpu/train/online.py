@@ -41,6 +41,7 @@ def adapt_subject(
     learning_rate: float = 1e-3,
     key: Optional[jax.Array] = None,
     anchor_weight: float = 1.0,
+    adapt_scope: str = "nn",
 ) -> Any:
     """Fine-tune on the first `reveal_points` observations of one subject.
 
@@ -49,10 +50,17 @@ def adapt_subject(
     noise and *degrade* the remaining-horizon rollout (measured: 0.84 ->
     1.45 mmol/L at anchor 0). Bayesian shrinkage toward the population
     prior, in point-estimate form.
+
+    adapt_scope: 'nn' trains the whole residual MLP; 'last' trains only its
+    output layer (round 3 — the low-rank delta VERDICT r2 #7 asked for:
+    ~1/20th the degrees of freedom, so short noisy reveal windows cannot
+    drag the shared representation and adaptation stops losing at 6 h).
     """
     key = key if key is not None else jax.random.PRNGKey(0)
     R = reveal_points
     pop_nn = {k: jnp.asarray(v) for k, v in params["nn"].items()}
+    n_last = max(int(k[1:]) for k in params["nn"] if k.startswith("w"))
+    last_keys = {f"w{n_last}", f"b{n_last}"}
 
     batch = {
         "initial_state": jnp.asarray(subject_window["observations"][None, 0]),
@@ -71,10 +79,19 @@ def adapt_subject(
         # Label EVERY top-level group (incl. 'enc'/'norm') so tx.init matches
         # the param tree structure for context-conditioned / physical-core
         # models, not just the plain {'ode','nn'} layout.
-        return {
-            k: jax.tree.map(lambda _: "train" if k == "nn" else "freeze", v)
-            for k, v in p.items()
-        }
+        out = {}
+        for k, v in p.items():
+            if k == "nn":
+                out[k] = {
+                    kk: jax.tree.map(
+                        lambda _: "train"
+                        if (adapt_scope == "nn" or kk in last_keys)
+                        else "freeze", vv)
+                    for kk, vv in v.items()
+                }
+            else:
+                out[k] = jax.tree.map(lambda _: "freeze", v)
+        return out
 
     tx = optax.multi_transform({"train": optimizer, "freeze": optax.set_to_zero()}, labels)
 
@@ -113,6 +130,9 @@ def online_adaptation_eval(
     learning_rate: float = 1e-3,
     state_index: int = 0,
     anchor_weight: float = 1.0,
+    adapt_scope: str = "nn",
+    policy: Optional[Dict[float, Dict[str, Any]]] = None,
+    window_indices: Optional[Sequence[int]] = None,
 ) -> Dict[float, float]:
     """Per-subject adaptation RMSE at multiple reveal horizons.
 
@@ -122,9 +142,14 @@ def online_adaptation_eval(
     subject's state at t; predicting the future from the day-old initial
     state would conflate adaptation quality with long-horizon drift) — and
     measure glucose RMSE on the remaining points (physical units).
+
+    policy: optional per-horizon hyperparameter overrides, e.g.
+    {6.0: {'adapt_steps': 20, 'anchor_weight': 3.0, 'adapt_scope': 'last'}}
+    — short noisy reveals want conservative adaptation, long reveals can
+    afford more; tune with `tune_online_policy` on validation subjects.
     """
     results: Dict[float, list] = {h: [] for h in horizons_hours}
-    for w in range(len(ds)):
+    for w in (range(len(ds)) if window_indices is None else window_indices):
         window = {
             "observations": ds.observations[w],
             "time_points": ds.time_points[w],
@@ -133,12 +158,17 @@ def online_adaptation_eval(
         }
         t0 = float(ds.time_points[w, 0])
         for h in horizons_hours:
+            hp = dict(adapt_steps=adapt_steps, learning_rate=learning_rate,
+                      anchor_weight=anchor_weight, adapt_scope=adapt_scope)
+            if policy and h in policy:
+                hp.update(policy[h])
             reveal = int(np.searchsorted(ds.time_points[w], t0 + h))
             reveal = int(np.clip(reveal, 4, len(ds.time_points[w]) - 4))
-            if adapt_steps > 0:
+            if hp["adapt_steps"] > 0:
                 adapted = adapt_subject(params, window, config, reveal,
-                                        adapt_steps, learning_rate,
-                                        anchor_weight=anchor_weight)
+                                        hp["adapt_steps"], hp["learning_rate"],
+                                        anchor_weight=hp["anchor_weight"],
+                                        adapt_scope=hp["adapt_scope"])
             else:
                 adapted = params  # no-adaptation baseline row
             # forecast the remainder from the last REVEALED observation
@@ -178,3 +208,54 @@ def online_adaptation_eval(
                 rmse = float(np.sqrt(np.mean(err[m] ** 2))) * float(ds.state_std[state_index])
                 results[h].append(rmse)
     return {h: float(np.mean(v)) if v else float("nan") for h, v in results.items()}
+
+
+def tune_online_policy(
+    params: Any,
+    val_ds,
+    config: HybridConfig,
+    horizons_hours: Sequence[float] = (6.0, 12.0, 24.0),
+    candidates: Optional[Sequence[Dict[str, Any]]] = None,
+    state_index: int = 0,
+    window_indices: Optional[Sequence[int]] = None,
+    verbose: bool = False,
+) -> Dict[float, Dict[str, Any]]:
+    """Pick per-horizon adaptation hyperparameters on VALIDATION subjects.
+
+    Round 3 (VERDICT r2 #7): a single global (steps, lr, anchor) cannot win
+    at every horizon — 6 h reveals carry so little signal that round 2's
+    setting LOST to no-adaptation there (1.396 vs 1.389) while winning at
+    12 h. Selecting per horizon from a small grid that includes the
+    no-adaptation arm (adapt_steps=0) and the conservative last-layer
+    scope guarantees the deployed policy never does worse than doing
+    nothing ON VALIDATION, and the val->test gap is what the benchmark
+    measures. Returns {horizon: hyperparam dict}.
+    """
+    if candidates is None:
+        candidates = [
+            {"adapt_steps": 0},                                        # off
+            {"adapt_steps": 20, "learning_rate": 5e-4,
+             "anchor_weight": 3.0, "adapt_scope": "last"},             # gentle
+            {"adapt_steps": 50, "learning_rate": 1e-3,
+             "anchor_weight": 1.0, "adapt_scope": "last"},
+            {"adapt_steps": 50, "learning_rate": 1e-3,
+             "anchor_weight": 1.0, "adapt_scope": "nn"},               # round-2
+            {"adapt_steps": 100, "learning_rate": 1e-3,
+             "anchor_weight": 0.3, "adapt_scope": "nn"},               # strong
+        ]
+    policy: Dict[float, Dict[str, Any]] = {}
+    for h in horizons_hours:
+        best, best_rmse = None, float("inf")
+        for cand in candidates:
+            r = online_adaptation_eval(
+                params, val_ds, config, horizons_hours=(h,),
+                state_index=state_index, policy={h: cand},
+                window_indices=window_indices,
+            )[h]
+            logger.info("tune h=%s cand=%s -> %.4f", h, cand, r)
+            if verbose:
+                print(f"  tune h={h} {cand} -> {r:.4f}", flush=True)
+            if r < best_rmse:
+                best, best_rmse = dict(cand), r
+        policy[h] = best
+    return policy

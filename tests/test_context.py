@@ -103,3 +103,47 @@ def test_context_mode_params_conditions_mechanistic_field():
         lambda p: hybrid_loss(p, batch, jax.random.PRNGKey(2), cfg,
                               lambda1=0.0, lambda2=0.01), has_aux=True)(p2)
     assert abs(float(l2) - float(l)) > 1e-6
+
+
+def test_identify_context_recovers_subject_latent():
+    """Test-time identification (round 3): starting from a WRONG encoder,
+    gradient refinement on the identification window recovers a context
+    code that reproduces trajectories generated with a known latent."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hybrid_ode_tpu.dynamics.controls import Controls
+    from hybrid_ode_tpu.models.hybrid import (
+        HybridConfig,
+        batched_forward,
+        identify_context,
+        init_hybrid_params,
+    )
+
+    cfg = HybridConfig(solver="rk4", substeps=2, mode="scan", nn_hidden=16,
+                       nn_layers=2, context_points=6, context_mode="params")
+    params = init_hybrid_params(jax.random.PRNGKey(0), cfg)
+    B, T = 4, 9
+    y0 = jnp.abs(jnp.ones((B, 6)) * jnp.array([8.0, 100.0, 90.0, 20.0, 0.0, 1.2]))
+    ts = jnp.broadcast_to(jnp.linspace(0.0, 2.0, T), (B, T))
+    meal = jnp.zeros((B, T)).at[:, 2].set(1.5)
+    tvns = jnp.zeros((B, T))
+    # ground-truth per-subject latent (multiplies G_b/I_b/Glu_b as e^delta)
+    ctx_true = jnp.array([[0.3, -0.2, 0.1]]) * jnp.array([[1.0], [0.5], [-1.0], [2.0]])
+    ctrl_true = Controls(ts=ts, signals={"meal": meal, "tVNS": tvns, "context": ctx_true})
+    obs = batched_forward(params, y0, ts, ctrl_true, cfg)
+
+    batch = {"initial_state": y0, "observations": obs, "time_points": ts,
+             "external_inputs": {"meal": meal, "tVNS": tvns},
+             "mask": jnp.ones((B, T))}
+    ctx_hat = identify_context(params, batch, cfg, steps=200, lr=0.05, l2=1e-5)
+
+    ctrl_hat = Controls(ts=ts, signals={"meal": meal, "tVNS": tvns, "context": ctx_hat})
+    pred_hat = batched_forward(params, y0, ts, ctrl_hat, cfg)
+    ctrl_zero = Controls(ts=ts, signals={"meal": meal, "tVNS": tvns,
+                                         "context": jnp.zeros_like(ctx_true)})
+    pred_zero = batched_forward(params, y0, ts, ctrl_zero, cfg)
+    err_hat = float(jnp.sqrt(jnp.mean((pred_hat - obs) ** 2)))
+    err_zero = float(jnp.sqrt(jnp.mean((pred_zero - obs) ** 2)))
+    assert err_hat < 0.35 * err_zero, (err_hat, err_zero)
