@@ -52,7 +52,20 @@ def main(argv=None) -> None:
                         format="%(asctime)s - %(name)s - %(levelname)s - %(message)s")
     args = build_parser().parse_args(argv)
 
+    import os
+
     import jax
+
+    # Persistent compilation cache by default: the first reverse-mode
+    # compile of an adaptive-solver train step costs 60-130 s on TPU and is
+    # fully cacheable — every re-run of the same recipe should pay it once
+    # per machine, not once per process (NOTES_NEXT_ROUND r2 #2).
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        cache_dir = os.path.join(os.path.expanduser("~"), ".jax_cache")
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+        except Exception:  # pragma: no cover - older jax without the option
+            pass
 
     from hybrid_ode_tpu.data.dataset import create_data_arrays, split_dataset
     from hybrid_ode_tpu.train.loop import train_model
