@@ -49,6 +49,10 @@ class GlucoseDataset:
         meal:          (N, T)
         tvns:          (N, T)
         mask:          (N, T)   1.0 where observed
+        mask_channels: (N, T, 6) optional per-CHANNEL observation mask
+                       (round 3: clinical charting observes different
+                       channels at different times — glucose every check,
+                       glucagon/GLP-1 only at lab draws; None = use `mask`)
         state_mean/state_std: (6,) normalisation stats
         subject_ids:   (N,)
     """
@@ -69,6 +73,7 @@ class GlucoseDataset:
     #: z-scores states, making its mechanistic equations dimensionally
     #: nonsensical during training).
     loss_weights: np.ndarray = None
+    mask_channels: np.ndarray = None
 
     def __post_init__(self):
         if self.loss_weights is None:
@@ -89,6 +94,8 @@ class GlucoseDataset:
             state_std=self.state_std,
             subject_ids=self.subject_ids[idx],
             loss_weights=self.loss_weights,
+            mask_channels=None if self.mask_channels is None
+            else self.mask_channels[idx],
         )
 
     def batch(self, idx: np.ndarray) -> Dict:
@@ -100,6 +107,8 @@ class GlucoseDataset:
             "external_inputs": {"meal": self.meal[idx], "tVNS": self.tvns[idx]},
             "mask": self.mask[idx],
             "loss_weights": self.loss_weights,
+            **({"mask_channels": self.mask_channels[idx]}
+               if self.mask_channels is not None else {}),
         }
 
     def denormalize(self, states: np.ndarray) -> np.ndarray:
@@ -113,6 +122,7 @@ def create_data_arrays(
     normalize: bool = True,
     dtype=np.float32,
     use_native: bool = True,
+    per_channel_mask: bool = False,
 ) -> GlucoseDataset:
     """Load CSV/Parquet and build the window arrays.
 
@@ -122,7 +132,7 @@ def create_data_arrays(
     subject — true for all cohort files this framework and the reference
     write); otherwise falls back to pandas.
     """
-    if use_native and str(data_path).endswith(".csv"):
+    if use_native and not per_channel_mask and str(data_path).endswith(".csv"):
         try:
             return _create_data_arrays_native(
                 data_path, sequence_length, stride, normalize, dtype
@@ -175,13 +185,33 @@ def create_data_arrays(
         )
 
     all_states = np.stack([w[1] for w in windows])  # (N, T, 6)
-    mask = np.isfinite(all_states).all(axis=-1).astype(np.float64)  # (N, T)
+    mask_ch = np.isfinite(all_states)               # (N, T, 6)
+    if per_channel_mask:
+        # round 3: clinical charting observes channels independently — a
+        # time point is usable when ANY channel is observed, and the loss
+        # weights each (point, channel) by its own observation bit
+        mask = mask_ch.any(axis=-1).astype(np.float64)
+    else:
+        mask = mask_ch.all(axis=-1).astype(np.float64)
     filled = np.nan_to_num(all_states, nan=0.0)
 
-    flat = filled.reshape(-1, filled.shape[-1])
-    flat_mask = mask.reshape(-1) > 0
-    data_mean = flat[flat_mask].mean(axis=0)
-    data_std = flat[flat_mask].std(axis=0) + 1e-6
+    C = filled.shape[-1]
+    if per_channel_mask:
+        flat = filled.reshape(-1, C)
+        flat_m = mask_ch.reshape(-1, C)
+        data_mean = np.array([
+            flat[:, i][flat_m[:, i]].mean() if flat_m[:, i].any() else 0.0
+            for i in range(C)
+        ])
+        data_std = np.array([
+            flat[:, i][flat_m[:, i]].std() if flat_m[:, i].any() else 1.0
+            for i in range(C)
+        ]) + 1e-6
+    else:
+        flat = filled.reshape(-1, C)
+        flat_mask = mask.reshape(-1) > 0
+        data_mean = flat[flat_mask].mean(axis=0)
+        data_std = flat[flat_mask].std(axis=0) + 1e-6
     if normalize:
         mean, std = data_mean, data_std
     else:
@@ -189,9 +219,12 @@ def create_data_arrays(
         std = np.ones(len(state_cols))
 
     norm_states = (filled - mean) / std
-    # NaN rows were filled with zeros pre-normalisation; re-zero post-norm so
-    # masked entries don't carry the -mean/std offset.
-    norm_states = norm_states * mask[..., None]
+    # NaN entries were filled with zeros pre-normalisation; re-zero post-norm
+    # so masked entries don't carry the -mean/std offset.
+    if per_channel_mask:
+        norm_states = norm_states * mask_ch
+    else:
+        norm_states = norm_states * mask[..., None]
     weights = _loss_weights_from_stats(data_std / std, data_mean)
 
     return GlucoseDataset(
@@ -205,6 +238,7 @@ def create_data_arrays(
         state_std=std.astype(dtype),
         subject_ids=np.array([w[0] for w in windows]),
         loss_weights=weights,
+        mask_channels=mask_ch.astype(dtype) if per_channel_mask else None,
     )
 
 
@@ -375,6 +409,8 @@ def pad_batch(batch: Dict, batch_size: int) -> Tuple[Dict, np.ndarray]:
         "external_inputs": {k: _pad(v) for k, v in batch["external_inputs"].items()},
         "mask": _pad(batch["mask"]),
     }
+    if "mask_channels" in batch:
+        padded["mask_channels"] = _pad(batch["mask_channels"])
     if "loss_weights" in batch:
         padded["loss_weights"] = batch["loss_weights"]  # (6,), not batched
     valid = np.concatenate([np.ones(b, np.float32), np.zeros(pad, np.float32)])

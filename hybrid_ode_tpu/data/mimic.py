@@ -182,6 +182,7 @@ def generate_icu_cohort(
     obs_gap_min: float = 40.0,
     t2dm_fraction: float = 0.7,
     output_dir: str = "data",
+    per_channel_charting: bool = False,
 ):
     """Synthetic ICU glucose-management cohort with REAL dynamics.
 
@@ -346,22 +347,34 @@ def generate_icu_cohort(
     }
 
     # --- sparse irregular charting + assay noise --------------------------
+    # per_channel_charting=True: each channel has its OWN event schedule
+    # (glucose every check, insulin less often, glucagon/GLP-1 only at rare
+    # lab draws) — the realistic EHR pattern; load with
+    # `create_data_arrays(..., per_channel_mask=True)` so partially-observed
+    # rows stay usable. False (default): all channels assayed at every
+    # charting event (complete rows for the row-mask dataset layer).
     cv = {"glucose": 0.02, "insulin": 0.08, "glp1": 0.12, "glucagon": 0.10}
+    gap_mult = {"glucose": 1.0, "insulin": 2.0, "glucagon": 8.0, "glp1": 10.0}
     frames = []
     for i in range(N):
-        # event times: exponential gaps, snapped to the grid
-        evts = np.cumsum(rng.exponential(obs_gap_min, int(hours * 60 / obs_gap_min * 2)))
-        evts = evts[evts < hours * 60.0]
-        idx = np.unique(np.clip(np.round(evts / grid_minutes).astype(int), 0, T - 1))
-        obs_mask = np.zeros(T, bool)
-        obs_mask[idx] = True
-        obs_mask[0] = True
+        def event_mask(gap):
+            evts = np.cumsum(rng.exponential(gap, max(int(hours * 60 / gap * 2), 4)))
+            evts = evts[evts < hours * 60.0]
+            idx = np.unique(np.clip(np.round(evts / grid_minutes).astype(int), 0, T - 1))
+            m = np.zeros(T, bool)
+            m[idx] = True
+            m[0] = True
+            return m
+
+        shared = event_mask(obs_gap_min)
         cols: Dict[str, np.ndarray] = {
             "subject_id": np.full(T, i),
             "time_minutes": t_grid * 60.0,
         }
         for name, unit in (("glucose", "mmol_L"), ("insulin", "pmol_L"),
                            ("glucagon", "pmol_L"), ("glp1", "pmol_L")):
+            obs_mask = (event_mask(obs_gap_min * gap_mult[name])
+                        if per_channel_charting else shared)
             v = conc[name][i] * (1.0 + cv[name] * rng.standard_normal(T))
             v = np.where(obs_mask, np.maximum(v, 0.1), np.nan)
             cols[f"{name}_{unit}"] = v

@@ -82,7 +82,10 @@ def evaluate_model(
         preds_all.append(np.asarray(preds)[:nb])
         unc_all.append(np.asarray(unc)[:nb])
         targ_all.append(np.asarray(b["observations"])[:nb])
-        mask_all.append(np.asarray(b["mask"])[:nb])
+        # per-channel masks (clinical charting) score each (point, channel)
+        # by its own observation bit when the dataset carries them
+        mask_all.append(np.asarray(
+            b.get("mask_channels", b["mask"]))[:nb])
 
     preds = np.concatenate(preds_all)
     unc = np.concatenate(unc_all)
@@ -113,7 +116,8 @@ def evaluate_model(
         metrics["crps"] = compute_crps(preds, unc, targets, mask=mask)
 
     # normalized metrics (parity: evaluate.py:280-287)
-    m = np.broadcast_to(mask[..., None].astype(bool), targets.shape)
+    m = mask[..., None] if mask.ndim < targets.ndim else mask
+    m = np.broadcast_to(m.astype(bool), targets.shape)
     target_std = np.array(
         [targets[..., i][m[..., i]].std() for i in range(targets.shape[-1])]
     )

@@ -27,7 +27,10 @@ def _mask_flat(x: np.ndarray, mask: Optional[np.ndarray]) -> np.ndarray:
     x = np.asarray(x, np.float64)
     if mask is None:
         return x.reshape(-1)
-    m = np.broadcast_to(np.asarray(mask, bool)[..., None], x.shape)
+    m = np.asarray(mask, bool)
+    if m.ndim < x.ndim:              # (B,T) time-point mask
+        m = m[..., None]
+    m = np.broadcast_to(m, x.shape)  # (B,T,C) per-channel mask passes through
     return x[m]
 
 
@@ -43,9 +46,11 @@ def compute_rmse(
     if per_state:
         out = np.zeros(p.shape[-1])
         for i in range(p.shape[-1]):
-            pi = _mask_flat(p[..., i : i + 1], mask)
-            ti = _mask_flat(t[..., i : i + 1], mask)
-            out[i] = math.sqrt(np.mean((pi - ti) ** 2))
+            mi = mask if (mask is None or np.asarray(mask).ndim < p.ndim) \
+                else np.asarray(mask)[..., i : i + 1]
+            pi = _mask_flat(p[..., i : i + 1], mi)
+            ti = _mask_flat(t[..., i : i + 1], mi)
+            out[i] = math.sqrt(np.mean((pi - ti) ** 2)) if pi.size else np.nan
         return out
     pf, tf = _mask_flat(p, mask), _mask_flat(t, mask)
     return float(math.sqrt(np.mean((pf - tf) ** 2)))
@@ -62,9 +67,11 @@ def compute_mae(
     if per_state:
         out = np.zeros(p.shape[-1])
         for i in range(p.shape[-1]):
-            pi = _mask_flat(p[..., i : i + 1], mask)
-            ti = _mask_flat(t[..., i : i + 1], mask)
-            out[i] = np.mean(np.abs(pi - ti))
+            mi = mask if (mask is None or np.asarray(mask).ndim < p.ndim) \
+                else np.asarray(mask)[..., i : i + 1]
+            pi = _mask_flat(p[..., i : i + 1], mi)
+            ti = _mask_flat(t[..., i : i + 1], mi)
+            out[i] = np.mean(np.abs(pi - ti)) if pi.size else np.nan
         return out
     pf, tf = _mask_flat(p, mask), _mask_flat(t, mask)
     return float(np.mean(np.abs(pf - tf)))

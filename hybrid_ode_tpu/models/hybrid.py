@@ -489,6 +489,9 @@ def segment_batch(batch: Mapping[str, Any], k: int) -> Dict[str, Any]:
         # zero its whole contribution
         m = m * m[:, :1]
         out["mask"] = m
+        if batch.get("mask_channels") is not None:
+            mc = seg(batch["mask_channels"])
+            out["mask_channels"] = mc * m[..., None]
     return out
 
 
@@ -512,7 +515,10 @@ def hybrid_loss(
     """Combined loss; returns (total, components dict).
 
     batch keys: initial_state (B,n), observations (B,T,n), time_points (B,T),
-    external_inputs {name: (B,T)}, optional mask (B,T) for irregular sampling.
+    external_inputs {name: (B,T)}, optional mask (B,T) for irregular
+    sampling, optional mask_channels (B,T,n) for per-CHANNEL missingness
+    (round 3: clinical charting observes channels independently — the data
+    loss then weights each (point, channel) by its own observation bit).
     """
     if config.shooting_segments > 1:
         batch = segment_batch(batch, config.shooting_segments)
@@ -544,7 +550,10 @@ def hybrid_loss(
     se = (preds - obs) ** 2
     if w_state is not None:
         se = se * w_state
-    if mask is None:
+    mask_ch = batch.get("mask_channels")
+    if mask_ch is not None:
+        data_loss = jnp.sum(mask_ch * se) / (jnp.sum(mask_ch) + 1e-8)
+    elif mask is None:
         data_loss = jnp.mean(se)
     else:
         w = mask[..., None]
