@@ -135,7 +135,12 @@ def run(args):
             kl_annealing=vi_set.get("kl_annealing", False),
             annealing_epochs=vi_set.get("annealing_epochs", 50),
         )
-        vi.train(tr, va, epochs=3, batch_size=8)
+        # capability smoke, not a fit: a handful of windows suffices (the
+        # ICU cohort has 1.9k train windows; 3 epochs over all of them with
+        # the radau solver is an hour of wall for no added signal)
+        tr_s = tr.select(np.arange(min(len(tr), 32)))
+        va_s = va.select(np.arange(min(len(va), 8)))
+        vi.train(tr_s, va_s, epochs=3, batch_size=8)
         results["_clinical_recipe_smoke"] = {
             "status": "ok (radau + VI + KL annealing, 3 epochs)",
             "wall_s": round(time.time() - t0, 1),
