@@ -102,6 +102,9 @@ def main(argv=None) -> None:
         sequence_length=cfg["data"].get("sequence_length", 61),
         stride=cfg["data"].get("stride", 30),
         normalize=cfg["data"].get("normalize", True),
+        # round 3: clinical charting observes channels independently; see
+        # GlucoseDataset.mask_channels
+        per_channel_mask=cfg["data"].get("per_channel_mask", False),
     )
     train_ds, val_ds, test_ds = split_dataset(
         ds, seed=42, level=cfg["data"].get("split_level", "window")
