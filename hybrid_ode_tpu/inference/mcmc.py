@@ -440,7 +440,12 @@ def run_nuts(
     Returns dict of per-parameter sample arrays, shape (chains*draws,) —
     flattened-chain layout matching the reference's npz output (`:166-168`).
     """
-    from hybrid_ode_tpu.models.hybrid import batched_forward, controls_from_batch, flat_to_params
+    from hybrid_ode_tpu.models.hybrid import (
+        batched_forward,
+        controls_from_batch,
+        flat_to_params,
+        with_context,
+    )
 
     key = key if key is not None else jax.random.PRNGKey(0)
 
@@ -454,6 +459,10 @@ def run_nuts(
     obs = batch["observations"]
     mask = batch.get("mask")
     controls = controls_from_batch(batch)
+    # context-conditioned models: the encoder is a point estimate outside
+    # the sampled posterior — encode once with the trained params (round-3
+    # bugfix, same as inference/vi.py elbo)
+    controls = with_context(params, batch, controls, config)
     n_factor = obs.shape[-1]
 
     def logp_fn(q):

@@ -40,6 +40,7 @@ from hybrid_ode_tpu.models.hybrid import (
     controls_from_batch,
     flat_to_params,
     params_to_flat,
+    with_context,
 )
 from hybrid_ode_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
@@ -61,6 +62,12 @@ def elbo(
     obs = batch["observations"]
     mask = batch.get("mask")
     controls = controls_from_batch(batch)
+    # context-conditioned models: encode the subject code with the TEMPLATE
+    # parameters (the encoder is a point estimate, not under the posterior).
+    # Round-3 bugfix: without this, VI on a context model ran unconditioned
+    # in 'features' mode and CRASHED in 'params' mode (the Pallas kernel's
+    # per-sample parameter path requires the context rows).
+    controls = with_context(template_params, batch, controls, config)
 
     kl = kl_divergence(vstate, priors)
 

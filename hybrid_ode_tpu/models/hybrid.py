@@ -334,6 +334,13 @@ def _pallas_forward(
             ) from None
     signals = dict(controls.signals) if controls is not None else {}
     context = signals.pop("context", None)
+    if ctx_param_idx and context is None:
+        raise ValueError(
+            "context_mode='params' model called without a 'context' control "
+            "signal — inject the subject codes first (with_context / "
+            "identify_context); the kernel's per-sample parameter path "
+            "cannot run unconditioned"
+        )
     B, T = ts.shape
     meal = signals.pop("meal", None)
     tvns = signals.pop("tVNS", None)
