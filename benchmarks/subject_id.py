@@ -38,6 +38,9 @@ def main(argv=None):
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     ap.add_argument("--fresh-subjects", type=int, default=50)
     ap.add_argument("--id-steps", type=int, default=150)
+    ap.add_argument("--reuse", action="store_true",
+                    help="load checkpoints/subject_id_s{seed} instead of "
+                         "retraining (identification-only rerun)")
     args = ap.parse_args(argv)
 
     import jax
@@ -116,16 +119,24 @@ def main(argv=None):
             train_ode_params=True,
         )
         cfg["seed"] = seed
+        ckpt_dir = REPO / "checkpoints" / f"subject_id_s{seed}"
         t0 = time.time()
-        res = train_model(cfg, tr, va,
-                          str(REPO / "checkpoints" / f"subject_id_s{seed}"))
+        if args.reuse and (ckpt_dir / "best_model").exists():
+            from hybrid_ode_tpu.utils.checkpoint import load_checkpoint
+
+            state, _ = load_checkpoint(str(ckpt_dir / "best_model"))
+            import types
+
+            res = types.SimpleNamespace(params=state["params"], epochs_run=-1)
+        else:
+            res = train_model(cfg, tr, va, str(ckpt_dir))
         wall = time.time() - t0
         config = config_from_dict(cfg)
 
         rmse_enc = truth_rmse(res.params, config, None)
         batch = fresh.batch(np.arange(len(fresh)))
         ctx_id = identify_context(res.params, batch, config,
-                                  steps=args.id_steps, lr=0.05, l2=1e-3)
+                                  steps=args.id_steps, lr=0.02, prior_std=0.2)
         rmse_id = truth_rmse(res.params, config, ctx_id)
         results["per_seed"][seed] = {
             "fresh_rmse_encoder": round(rmse_enc, 4),

@@ -394,8 +394,8 @@ def identify_context(
     config: HybridConfig,
     *,
     steps: int = 100,
-    lr: float = 0.05,
-    l2: float = 1e-3,
+    lr: float = 0.02,
+    prior_std: float = 0.2,
 ) -> jnp.ndarray:
     """Test-time subject identification: refine each window's context code by
     gradient descent on the masked data loss over the first
@@ -407,8 +407,17 @@ def identify_context(
     that encoder happened to train: round-2 measured a 0.72/0.79/0.90
     fresh-cohort RMSE spread across seeds for `context_mode='params'`
     traced to encoder variance (RESULTS.md round-2 heterogeneity account;
-    VERDICT r2 next-round #5). The l2 term is a Gaussian prior on the
-    latent keeping unidentifiable directions at zero.
+    VERDICT r2 next-round #5). `prior_std` is a Gaussian prior on the
+    latent (params-mode deltas are log-multipliers; the 4GI generator's
+    true per-subject spread is ~0.1-0.15) keeping unidentifiable
+    directions at zero.
+
+    Robustness (learned on real fresh-cohort windows, round 3): the
+    optimizer tracks the PER-WINDOW best iterate — each window returns the
+    code with the lowest identification loss it ever saw, so a window
+    whose refinement diverges (NaN trajectories from extreme deltas) or
+    overfits keeps its encoder initialization instead of poisoning the
+    batch.
 
     Returns the refined (B, context_dim) codes; inject them via
     `Controls(signals={'context': ctx, ...})` (what `with_context` does
@@ -439,24 +448,41 @@ def identify_context(
         ctx0 = jnp.zeros((obs_k.shape[0], dim), obs_k.dtype)
 
     y0 = jnp.asarray(batch["initial_state"])
-    denom = jnp.maximum(jnp.sum(mask_k) * obs_k.shape[-1], 1.0)
+    denom = jnp.maximum(jnp.sum(mask_k, axis=1) * obs_k.shape[-1], 1.0)  # (B,)
 
-    def loss(ctx):
+    def loss_vec(ctx):
+        """Per-window identification loss (B,), NaN-safe."""
         ctrls = Controls(ts=ts_k, signals=dict(sig_k, context=ctx))
         preds = batched_forward(params, y0, ts_k, ctrls, config)
         se = ((preds - obs_k) ** 2) * mask_k[..., None]
-        return jnp.sum(se) / denom + l2 * jnp.mean(ctx**2)
+        se = jnp.nan_to_num(se, nan=1e6, posinf=1e6)
+        data = jnp.sum(se, axis=(1, 2)) / denom
+        return data + jnp.mean(ctx**2, axis=-1) / (2.0 * prior_std**2)
 
     opt = optax.adam(lr)
 
     def one_step(carry, _):
-        ctx, ostate = carry
-        g = jax.grad(loss)(ctx)
+        ctx, ostate, best_ctx, best_loss = carry
+        (_, lvec), g = jax.value_and_grad(
+            lambda c: (jnp.sum(loss_vec(c)), loss_vec(c)), has_aux=True
+        )(ctx)
+        improved = lvec < best_loss
+        best_ctx = jnp.where(improved[:, None], ctx, best_ctx)
+        best_loss = jnp.where(improved, lvec, best_loss)
+        g = jnp.nan_to_num(g)
         upd, ostate = opt.update(g, ostate)
-        return (optax.apply_updates(ctx, upd), ostate), None
+        ctx = optax.apply_updates(ctx, upd)
+        return (ctx, ostate, best_ctx, best_loss), None
 
-    (ctx, _), _ = jax.lax.scan(one_step, (ctx0, opt.init(ctx0)), None, length=steps)
-    return ctx
+    init_loss = loss_vec(ctx0)
+    carry0 = (ctx0, opt.init(ctx0), ctx0, init_loss)
+    (ctx, _, best_ctx, best_loss), _ = jax.lax.scan(
+        one_step, carry0, None, length=steps
+    )
+    # final candidate
+    lvec = loss_vec(ctx)
+    best_ctx = jnp.where((lvec < best_loss)[:, None], ctx, best_ctx)
+    return best_ctx
 
 
 def segment_batch(batch: Mapping[str, Any], k: int) -> Dict[str, Any]:

@@ -137,7 +137,7 @@ def test_identify_context_recovers_subject_latent():
     batch = {"initial_state": y0, "observations": obs, "time_points": ts,
              "external_inputs": {"meal": meal, "tVNS": tvns},
              "mask": jnp.ones((B, T))}
-    ctx_hat = identify_context(params, batch, cfg, steps=200, lr=0.05, l2=1e-5)
+    ctx_hat = identify_context(params, batch, cfg, steps=300, lr=0.03, prior_std=3.0)
 
     ctrl_hat = Controls(ts=ts, signals={"meal": meal, "tVNS": tvns, "context": ctx_hat})
     pred_hat = batched_forward(params, y0, ts, ctrl_hat, cfg)
