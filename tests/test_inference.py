@@ -286,3 +286,40 @@ def test_vi_last_layer_and_learned_noise():
     for i in range(3):
         vi2.train_step(batch, jax.random.PRNGKey(i))
     assert abs(vi2.noise_sigma - 0.5) < 1e-9
+
+
+def test_vi_injects_subject_context():
+    """Round-3 regression: the ELBO must encode the subject context (the
+    round-2 path ran context models unconditioned / crashed in params mode)."""
+    cfg_feat = HybridConfig(solver="rk4", substeps=2, mode="scan", nn_hidden=8,
+                            nn_layers=2, context_points=3, context_dim=4)
+    params = init_hybrid_params(jax.random.PRNGKey(0), cfg_feat)
+    # make the encoder + its column block non-trivial so conditioning matters
+    params["enc"]["w2"] = 0.5 * jax.random.normal(jax.random.PRNGKey(7), params["enc"]["w2"].shape)
+    params["nn"]["w0"] = 0.3 * jax.random.normal(jax.random.PRNGKey(8), params["nn"]["w0"].shape)
+    params["nn"]["w2"] = 0.3 * jax.random.normal(jax.random.PRNGKey(9), params["nn"]["w2"].shape)
+    batch = _tiny_batch(jax.random.PRNGKey(2), B=2, T=5)
+
+    from hybrid_ode_tpu.inference.vi import elbo
+    from hybrid_ode_tpu.models.hybrid import params_to_flat
+    from hybrid_ode_tpu.models.bayes import init_variational
+
+    flat = params_to_flat(params)
+    vstate, priors = init_variational(flat, include_nn=False)
+    v_ctx, _ = elbo(vstate, priors, params, batch, jax.random.PRNGKey(0), cfg_feat)
+
+    # zeroing the encoder changes the ELBO iff the context actually rides
+    params2 = jax.tree.map(lambda x: x, params)
+    params2["enc"] = jax.tree.map(jnp.zeros_like, params["enc"])
+    v_noctx, _ = elbo(vstate, priors, params2, batch, jax.random.PRNGKey(0), cfg_feat)
+    assert float(v_ctx) != float(v_noctx)
+
+    # params mode must RUN (previously crashed in the Pallas path); use the
+    # XLA path here — the crash regression for pallas is the clear-raise test
+    cfg_par = HybridConfig(solver="rk4", substeps=2, mode="scan", nn_hidden=8,
+                           nn_layers=2, context_points=3, context_mode="params")
+    pp = init_hybrid_params(jax.random.PRNGKey(0), cfg_par)
+    flat = params_to_flat(pp)
+    vstate, priors = init_variational(flat, include_nn=False)
+    v, _ = elbo(vstate, priors, pp, batch, jax.random.PRNGKey(0), cfg_par)
+    assert np.isfinite(float(v))
