@@ -87,7 +87,9 @@ def main(argv=None):
     truth = {sid: sub["glucose_true_mmol_L"].to_numpy()
              for sid, sub in fresh_df.groupby("subject_id")}
 
-    def truth_rmse(params, config, ctx):
+    def truth_rmse(params, config, ctx, skip=0):
+        """Glucose RMSE vs simulator truth; skip>0 scores only t>=skip
+        (forecast-only view when skipping the identification window)."""
         batch = fresh.batch(np.arange(len(fresh)))
         signals = {"meal": jnp.asarray(fresh.meal), "tVNS": jnp.asarray(fresh.tvns)}
         if ctx is not None:
@@ -100,7 +102,7 @@ def main(argv=None):
             jnp.asarray(fresh.time_points), controls, config,
         ))
         preds_phys = preds * fresh.state_std + fresh.state_mean
-        errs = [preds_phys[w, :, 0] - truth[fresh.subject_ids[w]]
+        errs = [preds_phys[w, skip:, 0] - truth[fresh.subject_ids[w]][skip:]
                 for w in range(len(fresh))]
         return float(np.sqrt(np.mean(np.square(errs))))
 
@@ -135,27 +137,38 @@ def main(argv=None):
 
         rmse_enc = truth_rmse(res.params, config, None)
         batch = fresh.batch(np.arange(len(fresh)))
-        ctx_id = identify_context(res.params, batch, config,
-                                  steps=args.id_steps, lr=0.02, prior_std=0.2)
-        rmse_id = truth_rmse(res.params, config, ctx_id)
-        results["per_seed"][seed] = {
-            "fresh_rmse_encoder": round(rmse_enc, 4),
-            "fresh_rmse_identified": round(rmse_id, 4),
-            "train_wall_s": round(wall, 1),
-            "epochs_run": res.epochs_run,
-        }
-        print(f"seed {seed}: encoder {rmse_enc:.3f} -> identified {rmse_id:.3f} "
-              f"mmol/L ({wall:.0f}s)", flush=True)
+        row = {"fresh_rmse_encoder": round(rmse_enc, 4),
+               "train_wall_s": round(wall, 1), "epochs_run": res.epochs_run}
+        # identification-horizon sweep: the encoder is fixed at its trained
+        # 12-point (1 h) input, but the MAP refinement can use any prefix —
+        # basal multipliers are weakly identified from 1 h of 10%-CV data,
+        # so identifiability grows with the window
+        for k in (12, 24, 36):
+            ctx_id = identify_context(res.params, batch, config,
+                                      steps=args.id_steps, lr=0.02,
+                                      prior_std=0.3, points=k)
+            row[f"fresh_rmse_identified_k{k}"] = round(
+                truth_rmse(res.params, config, ctx_id), 4)
+            row[f"forecast_rmse_after_k{k}"] = round(
+                truth_rmse(res.params, config, ctx_id, skip=k), 4)
+        results["per_seed"][seed] = row
+        print(f"seed {seed}: encoder {rmse_enc:.3f} -> identified "
+              f"k12 {row['fresh_rmse_identified_k12']:.3f} / "
+              f"k36 {row['fresh_rmse_identified_k36']:.3f} mmol/L "
+              f"({wall:.0f}s)", flush=True)
         jax.clear_caches()
 
-    ids = [v["fresh_rmse_identified"] for v in results["per_seed"].values()]
+    ids36 = [v["fresh_rmse_identified_k36"] for v in results["per_seed"].values()]
+    ids12 = [v["fresh_rmse_identified_k12"] for v in results["per_seed"].values()]
     encs = [v["fresh_rmse_encoder"] for v in results["per_seed"].values()]
     results["summary"] = {
-        "identified_max": round(max(ids), 4),
-        "identified_mean": round(float(np.mean(ids)), 4),
+        "identified_k36_max": round(max(ids36), 4),
+        "identified_k36_mean": round(float(np.mean(ids36)), 4),
+        "identified_k12_max": round(max(ids12), 4),
         "encoder_max": round(max(encs), 4),
         "target_all_seeds_leq": 0.75,
-        "target_met": bool(max(ids) <= 0.75),
+        "target_met_k36": bool(max(ids36) <= 0.75),
+        "target_met_k12": bool(max(ids12) <= 0.75),
     }
     out = REPO / "results" / "subject_id.json"
     out.write_text(json.dumps(results, indent=2))

@@ -396,6 +396,7 @@ def identify_context(
     steps: int = 100,
     lr: float = 0.02,
     prior_std: float = 0.2,
+    points: Optional[int] = None,
 ) -> jnp.ndarray:
     """Test-time subject identification: refine each window's context code by
     gradient descent on the masked data loss over the first
@@ -407,15 +408,18 @@ def identify_context(
     that encoder happened to train: round-2 measured a 0.72/0.79/0.90
     fresh-cohort RMSE spread across seeds for `context_mode='params'`
     traced to encoder variance (RESULTS.md round-2 heterogeneity account;
-    VERDICT r2 next-round #5). `prior_std` is a Gaussian prior on the
-    latent (params-mode deltas are log-multipliers; the 4GI generator's
-    true per-subject spread is ~0.1-0.15) keeping unidentifiable
-    directions at zero.
+    VERDICT r2 next-round #5). `prior_std` is a Gaussian TRUST REGION
+    around the initialization: the penalty is ||ctx - ctx0||²/(2σ²), NOT
+    a zero-centered prior — a trained encoder's operating point can sit
+    at large codes (measured means ~±1.3 on the round-2 checkpoints, with
+    the point-estimate ODE parameters co-adapted to them), and pulling
+    toward zero destroys the model (measured 0.75 → 4.5 mmol/L).
 
     Robustness (learned on real fresh-cohort windows, round 3): the
-    optimizer tracks the PER-WINDOW best iterate — each window returns the
-    code with the lowest identification loss it ever saw, so a window
-    whose refinement diverges (NaN trajectories from extreme deltas) or
+    optimizer tracks the PER-WINDOW best iterate BY DATA LOSS — each
+    window returns the code with the lowest masked data misfit it ever
+    saw (the trust-region term only shapes the search), so a window whose
+    refinement diverges (NaN trajectories from extreme deltas) or
     overfits keeps its encoder initialization instead of poisoning the
     batch.
 
@@ -426,9 +430,14 @@ def identify_context(
     """
     import optax
 
-    k = config.context_points
+    k = points if points is not None else config.context_points
     if k <= 0:
         raise ValueError("identify_context requires context_points > 0")
+    # NOTE: `points` may exceed config.context_points — the ENCODER is fixed
+    # to its trained input length, but the identification solve is not;
+    # longer windows buy identifiability (basal multipliers are weakly
+    # identified from 1 h of noisy data — measured horizon sweep in
+    # results/subject_id.json).
     obs_k = jnp.asarray(batch["observations"])[:, :k]
     ts_k = jnp.asarray(batch["time_points"])[:, :k]
     mask = batch.get("mask")
@@ -438,9 +447,12 @@ def identify_context(
     sig_k = {n: jnp.asarray(v)[:, :k] for n, v in ext.items()}
 
     if "enc" in params:
+        # the encoder's input length is fixed at its TRAINED window even
+        # when the identification solve uses a longer one
         ctx0 = encode_context(
             params["enc"], jnp.asarray(batch["observations"]),
-            jnp.asarray(batch["time_points"]), k, config.activation,
+            jnp.asarray(batch["time_points"]), config.context_points,
+            config.activation,
         )
     else:
         dim = (len(config.context_params)
@@ -449,39 +461,47 @@ def identify_context(
 
     y0 = jnp.asarray(batch["initial_state"])
     denom = jnp.maximum(jnp.sum(mask_k, axis=1) * obs_k.shape[-1], 1.0)  # (B,)
+    # the SAME per-state weighting as training (inverse-variance; zero for
+    # uninformative placeholder channels like GE/FFA — without this the
+    # deltas chase z-scored placeholder error and wreck the identification:
+    # measured 0.98 -> 4.9 mmol/L before the fix)
+    w_state = batch.get("loss_weights")
+    w_state = (jnp.asarray(w_state) if w_state is not None
+               else jnp.ones((obs_k.shape[-1],), obs_k.dtype))
 
-    def loss_vec(ctx):
-        """Per-window identification loss (B,), NaN-safe."""
+    def data_vec(ctx):
+        """Per-window masked data misfit (B,), NaN-safe."""
         ctrls = Controls(ts=ts_k, signals=dict(sig_k, context=ctx))
         preds = batched_forward(params, y0, ts_k, ctrls, config)
-        se = ((preds - obs_k) ** 2) * mask_k[..., None]
+        se = ((preds - obs_k) ** 2) * w_state * mask_k[..., None]
         se = jnp.nan_to_num(se, nan=1e6, posinf=1e6)
-        data = jnp.sum(se, axis=(1, 2)) / denom
-        return data + jnp.mean(ctx**2, axis=-1) / (2.0 * prior_std**2)
+        return jnp.sum(se, axis=(1, 2)) / denom
+
+    def objective(ctx):
+        trust = jnp.mean((ctx - ctx0) ** 2, axis=-1) / (2.0 * prior_std**2)
+        d = data_vec(ctx)
+        return jnp.sum(d + trust), d
 
     opt = optax.adam(lr)
 
     def one_step(carry, _):
-        ctx, ostate, best_ctx, best_loss = carry
-        (_, lvec), g = jax.value_and_grad(
-            lambda c: (jnp.sum(loss_vec(c)), loss_vec(c)), has_aux=True
-        )(ctx)
-        improved = lvec < best_loss
+        ctx, ostate, best_ctx, best_data = carry
+        (_, dvec), g = jax.value_and_grad(objective, has_aux=True)(ctx)
+        improved = dvec < best_data
         best_ctx = jnp.where(improved[:, None], ctx, best_ctx)
-        best_loss = jnp.where(improved, lvec, best_loss)
+        best_data = jnp.where(improved, dvec, best_data)
         g = jnp.nan_to_num(g)
         upd, ostate = opt.update(g, ostate)
         ctx = optax.apply_updates(ctx, upd)
-        return (ctx, ostate, best_ctx, best_loss), None
+        return (ctx, ostate, best_ctx, best_data), None
 
-    init_loss = loss_vec(ctx0)
-    carry0 = (ctx0, opt.init(ctx0), ctx0, init_loss)
-    (ctx, _, best_ctx, best_loss), _ = jax.lax.scan(
+    carry0 = (ctx0, opt.init(ctx0), ctx0, data_vec(ctx0))
+    (ctx, _, best_ctx, best_data), _ = jax.lax.scan(
         one_step, carry0, None, length=steps
     )
     # final candidate
-    lvec = loss_vec(ctx)
-    best_ctx = jnp.where((lvec < best_loss)[:, None], ctx, best_ctx)
+    dvec = data_vec(ctx)
+    best_ctx = jnp.where((dvec < best_data)[:, None], ctx, best_ctx)
     return best_ctx
 
 
