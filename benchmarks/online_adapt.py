@@ -79,11 +79,21 @@ def run(args):
     cfg = copy.deepcopy(POP_CFG)
     cfg["data"]["path"] = str(train_csv)
     cfg["training"]["epochs"] = args.pretrain_epochs
+    ckpt_dir = REPO / "checkpoints" / "online_population"
     t0 = time.time()
-    res = train_model(cfg, tr, va,
-                      checkpoint_dir=str(REPO / "checkpoints" / "online_population"))
-    print(f"population pretrain: {time.time()-t0:.0f}s, "
-          f"best val {res.best_val_loss:.4f}")
+    if args.reuse and (ckpt_dir / "best_model").exists():
+        import types
+
+        from hybrid_ode_tpu.utils.checkpoint import load_checkpoint
+
+        state, _ = load_checkpoint(str(ckpt_dir / "best_model"))
+        res = types.SimpleNamespace(params=state["params"],
+                                    best_val_loss=float("nan"))
+        print("population model: reusing checkpoint")
+    else:
+        res = train_model(cfg, tr, va, checkpoint_dir=str(ckpt_dir))
+        print(f"population pretrain: {time.time()-t0:.0f}s, "
+              f"best val {res.best_val_loss:.4f}")
     params = res.params
     config = config_from_dict(cfg)
     pop_mean, pop_std = train_all.state_mean, train_all.state_std
@@ -140,6 +150,22 @@ def run(args):
     rows["_tuned_policy"] = {str(h): p for h, p in policy.items()}
     print("online_tuned_policy", rows["online_tuned_policy"], flush=True)
 
+    # GUARDED adaptation (round 3): per-subject accept/reject cross-
+    # validated on a held-out tail WITHIN the revealed window — the
+    # deployable mechanism that cannot lose to no-adaptation per subject
+    # beyond holdout noise (population-level tuning measurably cannot:
+    # per-subject benefit is heterogeneous)
+    t0 = time.time()
+    res = online_adaptation_eval(
+        params, ds, config, horizons_hours=HORIZONS,
+        policy={h: {"adapt_steps": args.steps, "learning_rate": args.lr,
+                    "anchor_weight": args.anchor, "adapt_scope": "nn",
+                    "guard": True} for h in HORIZONS},
+        window_indices=test_idx)
+    rows["online_guarded"] = {str(h): round(v, 4) for h, v in res.items()}
+    rows["online_guarded"]["wall_s"] = round(time.time() - t0, 1)
+    print("online_guarded", rows["online_guarded"], flush=True)
+
     rows["_manuscript_targets_mmol"] = {
         "batch_retrain": {"6.0": 0.86, "12.0": 0.78, "24.0": 0.70},
         "online": {"6.0": 0.82, "12.0": 0.72, "24.0": 0.65},
@@ -164,5 +190,8 @@ if __name__ == "__main__":
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--anchor", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--reuse", action="store_true",
+                    help="reuse checkpoints/online_population instead of "
+                         "pretraining")
     args = ap.parse_args()
     run(args)

