@@ -131,12 +131,19 @@ def main(argv=None):
 
         pv, uv, tv, mv = collect_predictive(vi, va, config, n_samples=args.n_samples, seed=1)
         pt, ut, tt, mt = collect_predictive(vi, te, config, n_samples=args.n_samples, seed=2)
+        np.savez(REPO / "results" / f"uq_arrays_{label}.npz",
+                 pv=pv, uv=uv, tv=tv, mv=mv, pt=pt, ut=ut, tt=tt, mt=mt)
         s = fit_uncertainty_scale(pv, uv, tv, mask=mv)
+        from hybrid_ode_tpu.evals.metrics import fit_per_state_recalibration
+
+        s_vec = fit_per_state_recalibration(pv, uv, tv, mask=mv)
         results[label] = {
             "noise_sigma": round(vi.noise_sigma, 4),
             "recalibration_scale_val": round(s, 4),
+            "recalibration_per_state_val": [round(float(x), 4) for x in s_vec],
             "test_raw": metrics_at(pt, ut, tt, mt, 1.0),
-            "test_recalibrated": metrics_at(pt, ut, tt, mt, s),
+            "test_recalibrated_scalar": metrics_at(pt, ut, tt, mt, s),
+            "test_recalibrated_per_state": metrics_at(pt, ut * s_vec, tt, mt, 1.0),
             "vi_train_wall_s": round(wall, 1),
         }
         print(label, json.dumps(results[label], indent=1))

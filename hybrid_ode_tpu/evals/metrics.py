@@ -193,3 +193,43 @@ def fit_uncertainty_scale(
         if e < best_e:
             best_s, best_e = float(s), float(e)
     return best_s
+
+
+def fit_per_state_recalibration(
+    predictions: np.ndarray,
+    uncertainties: np.ndarray,
+    targets: np.ndarray,
+    mask: Optional[np.ndarray] = None,
+    min_coverage_95: float = 0.95,
+) -> np.ndarray:
+    """Per-STATE variance recalibration with a coverage floor (round 3).
+
+    A single ECE-minimizing scale on a heavy-tailed z-distribution shrinks
+    the intervals and craters coverage (measured: ECE 0.16 -> 0.10 but
+    Cov95 0.90 -> 0.71). Here each state channel gets its own scale,
+    chosen to minimize that channel's ECE among scales that keep its 95%
+    coverage >= `min_coverage_95` — fit on VALIDATION, apply on test.
+    Returns a (C,) scale vector (multiply the uncertainty array).
+    """
+    p = np.asarray(predictions, np.float64)
+    u = np.asarray(uncertainties, np.float64)
+    t = np.asarray(targets, np.float64)
+    C = p.shape[-1]
+    scales = np.logspace(-0.7, 1.0, 171)
+    out = np.ones(C)
+    for i in range(C):
+        mi = mask
+        if mask is not None and np.asarray(mask).ndim == p.ndim:
+            mi = np.asarray(mask)[..., i : i + 1]
+        pi, ui, ti = p[..., i : i + 1], u[..., i : i + 1], t[..., i : i + 1]
+        if _mask_flat(pi, mi).size == 0:
+            continue
+        best_s, best_e = None, np.inf
+        for s in scales:
+            m = compute_calibration_error(pi, s * ui, ti, mask=mi)
+            if m["coverage_95"] >= min_coverage_95 and m["ece"] < best_e:
+                best_s, best_e = float(s), float(m["ece"])
+        if best_s is None:  # floor unreachable: take the widest candidate
+            best_s = float(scales[-1])
+        out[i] = best_s
+    return out
