@@ -18,6 +18,13 @@ import jax  # noqa: E402
 # jax_platforms, so the env var alone is not enough.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's wall time is dominated by jit
+# compiles of many distinct programs (measured: no test exceeds 40 s, but
+# ~90 tests × compiles ≈ 15 min); cached re-runs drop most of it.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.jax_cache_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import pytest  # noqa: E402
 
 
