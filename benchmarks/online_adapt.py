@@ -122,12 +122,18 @@ def run(args):
     val_idx = list(range(0, n // 2))
     test_idx = list(range(n // 2, n))
 
+    out = REPO / "results" / "online_adaptation.json"
     rows = {}
-    for name, steps, anchor in [
+    if args.guard_only and out.exists():
+        # iterate on the guard mechanism without re-measuring the unchanged
+        # baseline/tuned rows (they are deterministic given the checkpoint)
+        rows = json.loads(out.read_text())
+    arms = [] if args.guard_only and rows else [
         ("no_adaptation", 0, 0.0),
         ("batch_retrain_anchor0", args.steps, 0.0),
         ("online_anchored", args.steps, args.anchor),
-    ]:
+    ]
+    for name, steps, anchor in arms:
         t0 = time.time()
         res = online_adaptation_eval(
             params, ds, config, horizons_hours=HORIZONS,
@@ -138,17 +144,18 @@ def run(args):
         rows[name]["wall_s"] = round(time.time() - t0, 1)
         print(name, rows[name], flush=True)
 
-    from hybrid_ode_tpu.train.online import tune_online_policy
+    if not (args.guard_only and "online_tuned_policy" in rows):
+        from hybrid_ode_tpu.train.online import tune_online_policy
 
-    t0 = time.time()
-    policy = tune_online_policy(params, ds, config, horizons_hours=HORIZONS,
-                                window_indices=val_idx, verbose=True)
-    res = online_adaptation_eval(params, ds, config, horizons_hours=HORIZONS,
-                                 policy=policy, window_indices=test_idx)
-    rows["online_tuned_policy"] = {str(h): round(v, 4) for h, v in res.items()}
-    rows["online_tuned_policy"]["wall_s"] = round(time.time() - t0, 1)
-    rows["_tuned_policy"] = {str(h): p for h, p in policy.items()}
-    print("online_tuned_policy", rows["online_tuned_policy"], flush=True)
+        t0 = time.time()
+        policy = tune_online_policy(params, ds, config, horizons_hours=HORIZONS,
+                                    window_indices=val_idx, verbose=True)
+        res = online_adaptation_eval(params, ds, config, horizons_hours=HORIZONS,
+                                     policy=policy, window_indices=test_idx)
+        rows["online_tuned_policy"] = {str(h): round(v, 4) for h, v in res.items()}
+        rows["online_tuned_policy"]["wall_s"] = round(time.time() - t0, 1)
+        rows["_tuned_policy"] = {str(h): p for h, p in policy.items()}
+        print("online_tuned_policy", rows["online_tuned_policy"], flush=True)
 
     # GUARDED adaptation (round 3): per-subject accept/reject cross-
     # validated on a held-out tail WITHIN the revealed window — the
@@ -160,7 +167,7 @@ def run(args):
         params, ds, config, horizons_hours=HORIZONS,
         policy={h: {"adapt_steps": args.steps, "learning_rate": args.lr,
                     "anchor_weight": args.anchor, "adapt_scope": "nn",
-                    "guard": True} for h in HORIZONS},
+                    "guard": True, "margin": args.margin} for h in HORIZONS},
         window_indices=test_idx)
     rows["online_guarded"] = {str(h): round(v, 4) for h, v in res.items()}
     rows["online_guarded"]["wall_s"] = round(time.time() - t0, 1)
@@ -177,7 +184,6 @@ def run(args):
         f"NN on first h hours ({args.steps} steps, lr {args.lr}), glucose "
         f"RMSE on the remainder vs noisy obs (mmol/L)"
     )
-    out = REPO / "results" / "online_adaptation.json"
     out.write_text(json.dumps(rows, indent=2))
     print(f"wrote {out}")
 
@@ -193,5 +199,11 @@ if __name__ == "__main__":
     ap.add_argument("--reuse", action="store_true",
                     help="reuse checkpoints/online_population instead of "
                          "pretraining")
+    ap.add_argument("--guard-only", action="store_true",
+                    help="re-measure only the guarded row, merging into the "
+                         "existing results JSON")
+    ap.add_argument("--margin", type=float, default=0.05,
+                    help="relative holdout improvement required before the "
+                         "guard moves off the population model")
     args = ap.parse_args()
     run(args)

@@ -87,11 +87,17 @@ def elbo(
 
     keys = jax.random.split(key, n_samples)
     log_lik = jnp.mean(jax.vmap(one_sample)(keys))
+    # normalization constant: noise_sigma may be a scalar or a per-state
+    # (C,) vector (heteroscedastic observation noise, round 3); the mask is
+    # shared across channels so each channel has the same observation count.
+    sigma_vec = jnp.broadcast_to(jnp.asarray(noise_sigma), (obs.shape[-1],))
     if mask is not None:
-        n_obs = jnp.sum(batch["mask"]) * obs.shape[-1]
+        n_per_ch = jnp.sum(batch["mask"])
     else:
-        n_obs = float(np.prod(obs.shape))
-    log_lik = log_lik - 0.5 * n_obs * jnp.log(2.0 * jnp.pi * noise_sigma**2)
+        n_per_ch = float(np.prod(obs.shape[:-1]))
+    log_lik = log_lik - 0.5 * n_per_ch * jnp.sum(
+        jnp.log(2.0 * jnp.pi) + 2.0 * jnp.log(sigma_vec)
+    )
 
     value = log_lik - kl_scale * kl
     return value, {"elbo": value, "kl": kl, "log_likelihood": log_lik}
@@ -114,6 +120,7 @@ class VariationalInference:
         annealing_epochs: int = 50,
         include_nn=False,
         learn_noise: bool = False,
+        noise_learning_rate: float = 0.05,
     ):
         """include_nn: False = ODE-parameter-only posterior (stable,
         interpretable); True = all NN weights too (reference behavior — full
@@ -125,19 +132,37 @@ class VariationalInference:
         learn_noise: optimize the observation-noise scale with the ELBO
         (round 3). A fixed guessed sigma is the main reason round-2
         calibration sat at ECE 0.138: sigma sets the likelihood temperature
-        AND the predictive interval width."""
+        AND the predictive interval width. 'per_state' learns a separate
+        sigma per state channel (heteroscedastic): measured per-channel
+        errors on 4GI span 20x (glucose 0.43 vs GE 0.02 in z-units) — a
+        single global sigma cannot calibrate all six channels at once."""
         self.template = template_params
         self.config = config
         self.n_samples = n_samples
         self.kl_annealing = kl_annealing
         self.annealing_epochs = annealing_epochs
         self.learn_noise = learn_noise
-        self.log_noise = jnp.asarray(np.log(max(noise_sigma, 1e-6)), jnp.float32)
+        log_s0 = np.log(np.maximum(np.asarray(noise_sigma, np.float32), 1e-6))
+        if learn_noise == "per_state" and log_s0.ndim == 0:
+            # the mechanistic core is 6-state by construction (ode_core)
+            log_s0 = np.full((6,), log_s0, np.float32)
+        self.log_noise = jnp.asarray(log_s0, jnp.float32)
 
         flat = params_to_flat(template_params)
         self.vstate, self.priors = init_variational(flat, prior_params, include_nn=include_nn)
+        # log_noise gets its own (faster) Adam: moving sigma an order of
+        # magnitude is ~2.3 log-units, but Adam's per-step movement is ~lr —
+        # at the variational lr (1e-3) a 150-step fit can only move log sigma
+        # ~0.15, which silently pins a badly-guessed noise scale (measured:
+        # per-state sigmas stuck at 0.30-0.36 where channel residuals imply
+        # 0.02-0.4).
         self.optimizer = optax.chain(
-            optax.clip_by_global_norm(5.0), optax.adam(learning_rate)
+            optax.clip_by_global_norm(5.0),
+            optax.multi_transform(
+                {"vi": optax.adam(learning_rate),
+                 "noise": optax.adam(noise_learning_rate)},
+                lambda state: (jax.tree.map(lambda _: "vi", state[0]), "noise"),
+            ),
         )
         self.opt_state = self.optimizer.init((self.vstate, self.log_noise))
         self.history = {"elbo": [], "kl": [], "log_likelihood": []}
@@ -145,12 +170,15 @@ class VariationalInference:
         self._eval_elbo = None
 
     @property
-    def noise_sigma(self) -> float:
-        return float(np.exp(self.log_noise))
+    def noise_sigma(self):
+        """float for a scalar noise model, (C,) np.ndarray for 'per_state'."""
+        s = np.exp(np.asarray(self.log_noise))
+        return float(s) if s.ndim == 0 else s
 
     @noise_sigma.setter
-    def noise_sigma(self, value: float) -> None:
-        self.log_noise = jnp.asarray(np.log(max(float(value), 1e-6)), jnp.float32)
+    def noise_sigma(self, value) -> None:
+        v = np.maximum(np.asarray(value, np.float32), 1e-6)
+        self.log_noise = jnp.asarray(np.log(v), jnp.float32)
 
     # -- jitted kernels ----------------------------------------------------
     def _build(self):
@@ -300,7 +328,7 @@ class VariationalInference:
              "template": self.template},
             {"history": self.history,
              "priors": {k: list(v) for k, v in self.priors.items()},
-             "noise_sigma": self.noise_sigma,
+             "noise_sigma": np.asarray(self.noise_sigma).tolist(),
              "learn_noise": self.learn_noise,
              "model_config": dataclasses.asdict(self.config)},
         )
@@ -320,14 +348,21 @@ class VariationalInference:
         if "priors" in meta:
             self.priors = {k: tuple(v) for k, v in meta["priors"].items()}
         if "noise_sigma" in meta:
-            self.noise_sigma = float(meta["noise_sigma"])
-        self.learn_noise = bool(meta.get("learn_noise", False))
+            self.noise_sigma = meta["noise_sigma"]  # scalar or per-state list
+        self.learn_noise = meta.get("learn_noise", False)
         # optimizer state: round-3 steps optimize (vstate, log_noise); a
         # legacy checkpoint's opt_state covers vstate only — re-init then
         try:
             saved = state["opt_state"]
-            want = jax.tree.structure(self.optimizer.init((self.vstate, self.log_noise)))
-            if jax.tree.structure(saved) == want:
+            want = self.optimizer.init((self.vstate, self.log_noise))
+            same_tree = jax.tree.structure(saved) == jax.tree.structure(want)
+            # treedefs match between scalar- and per-state-noise layouts; the
+            # leaf SHAPES differ (log_noise () vs (C,)) — compare both
+            same_shapes = same_tree and all(
+                np.shape(a) == np.shape(b)
+                for a, b in zip(jax.tree.leaves(saved), jax.tree.leaves(want))
+            )
+            if same_shapes:
                 self.opt_state = saved
             else:
                 raise ValueError("legacy opt_state layout")
@@ -362,6 +397,7 @@ class VariationalInference:
                 )
             config = HybridConfig(**meta["model_config"])
         vi = cls(template_params, config,
-                 noise_sigma=float(meta.get("noise_sigma", 1.0)))
+                 noise_sigma=meta.get("noise_sigma", 1.0),
+                 learn_noise=meta.get("learn_noise", False))
         vi.load_checkpoint(path)
         return vi

@@ -132,9 +132,10 @@ def adapt_subject_guarded(
     adapt_scope: str = "nn",
     holdout_frac: float = 0.25,
     state_index: int = 0,
+    shrink_candidates: Sequence[float] = (0.0, 0.25, 0.5, 1.0),
+    margin: float = 0.05,
 ) -> Any:
-    """Per-subject GUARDED adaptation: accept the adapted model only if it
-    wins a within-reveal holdout check.
+    """Per-subject GUARDED adaptation: shrinkage selection with a margin.
 
     Round 3 (VERDICT r2 #7): population-level hyperparameter tuning cannot
     make adaptation safe for every subject — per-subject benefit is
@@ -142,10 +143,16 @@ def adapt_subject_guarded(
     poorly (measured: a val-tuned 6 h policy lost 1.24 -> 1.41 on test
     streams). The deployable decision is per subject and uses only
     REVEALED data: adapt on the first (1-holdout_frac) of the reveal,
-    forecast the held-out tail of the reveal from its left edge, and keep
-    the adapted model only if it beats the population model there; the
-    accepted branch then re-adapts on the full reveal. Worst case per
-    subject: the population model (adaptation can no longer lose).
+    forecast the held-out reveal tail from its left edge, and choose the
+    NN-parameter shrinkage theta_pop + alpha*(theta_adapted - theta_pop)
+    whose tail RMSE is best — moving away from alpha=0 (the population
+    model) only on a RELATIVE improvement >= `margin`. The binary
+    accept/reject guard still lost at 6 h (1.37 vs 1.24 no-adaptation):
+    on a 1.5 h holdout the adapted model wins marginally-and-wrongly too
+    often; requiring a margin and allowing partial shrinkage makes short
+    noisy reveals collapse to the population model while keeping the
+    12/24 h gains. The accepted branch re-adapts on the full reveal and
+    applies the selected alpha.
     """
     R = reveal_points
     n_hold = max(int(round(holdout_frac * R)), 3)
@@ -155,6 +162,13 @@ def adapt_subject_guarded(
                                 adapt_steps, learning_rate,
                                 anchor_weight=anchor_weight,
                                 adapt_scope=adapt_scope)
+
+    def blend(base, adapted, alpha):
+        out = dict(base)
+        out["nn"] = jax.tree.map(
+            lambda p0, p1: p0 + alpha * (p1 - p0), base["nn"], adapted["nn"]
+        )
+        return out
 
     # forecast the held-out reveal tail from the last fit observation
     ts = jnp.asarray(subject_window["time_points"][None, fit - 1 : R])
@@ -178,12 +192,21 @@ def adapt_subject_guarded(
         err = pred[1:, state_index] - obs
         return float(np.sqrt(np.mean(err[m] ** 2))) if m.any() else np.inf
 
-    if tail_rmse(adapted_fit) < tail_rmse(params):
-        return adapt_subject(params, subject_window, config, R,
-                             adapt_steps, learning_rate,
-                             anchor_weight=anchor_weight,
-                             adapt_scope=adapt_scope)
-    return params
+    base_rmse = tail_rmse(params)
+    best_alpha, best_rmse = 0.0, base_rmse
+    for alpha in shrink_candidates:
+        if alpha == 0.0:
+            continue
+        r = tail_rmse(blend(params, adapted_fit, alpha))
+        if r < best_rmse:
+            best_alpha, best_rmse = alpha, r
+    if best_alpha == 0.0 or best_rmse >= (1.0 - margin) * base_rmse:
+        return params
+    adapted_full = adapt_subject(params, subject_window, config, R,
+                                 adapt_steps, learning_rate,
+                                 anchor_weight=anchor_weight,
+                                 adapt_scope=adapt_scope)
+    return blend(params, adapted_full, best_alpha)
 
 
 def online_adaptation_eval(
@@ -235,7 +258,8 @@ def online_adaptation_eval(
                     params, window, config, reveal,
                     hp["adapt_steps"], hp["learning_rate"],
                     anchor_weight=hp["anchor_weight"],
-                    adapt_scope=hp["adapt_scope"], state_index=state_index)
+                    adapt_scope=hp["adapt_scope"], state_index=state_index,
+                    margin=hp.get("margin", 0.05))
             elif hp["adapt_steps"] > 0:
                 adapted = adapt_subject(params, window, config, reveal,
                                         hp["adapt_steps"], hp["learning_rate"],

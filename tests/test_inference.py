@@ -288,6 +288,43 @@ def test_vi_last_layer_and_learned_noise():
     assert abs(vi2.noise_sigma - 0.5) < 1e-9
 
 
+def test_vi_per_state_noise(tmp_path):
+    """Heteroscedastic observation noise: learn_noise='per_state' learns a
+    (6,) sigma vector (measured motivation: per-channel 4GI errors span 20x,
+    a global sigma cannot calibrate all channels — results/uq_calibration)."""
+    params = init_hybrid_params(jax.random.PRNGKey(0), FAST)
+    vi = VariationalInference(params, FAST, n_samples=2, noise_sigma=0.5,
+                              include_nn="last", learn_noise="per_state")
+    sig = vi.noise_sigma
+    assert np.asarray(sig).shape == (6,) and np.allclose(sig, 0.5)
+    batch = _tiny_batch(jax.random.PRNGKey(2), B=2, T=5)
+    for i in range(5):
+        out = vi.train_step(batch, jax.random.PRNGKey(i))
+        assert np.isfinite(out["elbo"])
+    sig = np.asarray(vi.noise_sigma)
+    assert sig.shape == (6,) and not np.allclose(sig, 0.5)
+    # channels should decouple: at least two learned sigmas differ
+    assert np.ptp(sig) > 1e-6
+
+    # scalar-vs-vector ELBO consistency: a constant vector sigma must give
+    # the same ELBO as the equivalent scalar
+    from hybrid_ode_tpu.inference.vi import elbo as elbo_fn
+
+    vi_s = VariationalInference(params, FAST, n_samples=2, noise_sigma=0.4)
+    e_s, _ = elbo_fn(vi_s.vstate, vi_s.priors, params, batch,
+                     jax.random.PRNGKey(3), FAST, 2, 0.4)
+    e_v, _ = elbo_fn(vi_s.vstate, vi_s.priors, params, batch,
+                     jax.random.PRNGKey(3), FAST, 2, jnp.full((6,), 0.4))
+    assert abs(float(e_s) - float(e_v)) < max(1e-4 * abs(float(e_s)), 1e-3)
+
+    # checkpoint round-trip preserves the vector noise + learn mode
+    path = str(tmp_path / "vi_ps")
+    vi.save_checkpoint(path)
+    vi3 = VariationalInference.restore(path)
+    assert vi3.learn_noise == "per_state"
+    assert np.allclose(np.asarray(vi3.noise_sigma), sig, atol=1e-6)
+
+
 def test_vi_injects_subject_context():
     """Round-3 regression: the ELBO must encode the subject context (the
     round-2 path ran context models unconditioned / crashed in params mode)."""

@@ -65,3 +65,29 @@ def test_online_adaptation_eval(ds):
     res = online_adaptation_eval(params, ds, FAST, horizons_hours=(1.0,),
                                  adapt_steps=5)
     assert 1.0 in res and np.isfinite(res[1.0])
+
+
+def test_guarded_adaptation_rejects_noise(ds):
+    """The shrinkage guard must fall back to the population model when the
+    revealed window is pure measurement noise (nothing subject-specific to
+    learn — adapting on it can only hurt the forecast)."""
+    from hybrid_ode_tpu.train.online import adapt_subject_guarded
+
+    params = init_hybrid_params(jax.random.PRNGKey(0), FAST)
+    rng = np.random.default_rng(3)
+    obs = ds.observations[0].copy()
+    obs = rng.normal(size=obs.shape).astype(np.float32)  # iid noise stream
+    window = {
+        "observations": obs,
+        "time_points": ds.time_points[0],
+        "external_inputs": {"meal": ds.meal[0], "tVNS": ds.tvns[0]},
+        "mask": ds.mask[0],
+    }
+    out = adapt_subject_guarded(params, window, FAST, reveal_points=14,
+                                adapt_steps=10, learning_rate=1e-2,
+                                margin=0.05)
+    # an iid-noise reveal gives the adapted model no edge on the holdout
+    # tail beyond the margin -> the guard returns the population params
+    for k in params["nn"]:
+        np.testing.assert_array_equal(np.asarray(out["nn"][k]),
+                                      np.asarray(params["nn"][k]))
