@@ -215,7 +215,11 @@ def fit_per_state_recalibration(
     u = np.asarray(uncertainties, np.float64)
     t = np.asarray(targets, np.float64)
     C = p.shape[-1]
-    scales = np.logspace(-0.7, 1.0, 171)
+    # grid reaches down to 0.03x: with per-state learned noise the placeholder
+    # channels' predictive sigma is already tiny and the optimal multiplier
+    # can sit well below the old 0.2 floor (measured: clipping at 0.2 cost
+    # 0.018 ECE overall)
+    scales = np.logspace(-1.5, 1.0, 251)
     out = np.ones(C)
     for i in range(C):
         mi = mask

@@ -64,14 +64,18 @@ def odeint(
                 "mode='dense' uses discretize-then-optimize gradients; "
                 "adjoint='backsolve' is unsupported with dense output"
             )
-        if solver not in ("dopri5", "rk45", "dop853"):
-            raise ValueError("mode='dense' is implemented for dopri5/rk45/dop853")
+        if solver not in ("dopri5", "rk45", "dop853", "radau"):
+            raise ValueError(
+                "mode='dense' is implemented for dopri5/rk45/dop853/radau"
+            )
         from hybrid_ode_tpu.solvers.dense import (
             odeint_dop853_dense,
             odeint_dopri5_dense,
+            odeint_radau_dense,
         )
 
-        dense_fn = odeint_dop853_dense if solver == "dop853" else odeint_dopri5_dense
+        dense_fn = {"dop853": odeint_dop853_dense,
+                    "radau": odeint_radau_dense}.get(solver, odeint_dopri5_dense)
         return dense_fn(
             f, y0, ts, args, rtol=rtol, atol=atol,
             max_steps=max_steps_per_interval * max(ts.shape[0] - 1, 1) // 4,

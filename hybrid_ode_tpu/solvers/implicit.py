@@ -60,6 +60,19 @@ NEWTON_TOL_FACTOR = 0.03  # converged when |dZ|_rms <= factor * tol scale
 def make_radau_step(f: Callable, rtol: float, atol: float) -> Callable:
     """Build (t, y, fy, h, args) -> (y1, f1, err_norm), plug-compatible with
     the explicit interval drivers in solvers/explicit.py."""
+    full = make_radau_step_full(f, rtol, atol)
+
+    def step(t, y, fy, h, args):
+        y1, f1, err_norm, _Z = full(t, y, fy, h, args)
+        return y1, f1, err_norm
+
+    return step
+
+
+def make_radau_step_full(f: Callable, rtol: float, atol: float) -> Callable:
+    """Like make_radau_step but also returns the stage increments Z (3, n) —
+    the collocation values y(t + c_i h) - y needed by the dense-output
+    driver's interpolant (solvers/dense.py odeint_radau_dense)."""
 
     def step(t, y, fy, h, args):
         dtype = y.dtype
@@ -108,7 +121,7 @@ def make_radau_step(f: Callable, rtol: float, atol: float) -> Callable:
         # Non-converged Newton => force rejection via inflated error.
         newton_ok = dz_rms <= NEWTON_TOL_FACTOR * jnp.sqrt(jnp.mean(scale**2))
         err_norm = jnp.where(newton_ok, err_norm, jnp.maximum(err_norm, jnp.asarray(2.0, dtype)))
-        return y1, f1, err_norm
+        return y1, f1, err_norm, Z
 
     return step
 
