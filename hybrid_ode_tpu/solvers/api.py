@@ -64,18 +64,20 @@ def odeint(
                 "mode='dense' uses discretize-then-optimize gradients; "
                 "adjoint='backsolve' is unsupported with dense output"
             )
-        if solver not in ("dopri5", "rk45", "dop853", "radau"):
+        if solver not in ("dopri5", "rk45", "dop853", "radau", "bdf"):
             raise ValueError(
-                "mode='dense' is implemented for dopri5/rk45/dop853/radau"
+                "mode='dense' is implemented for dopri5/rk45/dop853/radau/bdf"
             )
         from hybrid_ode_tpu.solvers.dense import (
+            odeint_bdf_dense,
             odeint_dop853_dense,
             odeint_dopri5_dense,
             odeint_radau_dense,
         )
 
         dense_fn = {"dop853": odeint_dop853_dense,
-                    "radau": odeint_radau_dense}.get(solver, odeint_dopri5_dense)
+                    "radau": odeint_radau_dense,
+                    "bdf": odeint_bdf_dense}.get(solver, odeint_dopri5_dense)
         return dense_fn(
             f, y0, ts, args, rtol=rtol, atol=atol,
             max_steps=max_steps_per_interval * max(ts.shape[0] - 1, 1) // 4,
