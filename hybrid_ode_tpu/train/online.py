@@ -121,7 +121,16 @@ def adapt_subject(
     return adapted
 
 
-def adapt_subject_guarded(
+def _blend_nn(base: Any, adapted: Any, alpha: float) -> Any:
+    """theta_pop + alpha * (theta_adapted - theta_pop), NN group only."""
+    out = dict(base)
+    out["nn"] = jax.tree.map(
+        lambda p0, p1: p0 + alpha * (p1 - p0), base["nn"], adapted["nn"]
+    )
+    return out
+
+
+def guard_candidate_arms(
     params: Any,
     subject_window: Dict[str, np.ndarray],
     config: HybridConfig,
@@ -132,27 +141,17 @@ def adapt_subject_guarded(
     adapt_scope: str = "nn",
     holdout_frac: float = 0.25,
     state_index: int = 0,
-    shrink_candidates: Sequence[float] = (0.0, 0.25, 0.5, 1.0),
-    margin: float = 0.05,
-) -> Any:
-    """Per-subject GUARDED adaptation: shrinkage selection with a margin.
+    shrink_candidates: Sequence[float] = (0.25, 0.5, 1.0),
+):
+    """Measure the guard's candidate arms from REVEALED data only.
 
-    Round 3 (VERDICT r2 #7): population-level hyperparameter tuning cannot
-    make adaptation safe for every subject — per-subject benefit is
-    heterogeneous and a mean over a small validation cohort generalizes
-    poorly (measured: a val-tuned 6 h policy lost 1.24 -> 1.41 on test
-    streams). The deployable decision is per subject and uses only
-    REVEALED data: adapt on the first (1-holdout_frac) of the reveal,
-    forecast the held-out reveal tail from its left edge, and choose the
-    NN-parameter shrinkage theta_pop + alpha*(theta_adapted - theta_pop)
-    whose tail RMSE is best — moving away from alpha=0 (the population
-    model) only on a RELATIVE improvement >= `margin`. The binary
-    accept/reject guard still lost at 6 h (1.37 vs 1.24 no-adaptation):
-    on a 1.5 h holdout the adapted model wins marginally-and-wrongly too
-    often; requiring a margin and allowing partial shrinkage makes short
-    noisy reveals collapse to the population model while keeping the
-    12/24 h gains. The accepted branch re-adapts on the full reveal and
-    applies the selected alpha.
+    Adapt on the first (1-holdout_frac) of the reveal, forecast the
+    held-out reveal tail from its left edge with every shrinkage blend
+    theta_pop + alpha*(theta_adapted - theta_pop), and return
+    (arms, sqerrs): arms maps alpha -> candidate parameter pytree
+    (alpha 0.0 = the population model), sqerrs maps alpha -> per-point
+    squared glucose errors on the holdout tail (the paired statistics a
+    deployable guard may base its decision on).
     """
     R = reveal_points
     n_hold = max(int(round(holdout_frac * R)), 3)
@@ -162,13 +161,6 @@ def adapt_subject_guarded(
                                 adapt_steps, learning_rate,
                                 anchor_weight=anchor_weight,
                                 adapt_scope=adapt_scope)
-
-    def blend(base, adapted, alpha):
-        out = dict(base)
-        out["nn"] = jax.tree.map(
-            lambda p0, p1: p0 + alpha * (p1 - p0), base["nn"], adapted["nn"]
-        )
-        return out
 
     # forecast the held-out reveal tail from the last fit observation
     ts = jnp.asarray(subject_window["time_points"][None, fit - 1 : R])
@@ -181,7 +173,7 @@ def adapt_subject_guarded(
     obs = subject_window["observations"][fit:R, state_index]
     m = subject_window["mask"][fit:R] > 0
 
-    def tail_rmse(p):
+    def tail_sqerr(p):
         ctl = with_context(
             p,
             {"observations": jnp.asarray(subject_window["observations"][None, :fit]),
@@ -190,23 +182,207 @@ def adapt_subject_guarded(
         )
         pred = np.asarray(batched_forward(p, y0, ts, ctl, config))[0]
         err = pred[1:, state_index] - obs
-        return float(np.sqrt(np.mean(err[m] ** 2))) if m.any() else np.inf
+        return (err[m] ** 2).astype(np.float64)
 
-    base_rmse = tail_rmse(params)
-    best_alpha, best_rmse = 0.0, base_rmse
+    arms = {0.0: params}
+    sqerrs = {0.0: tail_sqerr(params)}
     for alpha in shrink_candidates:
-        if alpha == 0.0:
-            continue
-        r = tail_rmse(blend(params, adapted_fit, alpha))
-        if r < best_rmse:
-            best_alpha, best_rmse = alpha, r
-    if best_alpha == 0.0 or best_rmse >= (1.0 - margin) * base_rmse:
-        return params
-    adapted_full = adapt_subject(params, subject_window, config, R,
-                                 adapt_steps, learning_rate,
-                                 anchor_weight=anchor_weight,
-                                 adapt_scope=adapt_scope)
-    return blend(params, adapted_full, best_alpha)
+        arms[alpha] = _blend_nn(params, adapted_fit, alpha)
+        sqerrs[alpha] = tail_sqerr(arms[alpha])
+    return arms, sqerrs
+
+
+def adapt_subject_guarded(
+    params: Any,
+    subject_window: Dict[str, np.ndarray],
+    config: HybridConfig,
+    reveal_points: int,
+    adapt_steps: int = 50,
+    learning_rate: float = 1e-3,
+    anchor_weight: float = 1.0,
+    adapt_scope: str = "nn",
+    holdout_frac: float = 0.25,
+    state_index: int = 0,
+    shrink_candidates: Sequence[float] = (0.25, 0.5, 1.0),
+    ucb_k: float = 2.0,
+    **_legacy,
+) -> Any:
+    """Per-subject GUARDED adaptation: UCB shrinkage selection.
+
+    Round 3 (VERDICT r2 #7), third iteration of the mechanism, designed
+    from a measured per-subject probe (results/guard_probe*.npz):
+
+    - population-level hyperparameter tuning cannot make adaptation safe
+      (per-subject benefit is heterogeneous; a val-tuned policy lost on
+      test), so the decision is per subject from REVEALED data only;
+    - v1 (binary accept on holdout improvement) and v2 (relative-margin
+      shrinkage) both still lost at 6 h: on short reveals the holdout
+      tail is temporally adjacent to the fit window, so adapted models
+      win the holdout by fitting the local regime while damaging the
+      day-ahead forecast (probe: holdout improved for 8/10 subjects at
+      6 h while the true remaining RMSE worsened for 7/10);
+    - v3 (this): pick the arm minimizing the UCB score
+      mean(sq_err) + ucb_k * sem(sq_err) over the holdout — the
+      population arm has near-zero adaptation-induced variance penalty,
+      so noisy short-reveal wins collapse to alpha=0 — and DEPLOY the
+      validated fit-adapted blend itself (no re-adaptation on the full
+      reveal: the probe measured re-adapted deployment worse at 24 h,
+      1.204 vs 1.096 — deploy what you validated);
+    - horizons where even this is net-harmful are disabled at the policy
+      level by `select_guard_policy` (paired t-test on validation
+      subjects) — a per-subject statistic cannot fix an anti-predictive
+      holdout, which is a property of the horizon, not the subject.
+    """
+    arms, sqerrs = guard_candidate_arms(
+        params, subject_window, config, reveal_points, adapt_steps,
+        learning_rate, anchor_weight=anchor_weight, adapt_scope=adapt_scope,
+        holdout_frac=holdout_frac, state_index=state_index,
+        shrink_candidates=shrink_candidates)
+
+    def score(e):
+        n = len(e)
+        if n < 2:
+            return np.inf
+        return e.mean() + ucb_k * e.std(ddof=1) / np.sqrt(n)
+
+    best = min(sqerrs, key=lambda a: score(sqerrs[a]))
+    return arms[best]
+
+
+def forecast_remainder_rmse(
+    params: Any,
+    ds,
+    w: int,
+    reveal: int,
+    config: HybridConfig,
+    state_index: int = 0,
+    stop: Optional[int] = None,
+) -> float:
+    """Glucose RMSE of the remaining stream, re-anchored at the last
+    revealed observation (the online-deployment contract; normalized
+    units). Context-conditioned models encode the subject from the
+    revealed prefix only."""
+    stop = len(ds.time_points[w]) if stop is None else stop
+    r0 = reveal - 1
+    ts = jnp.asarray(ds.time_points[w : w + 1, r0:stop])
+    y0 = jnp.asarray(ds.observations[w : w + 1, r0])
+    controls = Controls(
+        ts=ts,
+        signals={"meal": jnp.asarray(ds.meal[w : w + 1, r0:stop]),
+                 "tVNS": jnp.asarray(ds.tvns[w : w + 1, r0:stop])},
+    )
+    k = max(reveal, config.context_points)
+    obs_r = np.asarray(ds.observations[w, :reveal])
+    tp_r = np.asarray(ds.time_points[w, :reveal])
+    if k > reveal:
+        obs_r = np.concatenate([obs_r, np.repeat(obs_r[-1:], k - reveal, 0)])
+        tp_r = np.concatenate([tp_r, np.repeat(tp_r[-1:], k - reveal, 0)])
+    ctx_batch = {"observations": jnp.asarray(obs_r[None]),
+                 "time_points": jnp.asarray(tp_r[None])}
+    controls = with_context(params, ctx_batch, controls, config)
+    preds = np.asarray(batched_forward(params, y0, ts, controls, config))[0]
+    err = preds[1:, state_index] - ds.observations[w, reveal:stop, state_index]
+    m = ds.mask[w, reveal:stop] > 0
+    return float(np.sqrt(np.mean(err[m] ** 2))) if m.any() else float("nan")
+
+
+def select_guard_policy(
+    params: Any,
+    ds,
+    config: HybridConfig,
+    horizons_hours: Sequence[float] = (6.0, 12.0, 24.0),
+    window_indices: Optional[Sequence[int]] = None,
+    adapt_steps: int = 50,
+    learning_rate: float = 1e-3,
+    anchor_weight: float = 1.0,
+    adapt_scope: str = "nn",
+    ucb_ks: Sequence[float] = (0.5, 2.0),
+    t_min: float = 2.0,
+    state_index: int = 0,
+    verbose: bool = False,
+):
+    """Per-horizon guard meta-policy, selected on VALIDATION subjects.
+
+    The per-subject UCB guard (`adapt_subject_guarded`) decides *which*
+    arm to deploy from revealed data; what it cannot decide is whether the
+    reveal-tail holdout is predictive of the remaining-horizon forecast AT
+    ALL — the probe measured the 6 h holdout to be anti-predictive
+    (adapted models win it by fitting the local post-meal regime while
+    losing the day ahead), a property of the horizon, not the subject.
+    This selector measures, on validation subjects, the TRUE
+    remaining-horizon RMSE of each candidate guard (one per `ucb_ks`)
+    paired against the population model, and ENABLES the guard at a
+    horizon only when its improvement is statistically solid (paired
+    t >= t_min, pre-registered before the confirmatory cohort was
+    probed); among enabled candidates the best val mean wins.
+
+    Returns (policy, table): policy maps horizon -> hyperparameter dict
+    consumable by `online_adaptation_eval`; table records the per-horizon
+    per-candidate val measurements (mean improvement, t, n) for the
+    benchmark artifact.
+    """
+    idx = list(range(len(ds))) if window_indices is None else list(window_indices)
+    table: Dict[str, Dict] = {}
+    policy: Dict[float, Dict[str, Any]] = {}
+    for h in horizons_hours:
+        # per-subject: candidate arms once, then the true remaining RMSE of
+        # base + every arm any candidate k picks
+        picks: Dict[float, list] = {k: [] for k in ucb_ks}   # per-k chosen rem RMSE
+        base_rems = []
+        for w in idx:
+            window = {
+                "observations": ds.observations[w],
+                "time_points": ds.time_points[w],
+                "external_inputs": {"meal": ds.meal[w], "tVNS": ds.tvns[w]},
+                "mask": ds.mask[w],
+            }
+            t0 = float(ds.time_points[w, 0])
+            reveal = int(np.searchsorted(ds.time_points[w], t0 + h))
+            reveal = int(np.clip(reveal, 4, len(ds.time_points[w]) - 4))
+            arms, sqerrs = guard_candidate_arms(
+                params, window, config, reveal, adapt_steps, learning_rate,
+                anchor_weight=anchor_weight, adapt_scope=adapt_scope,
+                state_index=state_index)
+
+            def score(e, k):
+                n = len(e)
+                return np.inf if n < 2 else e.mean() + k * e.std(ddof=1) / np.sqrt(n)
+
+            chosen = {k: min(sqerrs, key=lambda a: score(sqerrs[a], k))
+                      for k in ucb_ks}
+            rems: Dict[float, float] = {}
+            for a in {0.0} | set(chosen.values()):
+                rems[a] = forecast_remainder_rmse(
+                    arms[a], ds, w, reveal, config, state_index)
+            base_rems.append(rems[0.0])
+            for k in ucb_ks:
+                picks[k].append(rems[chosen[k]])
+        base_arr = np.asarray(base_rems)
+        table[str(h)] = {"no_adapt_val_rmse": round(float(base_arr.mean()), 4),
+                         "n": len(idx), "candidates": {}}
+        best_k, best_mean, best_t = None, np.inf, 0.0
+        for k in ucb_ks:
+            d = base_arr - np.asarray(picks[k])
+            t_stat = float(d.mean() / (d.std(ddof=1) / np.sqrt(len(d)) + 1e-12))
+            mean_rmse = float(np.mean(picks[k]))
+            table[str(h)]["candidates"][f"ucb_k={k}"] = {
+                "val_rmse": round(mean_rmse, 4),
+                "paired_improvement": round(float(d.mean()), 4),
+                "t": round(t_stat, 2),
+            }
+            if verbose:
+                print(f"  guard-select h={h} k={k}: val {mean_rmse:.4f} "
+                      f"(base {base_arr.mean():.4f}), t={t_stat:.2f}", flush=True)
+            if mean_rmse < best_mean:
+                best_k, best_mean, best_t = k, mean_rmse, t_stat
+        enabled = best_t >= t_min and best_mean < float(base_arr.mean())
+        table[str(h)]["selected"] = {"enabled": bool(enabled),
+                                     "ucb_k": best_k, "t": round(best_t, 2)}
+        policy[h] = ({"adapt_steps": adapt_steps, "learning_rate": learning_rate,
+                      "anchor_weight": anchor_weight, "adapt_scope": adapt_scope,
+                      "guard": True, "ucb_k": best_k}
+                     if enabled else {"adapt_steps": 0})
+    return policy, table
 
 
 def online_adaptation_eval(
@@ -259,7 +435,7 @@ def online_adaptation_eval(
                     hp["adapt_steps"], hp["learning_rate"],
                     anchor_weight=hp["anchor_weight"],
                     adapt_scope=hp["adapt_scope"], state_index=state_index,
-                    margin=hp.get("margin", 0.05))
+                    ucb_k=hp.get("ucb_k", 2.0))
             elif hp["adapt_steps"] > 0:
                 adapted = adapt_subject(params, window, config, reveal,
                                         hp["adapt_steps"], hp["learning_rate"],
@@ -268,41 +444,10 @@ def online_adaptation_eval(
             else:
                 adapted = params  # no-adaptation baseline row
             # forecast the remainder from the last REVEALED observation
-            r0 = reveal - 1
-            eval_batch = {
-                "initial_state": jnp.asarray(ds.observations[w : w + 1, r0]),
-                "observations": jnp.asarray(ds.observations[w : w + 1, r0:]),
-                "time_points": jnp.asarray(ds.time_points[w : w + 1, r0:]),
-            }
-            controls = Controls(
-                ts=jnp.asarray(ds.time_points[w : w + 1, r0:]),
-                signals={"meal": jnp.asarray(ds.meal[w : w + 1, r0:]),
-                         "tVNS": jnp.asarray(ds.tvns[w : w + 1, r0:])},
-            )
-            # context-conditioned models: encode the subject from the
-            # REVEALED prefix (same data adaptation saw — encoding from
-            # eval_batch would peek at forecast-region observations)
-            k = max(reveal, config.context_points)  # pad-by-repeat if the
-            # reveal is shorter than the encoder's window
-            obs_r = np.asarray(ds.observations[w, :reveal])
-            tp_r = np.asarray(ds.time_points[w, :reveal])
-            if k > reveal:
-                obs_r = np.concatenate([obs_r, np.repeat(obs_r[-1:], k - reveal, 0)])
-                tp_r = np.concatenate([tp_r, np.repeat(tp_r[-1:], k - reveal, 0)])
-            ctx_batch = {
-                "observations": jnp.asarray(obs_r[None]),
-                "time_points": jnp.asarray(tp_r[None]),
-            }
-            controls = with_context(adapted, ctx_batch, controls, config)
-            preds = np.asarray(batched_forward(
-                adapted, eval_batch["initial_state"],
-                eval_batch["time_points"], controls, config,
-            ))[0]
-            err = (preds[1:, state_index] - ds.observations[w, reveal:, state_index])
-            m = ds.mask[w, reveal:] > 0
-            if m.any():
-                rmse = float(np.sqrt(np.mean(err[m] ** 2))) * float(ds.state_std[state_index])
-                results[h].append(rmse)
+            rmse_n = forecast_remainder_rmse(adapted, ds, w, reveal, config,
+                                             state_index)
+            if np.isfinite(rmse_n):
+                results[h].append(rmse_n * float(ds.state_std[state_index]))
     return {h: float(np.mean(v)) if v else float("nan") for h, v in results.items()}
 
 

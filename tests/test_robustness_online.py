@@ -85,9 +85,32 @@ def test_guarded_adaptation_rejects_noise(ds):
     }
     out = adapt_subject_guarded(params, window, FAST, reveal_points=14,
                                 adapt_steps=10, learning_rate=1e-2,
-                                margin=0.05)
+                                ucb_k=2.0)
     # an iid-noise reveal gives the adapted model no edge on the holdout
-    # tail beyond the margin -> the guard returns the population params
+    # tail that survives the UCB variance penalty -> the guard returns the
+    # population params
     for k in params["nn"]:
         np.testing.assert_array_equal(np.asarray(out["nn"][k]),
                                       np.asarray(params["nn"][k]))
+
+
+def test_select_guard_policy_wellformed(ds):
+    """The per-horizon meta-policy selector returns a policy consumable by
+    online_adaptation_eval and a measurement table with paired t-stats;
+    with a random-init model (nothing subject-specific learnable) it must
+    not enable adaptation at t_min=2."""
+    from hybrid_ode_tpu.train.online import select_guard_policy
+
+    params = init_hybrid_params(jax.random.PRNGKey(0), FAST)
+    policy, table = select_guard_policy(
+        params, ds, FAST, horizons_hours=(1.0,), window_indices=[0, 1],
+        adapt_steps=3, learning_rate=1e-3)
+    assert set(policy) == {1.0}
+    sel = table["1.0"]["selected"]
+    assert set(sel) == {"enabled", "ucb_k", "t"}
+    for cand in table["1.0"]["candidates"].values():
+        assert np.isfinite(cand["t"]) and np.isfinite(cand["val_rmse"])
+    if not sel["enabled"]:
+        assert policy[1.0] == {"adapt_steps": 0}
+    else:  # enabled only on a statistically solid win
+        assert sel["t"] >= 2.0 and policy[1.0]["guard"]
