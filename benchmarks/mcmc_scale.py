@@ -27,6 +27,10 @@ def main(argv=None):
     ap.add_argument("--max-depth", type=int, default=5)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--points", type=int, default=13)
+    ap.add_argument("--engine", choices=["xla", "fused"], default="xla",
+                    help="'fused' maps chains x subjects onto the Pallas "
+                         "kernel's batch lanes (one fused fwd+adjoint per "
+                         "leapfrog across ALL chains)")
     args = ap.parse_args(argv)
 
     import jax
@@ -58,6 +62,7 @@ def main(argv=None):
         params, batch, config, key=jax.random.PRNGKey(2),
         num_samples=args.samples, num_warmup=args.warmup,
         n_chains=args.chains, max_depth=args.max_depth,
+        engine=args.engine,
     )
     wall = time.time() - t0
 
@@ -83,9 +88,11 @@ def main(argv=None):
         "accept_stat": round(float(samples["_accept_stat"].mean()), 3),
         "divergence_rate": round(float(samples["_diverging"].mean()), 4),
         "device": str(jax.devices()[0].device_kind),
+        "engine": args.engine,
     }
     print(json.dumps(result))
-    out = Path(__file__).resolve().parents[1] / "results" / "mcmc_scale.json"
+    name = "mcmc_scale.json" if args.engine == "xla" else f"mcmc_scale_{args.engine}.json"
+    out = Path(__file__).resolve().parents[1] / "results" / name
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(result, indent=2))
 

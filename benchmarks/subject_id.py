@@ -41,6 +41,11 @@ def main(argv=None):
     ap.add_argument("--reuse", action="store_true",
                     help="load checkpoints/subject_id_s{seed} instead of "
                          "retraining (identification-only rerun)")
+    ap.add_argument("--amortize", type=int, default=0, metavar="N",
+                    help="also distill identify_context into an amortized "
+                         "encoder trained on N fresh simulated subjects "
+                         "(one MLP pass at deployment instead of the "
+                         "per-window MAP refinement)")
     args = ap.parse_args(argv)
 
     import jax
@@ -69,23 +74,28 @@ def main(argv=None):
     ds = create_data_arrays(data_path)
     tr, va, _ = split_dataset(ds, seed=42)
 
+    def load_cohort(tag, seed, n_subjects):
+        """Generate a simulated cohort re-expressed in the TRAINING
+        normalization (accuracy.py protocol); returns (dataset, truth)."""
+        path = f"/tmp/4gi_cohort_sid_{tag}.csv"
+        df = generate_4gi_dataset(path, seed=seed, n_subjects=n_subjects)
+        raw = create_data_arrays(path)
+        phys = raw.observations * raw.state_std + raw.state_mean
+        renorm = (phys - ds.state_mean) / ds.state_std
+        cohort = GlucoseDataset(
+            initial_state=renorm[:, 0].astype(np.float32),
+            observations=renorm.astype(np.float32),
+            time_points=raw.time_points, meal=raw.meal,
+            tvns=raw.tvns, mask=raw.mask,
+            state_mean=ds.state_mean, state_std=ds.state_std,
+            subject_ids=raw.subject_ids, loss_weights=ds.loss_weights,
+        )
+        tru = {sid: sub["glucose_true_mmol_L"].to_numpy()
+               for sid, sub in df.groupby("subject_id")}
+        return cohort, tru
+
     # fresh cohort in the TRAINING normalization (accuracy.py protocol)
-    fresh_path = "/tmp/4gi_fresh_cohort_sid.csv"
-    fresh_df = generate_4gi_dataset(fresh_path, seed=123,
-                                    n_subjects=args.fresh_subjects)
-    fresh_raw = create_data_arrays(fresh_path)
-    phys = fresh_raw.observations * fresh_raw.state_std + fresh_raw.state_mean
-    renorm = (phys - ds.state_mean) / ds.state_std
-    fresh = GlucoseDataset(
-        initial_state=renorm[:, 0].astype(np.float32),
-        observations=renorm.astype(np.float32),
-        time_points=fresh_raw.time_points, meal=fresh_raw.meal,
-        tvns=fresh_raw.tvns, mask=fresh_raw.mask,
-        state_mean=ds.state_mean, state_std=ds.state_std,
-        subject_ids=fresh_raw.subject_ids, loss_weights=ds.loss_weights,
-    )
-    truth = {sid: sub["glucose_true_mmol_L"].to_numpy()
-             for sid, sub in fresh_df.groupby("subject_id")}
+    fresh, truth = load_cohort("fresh", 123, args.fresh_subjects)
 
     def truth_rmse(params, config, ctx, skip=0):
         """Glucose RMSE vs simulator truth; skip>0 scores only t>=skip
@@ -144,13 +154,42 @@ def main(argv=None):
         # basal multipliers are weakly identified from 1 h of 10%-CV data,
         # so identifiability grows with the window
         for k in (12, 24, 36):
+            t_id = time.time()
             ctx_id = identify_context(res.params, batch, config,
                                       steps=args.id_steps, lr=0.02,
                                       prior_std=0.3, points=k)
+            ctx_id.block_until_ready()
+            row[f"identify_wall_s_k{k}"] = round(time.time() - t_id, 2)
             row[f"fresh_rmse_identified_k{k}"] = round(
                 truth_rmse(res.params, config, ctx_id), 4)
             row[f"forecast_rmse_after_k{k}"] = round(
                 truth_rmse(res.params, config, ctx_id, skip=k), 4)
+        if args.amortize:
+            from hybrid_ode_tpu.models.hybrid import (amortize_encoder,
+                                                      encode_context)
+
+            # amortization cohort: simulated subjects DISJOINT from both the
+            # training data (seed 0) and the evaluation cohort (seed 123)
+            amo, _ = load_cohort("amortize", 7, args.amortize)
+            amo_batch = amo.batch(np.arange(len(amo)))
+            t_am = time.time()
+            enc36, info = amortize_encoder(
+                res.params, amo_batch, config, points=36,
+                id_steps=args.id_steps, id_lr=0.02, prior_std=0.3,
+                key=jax.random.PRNGKey(seed),
+            )
+            row["amortize_train_wall_s"] = round(time.time() - t_am, 1)
+            t_enc = time.time()
+            ctx_am = encode_context(
+                enc36, jnp.asarray(fresh.observations),
+                jnp.asarray(fresh.time_points), 36, config.activation)
+            ctx_am.block_until_ready()
+            row["amortized_encode_wall_s"] = round(time.time() - t_enc, 3)
+            row["amortized_val_code_mse"] = round(info["val_code_mse"], 5)
+            row["fresh_rmse_amortized_k36"] = round(
+                truth_rmse(res.params, config, ctx_am), 4)
+            row["forecast_rmse_amortized_after_k36"] = round(
+                truth_rmse(res.params, config, ctx_am, skip=36), 4)
         results["per_seed"][seed] = row
         print(f"seed {seed}: encoder {rmse_enc:.3f} -> identified "
               f"k12 {row['fresh_rmse_identified_k12']:.3f} / "
@@ -170,6 +209,15 @@ def main(argv=None):
         "target_met_k36": bool(max(ids36) <= 0.75),
         "target_met_k12": bool(max(ids12) <= 0.75),
     }
+    if args.amortize:
+        ams = [v["fresh_rmse_amortized_k36"]
+               for v in results["per_seed"].values()]
+        results["summary"].update(
+            amortized_k36_max=round(max(ams), 4),
+            amortized_k36_mean=round(float(np.mean(ams)), 4),
+            amortize_subjects=args.amortize,
+            target_met_amortized=bool(max(ams) <= 0.75),
+        )
     out = REPO / "results" / "subject_id.json"
     out.write_text(json.dumps(results, indent=2))
     print(json.dumps(results["summary"]))

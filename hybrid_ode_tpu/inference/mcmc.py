@@ -295,6 +295,7 @@ def nuts_sample(
     adapt_mass: bool = True,
     thin: int = 1,
     dispatch_chunk: int = 10,
+    logp_and_grad_fn: Optional[Callable] = None,
 ) -> Dict[str, np.ndarray]:
     """Run vectorized NUTS; returns dict with 'samples' (chains, draws, dim),
     'accept_stat', 'diverging', 'step_size', 'inv_mass'.
@@ -303,12 +304,21 @@ def nuts_sample(
     chunked from the host so no single XLA dispatch runs for many minutes —
     long monolithic warmup/sampling dispatches (deep trees x expensive
     grad-of-ODE-solve leapfrogs) can exceed remote-worker execution limits
-    and kill the TPU worker; chunking also yields progress logging."""
+    and kill the TPU worker; chunking also yields progress logging.
+
+    logp_and_grad_fn: optional override for the per-chain (logp, grad)
+    evaluation — single-chain signature q -> (logp, dlogp/dq). Pass a
+    `jax.custom_batching.custom_vmap`-wrapped function to intercept the
+    chain vmap and evaluate ALL chains in one batched program (the fused
+    Pallas engine in `run_nuts(engine='fused')` does exactly this)."""
     n_chains, dim = q_init.shape
     chunk = max(1, int(dispatch_chunk))
 
-    def logp_and_grad(q):
-        return jax.value_and_grad(logp_fn)(q)
+    if logp_and_grad_fn is not None:
+        logp_and_grad = logp_and_grad_fn
+    else:
+        def logp_and_grad(q):
+            return jax.value_and_grad(logp_fn)(q)
 
     def one_transition(q, k, eps, inv_mass):
         return _nuts_step(logp_and_grad, q, k, eps, inv_mass, max_depth)
@@ -415,6 +425,89 @@ ODE_PARAM_PRIORS = {
 }
 
 
+def _make_fused_chain_logp(
+    params, batch, config, controls, sample_names, template, noise_sigma
+):
+    """Chain-batched log-posterior through the fused Pallas RK4 kernel.
+
+    Maps chain c, subject b onto batch lane c*B+b of ONE kernel launch:
+    each chain's 7 sampled ODE-parameter values ride in as per-lane context
+    rows applied ABSOLUTELY (`ctx_param_mode='abs'`, ops/pallas_rk4.py) —
+    the posterior geometry is identical to the per-chain XLA path (same
+    unconstrained parameterization, linear in the context), but every NUTS
+    leapfrog across all chains costs one fused forward + one fused
+    reverse-adjoint kernel instead of a vmapped lax.scan solver graph.
+
+    Returns (logp_batched, names) with logp_batched: (C, dim) -> (C,).
+    """
+    from hybrid_ode_tpu.ops.pallas_rk4 import PARAM_ORDER, fused_rk4_hybrid
+
+    if config.solver != "rk4":
+        raise ValueError(f"engine='fused' requires solver='rk4', got {config.solver!r}")
+    if getattr(config, "activation", "relu") != "relu":
+        raise ValueError("engine='fused' supports activation='relu' only")
+    if not (config.use_nn and config.use_mech):
+        raise ValueError("engine='fused' requires use_nn=True and use_mech=True")
+    if "norm" in params:
+        raise ValueError("engine='fused' does not support the 'norm' physical-core mode")
+    signals = dict(controls.signals) if controls is not None else {}
+    if "context" in signals:
+        raise ValueError(
+            "engine='fused' does not support context-conditioned models: the "
+            "kernel's context rows carry the per-chain sampled parameters "
+            "(use engine='xla' for conditioned posteriors)"
+        )
+    names = [n[4:] for n in sample_names]  # 'ode_a_GI' -> 'a_GI'
+    cpi = tuple(PARAM_ORDER.index(n) for n in names)
+    q_idx = np.array([int(template[n]) for n in sample_names])
+    mus = jnp.array([ODE_PARAM_PRIORS[n][0] for n in names])
+    sds = jnp.array([ODE_PARAM_PRIORS[n][1] for n in names])
+
+    obs = batch["observations"]
+    mask = batch.get("mask")
+    y0 = batch["initial_state"]
+    ts = batch["time_points"]
+    if ts.ndim == 1:
+        ts = jnp.broadcast_to(ts[None, :], (y0.shape[0], ts.shape[0]))
+    B, T = ts.shape
+    meal = signals.pop("meal", None)
+    tvns = signals.pop("tVNS", None)
+    if signals:
+        raise ValueError(f"engine='fused' supports meal/tVNS controls only, got {sorted(signals)}")
+    meal = jnp.zeros((B, T), jnp.float32) if meal is None else meal
+    tvns = jnp.zeros((B, T), jnp.float32) if tvns is None else tvns
+    n_factor = obs.shape[-1]
+    if mask is not None:
+        n_obs = jnp.sum(mask) * n_factor
+    else:
+        n_obs = float(np.prod(obs.shape))
+    interpret = jax.default_backend() != "tpu"
+
+    def logp_batched(Q):  # (C, dim) -> (C,)
+        C = Q.shape[0]
+        V = Q[:, q_idx]  # (C, n_sampled) values, PARAM_ORDER-mapped columns
+        lp = jnp.sum(
+            -0.5 * ((V - mus) / sds) ** 2 - 0.5 * jnp.log(2 * jnp.pi * sds**2),
+            axis=1,
+        )
+        ctx = jnp.repeat(V, B, axis=0)  # (C*B, n_sampled): chain-major lanes
+        preds = fused_rk4_hybrid(
+            jnp.tile(y0, (C, 1)), jnp.tile(ts, (C, 1)),
+            jnp.tile(meal, (C, 1)), jnp.tile(tvns, (C, 1)),
+            params["ode"], params["nn"],
+            substeps=config.substeps, n_layers=config.nn_layers,
+            interpret=interpret, context=ctx, context_param_idx=cpi,
+            ctx_param_mode="abs",
+        )
+        se = ((jnp.tile(obs, (C, 1, 1)) - preds) / noise_sigma) ** 2
+        if mask is not None:
+            se = se * jnp.tile(mask, (C, 1))[..., None]
+        per_chain = jnp.sum(se.reshape(C, -1), axis=1)
+        return lp - 0.5 * per_chain - 0.5 * n_obs * jnp.log(2 * jnp.pi * noise_sigma**2)
+
+    return logp_batched
+
+
 def run_nuts(
     params: Any,
     batch: Dict,
@@ -428,6 +521,7 @@ def run_nuts(
     noise_sigma: float = 1.0,
     include_nn: bool = False,
     jitter: float = 0.01,
+    engine: str = "xla",
 ) -> Dict[str, np.ndarray]:
     """Posterior over hybrid-model parameters given one data batch.
 
@@ -436,6 +530,14 @@ def run_nuts(
     (N(0,1) priors, `:77-81`) are opt-in via include_nn — sampling ~13k NN
     dims with a placeholder RW-Metropolis was never meaningful in the
     reference, while NUTS handles it but at real cost.
+
+    engine: 'xla' evaluates each chain's log-posterior through the generic
+    solver stack under vmap; 'fused' routes ALL chains through one fused
+    Pallas RK4 kernel per leapfrog (chains x subjects on the batch-lane
+    axis, per-chain parameters as absolute per-lane context rows) via a
+    `jax.custom_batching.custom_vmap` intercept — same posterior, kernel
+    throughput. 'fused' requires solver='rk4', relu, no context
+    conditioning, include_nn=False.
 
     Returns dict of per-parameter sample arrays, shape (chains*draws,) —
     flattened-chain layout matching the reference's npz output (`:166-168`).
@@ -488,17 +590,44 @@ def run_nuts(
         lp = lp - 0.5 * jnp.sum(se) - 0.5 * n_obs * jnp.log(2 * jnp.pi * noise_sigma**2)
         return jnp.sum(lp)
 
+    logp_and_grad_fn = None
+    if engine == "fused":
+        if include_nn:
+            raise ValueError(
+                "engine='fused' samples ODE parameters only (the kernel "
+                "shares NN weights across lanes); use engine='xla' for "
+                "include_nn=True"
+            )
+        template_f = unravel(jnp.arange(dim, dtype=jnp.float32))
+        logp_batched = _make_fused_chain_logp(
+            params, batch, config, controls, sample_names,
+            {k: np.asarray(v) for k, v in template_f.items()}, noise_sigma,
+        )
+
+        @jax.custom_batching.custom_vmap
+        def logp_and_grad_fn(q):
+            return jax.value_and_grad(logp_fn)(q)  # unbatched fallback
+
+        @logp_and_grad_fn.def_vmap
+        def _fused_rule(axis_size, in_batched, Q):
+            vals, pullback = jax.vjp(logp_batched, Q)
+            (grads,) = pullback(jnp.ones_like(vals))
+            return (vals, grads), (True, True)
+    elif engine != "xla":
+        raise ValueError(f"unknown NUTS engine {engine!r} (use 'xla' or 'fused')")
+
     key, ik = jax.random.split(key)
     q_init = q0_flat[None, :] + jitter * jax.random.normal(ik, (n_chains, dim))
 
     logger.info(
-        "NUTS: %d chains x (%d warmup + %d samples), dim=%d, max_depth=%d",
-        n_chains, num_warmup, num_samples, dim, max_depth,
+        "NUTS: %d chains x (%d warmup + %d samples), dim=%d, max_depth=%d, engine=%s",
+        n_chains, num_warmup, num_samples, dim, max_depth, engine,
     )
     out = nuts_sample(
         logp_fn, q_init, key,
         num_samples=num_samples, num_warmup=num_warmup,
         max_depth=max_depth, target_accept=target_accept,
+        logp_and_grad_fn=logp_and_grad_fn,
     )
 
     # unflatten per-parameter: (chains, draws, dim) -> {name: (chains*draws, ...)}

@@ -505,6 +505,112 @@ def identify_context(
     return best_ctx
 
 
+def amortize_encoder(
+    params: Mapping[str, Any],
+    batch: Mapping[str, Any],
+    config: HybridConfig,
+    *,
+    points: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+    id_steps: int = 150,
+    id_lr: float = 0.02,
+    prior_std: float = 0.3,
+    hidden: int = 64,
+    n_layers: int = 2,
+    epochs: int = 3000,
+    lr: float = 1e-3,
+    weight_decay: float = 1e-4,
+    val_frac: float = 0.15,
+    targets: Optional[jnp.ndarray] = None,
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, float]]:
+    """Distill `identify_context` into a feed-forward amortized encoder.
+
+    Test-time identification (MAP refinement of the subject latent) closes
+    the encoder-variance seed spread (results/subject_id.json) but costs
+    `id_steps` Adam iterations of ODE solves per deployment window. This
+    trains a NEW encoder — same featurization as `encode_context` but over
+    a `points`-long window (typically the 3 h identification horizon, not
+    the 1 h training context) — to regress the identified codes directly,
+    so deployment pays ONE MLP forward pass instead of an inner
+    optimization loop.
+
+    The amortization cohort is `batch` (use a large simulated cohort — the
+    4GI generator is vmapped and effectively free); targets are produced by
+    `identify_context` with the model FROZEN unless supplied via `targets`.
+    A `val_frac` split early-stops the regression on held-out code MSE
+    (best-iterate, not last).
+
+    No reference counterpart: the reference has no subject conditioning at
+    all. This is the amortized-inference step of the standard
+    optimize-then-distill recipe (cf. amortized VI / learned initializers).
+
+    Returns `(enc_params, info)`: an encoder pytree compatible with
+    `encode_context(enc_params, obs, ts, points)` — inject its codes via
+    `Controls(signals={'context': ...})`, or stash it as `params['enc']`
+    alongside `dataclasses.replace(config, context_points=points)` — and a
+    dict with target/val statistics.
+    """
+    import optax
+
+    from hybrid_ode_tpu.dynamics.residual import init_mlp_params
+
+    k = points if points is not None else config.context_points
+    key = key if key is not None else jax.random.PRNGKey(0)
+    if targets is None:
+        targets = identify_context(params, batch, config, steps=id_steps,
+                                   lr=id_lr, prior_std=prior_std, points=k)
+    targets = jax.lax.stop_gradient(jnp.asarray(targets))
+    B, out_dim = targets.shape
+
+    obs = jnp.asarray(batch["observations"])
+    ts = jnp.asarray(batch["time_points"])
+    n = obs.shape[-1]
+
+    key, ik, sk = jax.random.split(key, 3)
+    enc = init_mlp_params(ik, input_dim=k * (n + 1), hidden_dim=hidden,
+                          output_dim=out_dim, n_layers=n_layers,
+                          dtype=obs.dtype)
+    # regression head: small non-zero output init (the zero init that makes
+    # sense for residuals would start at the population code and stall)
+    wlast = f"w{n_layers}"
+    enc[wlast] = 0.05 * jax.random.normal(jax.random.fold_in(ik, 1),
+                                          enc[wlast].shape, obs.dtype)
+
+    perm = jax.random.permutation(sk, B)
+    n_val = max(1, int(val_frac * B)) if B > 4 else 0
+    val_idx, tr_idx = perm[:n_val], perm[n_val:]
+
+    def code_mse(e, idx):
+        pred = encode_context(e, obs[idx], ts[idx], k, config.activation)
+        return jnp.mean((pred - targets[idx]) ** 2)
+
+    opt = optax.adamw(lr, weight_decay=weight_decay)
+
+    def step(carry, _):
+        e, os_, best_e, best_v = carry
+        loss, g = jax.value_and_grad(code_mse)(e, tr_idx)
+        upd, os_ = opt.update(g, os_, e)
+        e = optax.apply_updates(e, upd)
+        v = code_mse(e, val_idx) if n_val else loss
+        better = v < best_v
+        best_e = jax.tree.map(
+            lambda a, b: jnp.where(better, a, b), e, best_e)
+        return (e, os_, best_e, jnp.minimum(v, best_v)), loss
+
+    carry0 = (enc, opt.init(enc), enc, jnp.asarray(jnp.inf, obs.dtype))
+    (_, _, best_enc, best_val), losses = jax.lax.scan(
+        step, carry0, None, length=epochs)
+
+    info = {
+        "points": k,
+        "n_windows": int(B),
+        "val_code_mse": float(best_val),
+        "final_train_mse": float(losses[-1]),
+        "target_code_std": float(jnp.std(targets)),
+    }
+    return best_enc, info
+
+
 def segment_batch(batch: Mapping[str, Any], k: int) -> Dict[str, Any]:
     """Multiple-shooting view: split each (T-point) window into k segments,
     each re-initialised from the OBSERVED state at its left edge.

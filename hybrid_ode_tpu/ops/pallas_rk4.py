@@ -118,7 +118,8 @@ def _pack_params(ode_params: Dict[str, jnp.ndarray], dtype=jnp.float32):
 
 
 def _hybrid_field_t(t_row, Y, meal_row, tvns_row, ws, bs, pv, ctx, n_layers,
-                    ctx_param_idx=(), mlp_dtype=jnp.float32):
+                    ctx_param_idx=(), mlp_dtype=jnp.float32,
+                    ctx_param_mode="mul"):
     """Transposed-layout hybrid field: (8, Bb) states -> (8, Bb) derivative.
 
     Pure function of VALUES (not refs) so `jax.vjp` can transpose it inside
@@ -126,10 +127,16 @@ def _hybrid_field_t(t_row, Y, meal_row, tvns_row, ws, bs, pv, ctx, n_layers,
     GD=0 + `dynamics.residual.residual_apply` (relu).
 
     ctx_param_idx: static tuple of PARAM_ORDER indices — when non-empty, the
-    context rows are per-sample multiplicative deltas on those mechanistic
-    parameters (P_i <- P_i * e^{ctx_row}, models/hybrid.py
-    context_mode='params'); the affected P entries become (1, Bb) rows and
-    the MLP sees no context features.
+    context rows act per-sample on those mechanistic parameters and the MLP
+    sees no context features; the affected P entries become (1, Bb) rows.
+    ctx_param_mode selects how:
+      * 'mul' — multiplicative deltas, P_i <- P_i * e^{ctx_row}
+        (models/hybrid.py context_mode='params');
+      * 'abs' — ABSOLUTE per-sample values, P_i <- ctx_row. Linear in the
+        context (clean vjp), sign-unconstrained — this is the MCMC-chain
+        lane mode (inference/mcmc.py engine='fused': one lane per
+        chain x subject, each chain's sampled parameter vector ridden in
+        as context rows, identical posterior geometry to the XLA path).
 
     mlp_dtype: jnp.bfloat16 runs the MLP matmuls as single-pass bf16 MXU
     ops with f32 accumulation (the v5e-native mode; f32 matmuls decompose
@@ -138,7 +145,10 @@ def _hybrid_field_t(t_row, Y, meal_row, tvns_row, ws, bs, pv, ctx, n_layers,
     if ctx_param_idx:
         for row, pidx in enumerate(ctx_param_idx):
             name = PARAM_ORDER[pidx]
-            P[name] = P[name] * jnp.exp(ctx[row: row + 1])  # (1, Bb)
+            if ctx_param_mode == "abs":
+                P[name] = ctx[row: row + 1]  # (1, Bb)
+            else:
+                P[name] = P[name] * jnp.exp(ctx[row: row + 1])  # (1, Bb)
         ctx = None  # consumed: not an MLP feature
     G = Y[0:1]
     I = Y[1:2]
@@ -183,12 +193,13 @@ def _hybrid_field_t(t_row, Y, meal_row, tvns_row, ws, bs, pv, ctx, n_layers,
 
 
 def _rk4_substep_t(Y, t, h, ctrls, ws, bs, pv, ctx, n_layers, ctx_param_idx=(),
-                   mlp_dtype=jnp.float32):
+                   mlp_dtype=jnp.float32, ctx_param_mode="mul"):
     """One transposed-layout RK4 substep. ctrls = ((m0,v0),(m1,v1),(m2,v2))
     are the control rows at stage offsets 0, h/2, h (constants wrt the vjp)."""
     (m0, v0), (m1, v1), (m2, v2) = ctrls
     f = lambda tt, YY, m, v: _hybrid_field_t(tt, YY, m, v, ws, bs, pv, ctx,
-                                             n_layers, ctx_param_idx, mlp_dtype)
+                                             n_layers, ctx_param_idx, mlp_dtype,
+                                             ctx_param_mode)
     k1 = f(t, Y, m0, v0)
     k2 = f(t + 0.5 * h, Y + 0.5 * h * k1, m1, v1)
     k3 = f(t + 0.5 * h, Y + 0.5 * h * k2, m1, v1)
@@ -220,6 +231,7 @@ def _interval_inputs(pl, ts_ref, meal_ref, tvns_ref, i, jf, inv_s):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(n_steps, substeps, n_layers, has_ctx, ctx_param_idx, mlp_dtype,
+                ctx_param_mode,
                 y0_ref, ts_ref, meal_ref, tvns_ref, *rest):
     from jax.experimental import pallas as pl
 
@@ -246,7 +258,7 @@ def _fwd_kernel(n_steps, substeps, n_layers, has_ctx, ctx_param_idx, mlp_dtype,
         jf = j.astype(jnp.float32)
         t, h, ctrls = _interval_inputs(pl, ts_ref, meal_ref, tvns_ref, i, jf, inv_s)
         Y_new = _rk4_substep_t(Y, t, h, ctrls, ws, bs, pv, ctx, n_layers,
-                               ctx_param_idx, mlp_dtype)
+                               ctx_param_idx, mlp_dtype, ctx_param_mode)
 
         @pl.when(j == substeps - 1)
         def _():
@@ -281,7 +293,7 @@ def _prep_inputs(y0, ts, meal, tvns, context, block_b):
 
 def _fwd_pallas(y0_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
                 substeps, n_layers, interpret, Bb, ctx_param_idx=(),
-                mlp_dtype="f32"):
+                mlp_dtype="f32", ctx_param_mode="mul"):
     """Run the forward kernel on pre-packed inputs -> (T, 8, Bp) trajectory."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -315,7 +327,7 @@ def _fwd_pallas(y0_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
 
     kernel = functools.partial(
         _fwd_kernel, n_steps, substeps, n_layers, ctx_t is not None,
-        ctx_param_idx, _MLP_DTYPES[mlp_dtype],
+        ctx_param_idx, _MLP_DTYPES[mlp_dtype], ctx_param_mode,
     )
     return pl.pallas_call(
         kernel,
@@ -331,7 +343,7 @@ def _fwd_pallas(y0_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
     jax.jit,
     static_argnames=(
         "substeps", "n_layers", "interpret", "block_b", "context_param_idx",
-        "mlp_dtype",
+        "mlp_dtype", "ctx_param_mode",
     ),
 )
 def fused_rk4_trajectory(
@@ -348,6 +360,7 @@ def fused_rk4_trajectory(
     context: Optional[jnp.ndarray] = None,  # (B, C) per-sample features
     context_param_idx: tuple = (),
     mlp_dtype: str = "f32",
+    ctx_param_mode: str = "mul",
 ) -> jnp.ndarray:
     """Integrate the hybrid field with fused RK4 (forward only); (B, T, 6).
 
@@ -368,7 +381,7 @@ def fused_rk4_trajectory(
     out = _fwd_pallas(y0_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
                       substeps, n_layers, interpret, Bb,
                       ctx_param_idx=tuple(context_param_idx),
-                      mlp_dtype=mlp_dtype)
+                      mlp_dtype=mlp_dtype, ctx_param_mode=ctx_param_mode)
     B = y0.shape[0]
     return jnp.transpose(out[:, :6, :B], (2, 0, 1))  # (B, T, 6)
 
@@ -379,6 +392,7 @@ def fused_rk4_trajectory(
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(substeps, n_layers, has_ctx, n_ctx, ctx_param_idx, mlp_dtype,
+                ctx_param_mode,
                 traj_ref, gbar_ref, ts_ref, meal_ref, tvns_ref, *rest):
     from jax.experimental import pallas as pl
 
@@ -405,7 +419,8 @@ def _bwd_kernel(substeps, n_layers, has_ctx, n_ctx, ctx_param_idx, mlp_dtype,
 
     def substep_fn(Y, ws_, bs_, pv_, ctx_, t, h, ctrls):
         return _rk4_substep_t(Y, t, h, ctrls, list(ws_), list(bs_), pv_,
-                              ctx_, n_layers, ctx_param_idx, mlp_dtype)
+                              ctx_, n_layers, ctx_param_idx, mlp_dtype,
+                              ctx_param_mode)
 
     zero_ws = tuple(jnp.zeros_like(w) for w in ws)
     zero_bs = tuple(jnp.zeros_like(b) for b in bs)
@@ -485,7 +500,7 @@ def _bwd_kernel(substeps, n_layers, has_ctx, n_ctx, ctx_param_idx, mlp_dtype,
 
 def _bwd_pallas(traj, gbar_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
                 substeps, n_layers, interpret, Bb, ctx_param_idx=(),
-                mlp_dtype="f32"):
+                mlp_dtype="f32", ctx_param_mode="mul"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -535,7 +550,7 @@ def _bwd_pallas(traj, gbar_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
     kernel = functools.partial(
         _bwd_kernel, substeps, n_layers, has_ctx,
         ctx_t.shape[0] if has_ctx else 0, ctx_param_idx,
-        _MLP_DTYPES[mlp_dtype],
+        _MLP_DTYPES[mlp_dtype], ctx_param_mode,
     )
     # Raise Mosaic's scoped-VMEM allowance above the 16 MB default: v5e has
     # 128 MB of VMEM per core, and the backward residuals (4 live RK stages
@@ -561,7 +576,7 @@ def _bwd_pallas(traj, gbar_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
 @functools.lru_cache(maxsize=None)
 def _make_fused_rk4(substeps: int, n_layers: int, interpret: bool,
                     block_b: int, block_b_bwd: int, ctx_param_idx: tuple = (),
-                    mlp_dtype: str = "f32"):
+                    mlp_dtype: str = "f32", ctx_param_mode: str = "mul"):
     """Build (and cache) the custom-VJP fused trajectory function for one
     static configuration."""
 
@@ -573,7 +588,7 @@ def _make_fused_rk4(substeps: int, n_layers: int, interpret: bool,
         pvec = _pack_params(ode_params)
         traj = _fwd_pallas(y0_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
                            substeps, n_layers, interpret, Bb, ctx_param_idx,
-                           mlp_dtype)
+                           mlp_dtype, ctx_param_mode)
         return traj
 
     @jax.custom_vjp
@@ -616,7 +631,7 @@ def _make_fused_rk4(substeps: int, n_layers: int, interpret: bool,
         pvec = _pack_params(ode_params)
         outs = _bwd_pallas(traj, gbar_t, ts_t, meal_t, tvns_t, ctx_t,
                            ws, bs, pvec, substeps, n_layers, interpret, Bb,
-                           ctx_param_idx, mlp_dtype)
+                           ctx_param_idx, mlp_dtype, ctx_param_mode)
         ybar0 = outs[0]
         dws = outs[1: n_layers + 2]
         dbs = outs[n_layers + 2: 2 * (n_layers + 1) + 1]
@@ -654,6 +669,7 @@ def fused_rk4_hybrid(
     context: Optional[jnp.ndarray] = None,  # (B, C)
     context_param_idx: tuple = (),
     mlp_dtype: str = "f32",
+    ctx_param_mode: str = "mul",
 ) -> jnp.ndarray:
     """Differentiable fused-RK4 trajectory: custom-VJP Pallas forward AND
     backward. Gradients flow to y0, context, ode_params and nn_params
@@ -668,5 +684,5 @@ def fused_rk4_hybrid(
     cotangent accumulators) stays f32. DEVIATION from exact XLA-path
     parity by design: trajectories/grads agree to ~bf16 resolution."""
     fn = _make_fused_rk4(substeps, n_layers, interpret, block_b, block_b_bwd,
-                         tuple(context_param_idx), mlp_dtype)
+                         tuple(context_param_idx), mlp_dtype, ctx_param_mode)
     return fn(y0, ts, meal, tvns, context, ode_params, nn_params)

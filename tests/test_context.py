@@ -147,3 +147,36 @@ def test_identify_context_recovers_subject_latent():
     err_hat = float(jnp.sqrt(jnp.mean((pred_hat - obs) ** 2)))
     err_zero = float(jnp.sqrt(jnp.mean((pred_zero - obs) ** 2)))
     assert err_hat < 0.35 * err_zero, (err_hat, err_zero)
+
+
+def test_amortize_encoder_distills_identification():
+    """amortize_encoder: the distilled encoder's codes regress the
+    identify_context targets (code MSE well under the target variance) and
+    its shape/featurization matches encode_context at the longer window."""
+    from hybrid_ode_tpu.models.hybrid import amortize_encoder, identify_context
+
+    cfg = HybridConfig(solver="rk4", substeps=2, nn_hidden=16, nn_layers=2,
+                       mode="scan", context_points=4, context_mode="params")
+    params = init_hybrid_params(jax.random.PRNGKey(0), cfg)
+    B, T = 16, 9
+    key = jax.random.PRNGKey(5)
+    obs = jnp.abs(PHYS[None, None, :]
+                  * (1 + 0.08 * jax.random.normal(key, (B, T, 6))))
+    batch = {
+        "initial_state": obs[:, 0], "observations": obs,
+        "time_points": jnp.broadcast_to(jnp.linspace(0.0, 1.0, T), (B, T)),
+        "external_inputs": {"meal": jnp.zeros((B, T)), "tVNS": jnp.zeros((B, T))},
+        "mask": jnp.ones((B, T)),
+    }
+    k = 6
+    enc, info = amortize_encoder(params, batch, cfg, points=k,
+                                 id_steps=25, epochs=400,
+                                 key=jax.random.PRNGKey(1))
+    assert info["points"] == k and info["n_windows"] == B
+    codes = encode_context(enc, obs, batch["time_points"], k, cfg.activation)
+    assert codes.shape == (B, len(cfg.context_params))
+    targets = identify_context(params, batch, cfg, steps=25, points=k,
+                               prior_std=0.3)
+    mse = float(jnp.mean((codes - targets) ** 2))
+    var = float(jnp.var(targets))
+    assert np.isfinite(mse) and mse < 0.5 * var, (mse, var)
