@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mcmc-chains", type=int, default=8)
     p.add_argument("--mcmc-samples", type=int, default=1000)
     p.add_argument("--mcmc-warmup", type=int, default=500)
+    p.add_argument("--mcmc-engine", choices=["xla", "fused"], default="xla",
+                   help="'fused' evaluates ALL chains through one Pallas "
+                        "RK4 kernel per leapfrog (requires solver=rk4; "
+                        "see inference/mcmc.py run_nuts)")
     return p
 
 
@@ -183,7 +187,7 @@ def _run_mcmc(cfg, args, train_ds, val_ds, ckpt_dir, log_dir, seed):
         pre.params, batch, sample_cfg,
         key=jax.random.PRNGKey(seed),
         num_samples=args.mcmc_samples, num_warmup=args.mcmc_warmup,
-        n_chains=args.mcmc_chains,
+        n_chains=args.mcmc_chains, engine=args.mcmc_engine,
     )
     np.savez(Path(ckpt_dir) / "mcmc_samples.npz", **samples)
     save_mcmc_results(samples, str(Path(ckpt_dir) / "mcmc_results"))
