@@ -46,6 +46,13 @@ def main(argv=None):
                          "encoder trained on N fresh simulated subjects "
                          "(one MLP pass at deployment instead of the "
                          "per-window MAP refinement)")
+    ap.add_argument("--amortize-ft-epochs", type=int, default=400,
+                    help="decoder-aware fine-tune epochs (stage 2 of "
+                         "amortize_encoder; 0 disables)")
+    ap.add_argument("--amortize-ft-lr", type=float, default=3e-4)
+    ap.add_argument("--semi-steps", type=int, default=15,
+                    help="per-window MAP refinement steps from the "
+                         "amortized init (semi-amortized deployment row)")
     args = ap.parse_args(argv)
 
     import jax
@@ -116,7 +123,16 @@ def main(argv=None):
                 for w in range(len(fresh))]
         return float(np.sqrt(np.mean(np.square(errs))))
 
+    # merge into an existing artifact instead of clobbering it: a
+    # --seeds 2 rerun must not discard the other seeds' rows (same
+    # two-writers-one-path failure mode as the round-2 table5 clobber)
+    out = REPO / "results" / "subject_id.json"
     results = {"per_seed": {}}
+    if out.exists():
+        try:
+            results["per_seed"] = json.loads(out.read_text()).get("per_seed", {})
+        except (json.JSONDecodeError, OSError):
+            pass
     for seed in args.seeds:
         cfg = default_config()
         cfg["data"]["path"] = data_path
@@ -177,8 +193,17 @@ def main(argv=None):
                 res.params, amo_batch, config, points=36,
                 id_steps=args.id_steps, id_lr=0.02, prior_std=0.3,
                 key=jax.random.PRNGKey(seed),
+                finetune_epochs=args.amortize_ft_epochs,
+                finetune_lr=args.amortize_ft_lr,
             )
             row["amortize_train_wall_s"] = round(time.time() - t_am, 1)
+            # decoder-aware fine-tune (stage 2) selection metric, measured
+            # on held-out amortization windows: distilled -> finetuned
+            if "val_data_loss_finetuned" in info:
+                row["amortized_val_data_loss_distilled"] = round(
+                    info["val_data_loss_distilled"], 5)
+                row["amortized_val_data_loss_finetuned"] = round(
+                    info["val_data_loss_finetuned"], 5)
             t_enc = time.time()
             ctx_am = encode_context(
                 enc36, jnp.asarray(fresh.observations),
@@ -190,7 +215,24 @@ def main(argv=None):
                 truth_rmse(res.params, config, ctx_am), 4)
             row["forecast_rmse_amortized_after_k36"] = round(
                 truth_rmse(res.params, config, ctx_am, skip=36), 4)
-        results["per_seed"][seed] = row
+            # SEMI-amortized deployment: amortized init + a few per-window
+            # MAP steps (identify_context best-iterate => never scores
+            # worse than the init on the identification window). Captures
+            # the identification quality the pure encoder cannot (round 3
+            # measured a sharp-landscape seed where decoder-aware encoder
+            # fine-tuning cannot improve on the distilled point).
+            t_semi = time.time()
+            ctx_semi = identify_context(
+                res.params, batch, config, steps=args.semi_steps, lr=0.02,
+                prior_std=0.3, points=36, init=ctx_am)
+            ctx_semi.block_until_ready()
+            row["semi_steps"] = args.semi_steps
+            row["semi_refine_wall_s"] = round(time.time() - t_semi, 2)
+            row["fresh_rmse_semi_k36"] = round(
+                truth_rmse(res.params, config, ctx_semi), 4)
+            row["forecast_rmse_semi_after_k36"] = round(
+                truth_rmse(res.params, config, ctx_semi, skip=36), 4)
+        results["per_seed"][str(seed)] = row  # str keys: JSON round-trip
         print(f"seed {seed}: encoder {rmse_enc:.3f} -> identified "
               f"k12 {row['fresh_rmse_identified_k12']:.3f} / "
               f"k36 {row['fresh_rmse_identified_k36']:.3f} mmol/L "
@@ -211,14 +253,23 @@ def main(argv=None):
     }
     if args.amortize:
         ams = [v["fresh_rmse_amortized_k36"]
-               for v in results["per_seed"].values()]
+               for v in results["per_seed"].values()
+               if "fresh_rmse_amortized_k36" in v]
         results["summary"].update(
             amortized_k36_max=round(max(ams), 4),
             amortized_k36_mean=round(float(np.mean(ams)), 4),
             amortize_subjects=args.amortize,
             target_met_amortized=bool(max(ams) <= 0.75),
         )
-    out = REPO / "results" / "subject_id.json"
+        semis = [v["fresh_rmse_semi_k36"]
+                 for v in results["per_seed"].values()
+                 if "fresh_rmse_semi_k36" in v]
+        if semis:
+            results["summary"].update(
+                semi_k36_max=round(max(semis), 4),
+                semi_k36_mean=round(float(np.mean(semis)), 4),
+                target_met_semi=bool(max(semis) <= 0.75),
+            )
     out.write_text(json.dumps(results, indent=2))
     print(json.dumps(results["summary"]))
 

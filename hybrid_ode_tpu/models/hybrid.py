@@ -29,6 +29,7 @@ Loss parity (reference `models/hybrid_ode_nn.py:263-351`):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Mapping, Optional, Tuple
 
 import jax
@@ -397,10 +398,18 @@ def identify_context(
     lr: float = 0.02,
     prior_std: float = 0.2,
     points: Optional[int] = None,
+    init: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Test-time subject identification: refine each window's context code by
     gradient descent on the masked data loss over the first
     `config.context_points` observations, with the trained model FROZEN.
+
+    `init` overrides the starting codes (B, context_dim) — e.g. an
+    `amortize_encoder` output for SEMI-AMORTIZED identification: the
+    amortized encoder pays one MLP pass, then a few refinement steps
+    recover the per-window MAP quality (the per-window best-iterate
+    guard below means the result never scores worse on the
+    identification window than the supplied init).
 
     This is the MAP estimate of the per-subject latent given the
     identification window — initialization comes from the amortized encoder
@@ -446,7 +455,9 @@ def identify_context(
     ext = batch.get("external_inputs") or {}
     sig_k = {n: jnp.asarray(v)[:, :k] for n, v in ext.items()}
 
-    if "enc" in params:
+    if init is not None:
+        ctx0 = jnp.asarray(init)
+    elif "enc" in params:
         # the encoder's input length is fixed at its TRAINED window even
         # when the identification solve uses a longer one
         ctx0 = encode_context(
@@ -522,6 +533,9 @@ def amortize_encoder(
     weight_decay: float = 1e-4,
     val_frac: float = 0.15,
     targets: Optional[jnp.ndarray] = None,
+    finetune_epochs: int = 400,
+    finetune_lr: float = 3e-4,
+    finetune_chunk: int = 50,
 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, float]]:
     """Distill `identify_context` into a feed-forward amortized encoder.
 
@@ -539,6 +553,24 @@ def amortize_encoder(
     `identify_context` with the model FROZEN unless supplied via `targets`.
     A `val_frac` split early-stops the regression on held-out code MSE
     (best-iterate, not last).
+
+    Two stages. (1) Code regression toward the identified codes — fast
+    (MLP-only) and a good initialization. (2) Decoder-aware FINE-TUNING
+    (`finetune_epochs` > 0): the code-MSE objective is misaligned with
+    deployment quality — round 3 measured the seed with the LOWEST
+    held-out code MSE producing the WORST fresh-cohort forecast (its
+    checkpoint's ODE solution is more sensitive to particular code
+    directions, which isotropic code MSE cannot see). Stage 2 therefore
+    trains the encoder THROUGH the frozen model on the full-window masked
+    data loss: the encoder still reads only the first `points`
+    observations, but the supervision covers the whole simulated window
+    (free at amortization time), i.e. exactly the deployed
+    forecast-from-a-prefix task. Best-iterate selection on the held-out
+    windows' data loss initializes at the distilled encoder, so stage 2
+    can only improve the selection metric. Dispatches are host-chunked
+    (`finetune_chunk` steps per device program) because each step is a
+    grad-of-ODE-solve — a monolithic multi-minute scan can kill remote
+    TPU workers (see inference/mcmc.py dispatch_chunk).
 
     No reference counterpart: the reference has no subject conditioning at
     all. This is the amortized-inference step of the standard
@@ -608,6 +640,67 @@ def amortize_encoder(
         "final_train_mse": float(losses[-1]),
         "target_code_std": float(jnp.std(targets)),
     }
+
+    if finetune_epochs > 0:
+        # stage 2: decoder-aware fine-tune on the full-window data loss
+        y0 = jnp.asarray(batch["initial_state"])
+        mask = batch.get("mask")
+        mask_f = (jnp.asarray(mask) if mask is not None
+                  else jnp.ones(ts.shape, obs.dtype))
+        ext = batch.get("external_inputs") or {}
+        sig = {nm: jnp.asarray(v) for nm, v in ext.items()}
+        w_state = batch.get("loss_weights")
+        w_state = (jnp.asarray(w_state) if w_state is not None
+                   else jnp.ones((n,), obs.dtype))
+        denom = jnp.maximum(jnp.sum(mask_f, axis=1) * n, 1.0)  # (B,)
+
+        def data_loss(e, idx):
+            ctx = encode_context(e, obs[idx], ts[idx], k, config.activation)
+            ctrls = Controls(
+                ts=ts[idx],
+                signals=dict({nm: v[idx] for nm, v in sig.items()},
+                             context=ctx))
+            preds = batched_forward(params, y0[idx], ts[idx], ctrls, config)
+            se = ((preds - obs[idx]) ** 2) * w_state * mask_f[idx][..., None]
+            se = jnp.nan_to_num(se, nan=1e6, posinf=1e6)
+            return jnp.mean(jnp.sum(se, axis=(1, 2)) / denom[idx])
+
+        val_or_tr = val_idx if n_val else tr_idx
+        opt_ft = optax.adam(finetune_lr)
+
+        def ft_step(carry, _):
+            e, os_, best_e, best_v = carry
+            loss, g = jax.value_and_grad(data_loss)(e, tr_idx)
+            g = jax.tree.map(jnp.nan_to_num, g)
+            upd, os_ = opt_ft.update(g, os_)
+            e = optax.apply_updates(e, upd)
+            v = data_loss(e, val_or_tr)
+            better = v < best_v
+            best_e = jax.tree.map(
+                lambda a, b: jnp.where(better, a, b), e, best_e)
+            return (e, os_, best_e, jnp.minimum(v, best_v)), loss
+
+        @functools.partial(jax.jit, static_argnums=1)
+        def ft_chunk(carry, length):
+            return jax.lax.scan(ft_step, carry, None, length=length)
+
+        val0 = data_loss(best_enc, val_or_tr)
+        carry = (best_enc, opt_ft.init(best_enc), best_enc, val0)
+        done = 0
+        ft_losses = []
+        while done < finetune_epochs:
+            step_n = min(finetune_chunk, finetune_epochs - done)
+            carry, chunk_losses = ft_chunk(carry, step_n)
+            jax.block_until_ready(carry[3])
+            ft_losses.append(jnp.asarray(chunk_losses))
+            done += step_n
+        _, _, best_enc, best_ft = carry
+        ft_losses = jnp.concatenate(ft_losses)
+        info["val_data_loss_distilled"] = float(val0)
+        info["val_data_loss_finetuned"] = float(best_ft)
+        info["finetune_train_first"] = float(ft_losses[0])
+        info["finetune_train_last"] = float(ft_losses[-1])
+
     return best_enc, info
 
 

@@ -148,6 +148,18 @@ def test_identify_context_recovers_subject_latent():
     err_zero = float(jnp.sqrt(jnp.mean((pred_zero - obs) ** 2)))
     assert err_hat < 0.35 * err_zero, (err_hat, err_zero)
 
+    # semi-amortized path: an explicit `init` overrides the zero/encoder
+    # start; from the TRUE latent with a tight trust region the refined
+    # code stays at the init (best-iterate can only improve the data fit)
+    ctx_semi = identify_context(params, batch, cfg, steps=5, lr=0.01,
+                                prior_std=1e-3, init=ctx_true)
+    assert float(jnp.max(jnp.abs(ctx_semi - ctx_true))) < 0.05
+    ctrl_semi = Controls(ts=ts, signals={"meal": meal, "tVNS": tvns,
+                                         "context": ctx_semi})
+    pred_semi = batched_forward(params, y0, ts, ctrl_semi, cfg)
+    err_semi = float(jnp.sqrt(jnp.mean((pred_semi - obs) ** 2)))
+    assert err_semi <= err_zero, (err_semi, err_zero)
+
 
 def test_amortize_encoder_distills_identification():
     """amortize_encoder: the distilled encoder's codes regress the
@@ -171,6 +183,7 @@ def test_amortize_encoder_distills_identification():
     k = 6
     enc, info = amortize_encoder(params, batch, cfg, points=k,
                                  id_steps=25, epochs=400,
+                                 finetune_epochs=0,
                                  key=jax.random.PRNGKey(1))
     assert info["points"] == k and info["n_windows"] == B
     codes = encode_context(enc, obs, batch["time_points"], k, cfg.activation)
@@ -180,3 +193,18 @@ def test_amortize_encoder_distills_identification():
     mse = float(jnp.mean((codes - targets) ** 2))
     var = float(jnp.var(targets))
     assert np.isfinite(mse) and mse < 0.5 * var, (mse, var)
+
+    # decoder-aware fine-tune (stage 2): best-iterate selection on the
+    # held-out full-window data loss initializes at the distilled encoder,
+    # so the selection metric can only improve (never-lose invariant)
+    enc_ft, info_ft = amortize_encoder(params, batch, cfg, points=k,
+                                       id_steps=25, epochs=400,
+                                       finetune_epochs=12, finetune_chunk=5,
+                                       key=jax.random.PRNGKey(1))
+    assert np.isfinite(info_ft["val_data_loss_finetuned"])
+    assert (info_ft["val_data_loss_finetuned"]
+            <= info_ft["val_data_loss_distilled"] + 1e-6), info_ft
+    codes_ft = encode_context(enc_ft, obs, batch["time_points"], k,
+                              cfg.activation)
+    assert codes_ft.shape == (B, len(cfg.context_params))
+    assert bool(jnp.all(jnp.isfinite(codes_ft)))
