@@ -296,6 +296,8 @@ def nuts_sample(
     thin: int = 1,
     dispatch_chunk: int = 10,
     logp_and_grad_fn: Optional[Callable] = None,
+    mesh=None,
+    mesh_axis: str = "data",
 ) -> Dict[str, np.ndarray]:
     """Run vectorized NUTS; returns dict with 'samples' (chains, draws, dim),
     'accept_stat', 'diverging', 'step_size', 'inv_mass'.
@@ -310,9 +312,28 @@ def nuts_sample(
     evaluation — single-chain signature q -> (logp, dlogp/dq). Pass a
     `jax.custom_batching.custom_vmap`-wrapped function to intercept the
     chain vmap and evaluate ALL chains in one batched program (the fused
-    Pallas engine in `run_nuts(engine='fused')` does exactly this)."""
+    Pallas engine in `run_nuts(engine='fused')` does exactly this).
+
+    mesh: optional `jax.sharding.Mesh` — shards the CHAIN axis over
+    `mesh_axis`. Chains are independent, so each device runs its shard's
+    transitions with zero collective traffic except the warmup's Welford
+    mass-matrix moments (a (dim,)-sized psum per transition, negligible).
+    The reference's sampler is a single serial chain
+    (`/root/reference/inference/mcmc.py:125-164`); here 1k+ chains spread
+    across a pod slice. n_chains must be a multiple of the axis size."""
     n_chains, dim = q_init.shape
     chunk = max(1, int(dispatch_chunk))
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        _chain_sh = NamedSharding(mesh, PartitionSpec(mesh_axis))
+
+        def _shard_chains(tree):
+            return jax.tree.map(lambda x: jax.device_put(x, _chain_sh), tree)
+    else:
+        def _shard_chains(tree):
+            return tree
 
     if logp_and_grad_fn is not None:
         logp_and_grad = logp_and_grad_fn
@@ -356,7 +377,8 @@ def nuts_sample(
         return carry
 
     half = num_warmup // 2
-    carry = (q_init, da0, inv_mass, jnp.zeros(dim), jnp.zeros(dim), jnp.asarray(0.0))
+    carry = (_shard_chains(q_init), _shard_chains(da0), inv_mass,
+             jnp.zeros(dim), jnp.zeros(dim), jnp.asarray(0.0))
     key, k1, k2, k3 = jax.random.split(key, 4)
     carry = run_warmup(carry, max(half, 1), k1, "warmup(I)")
     q, da, inv_mass, mean, m2, cnt = carry
@@ -366,7 +388,8 @@ def nuts_sample(
         # restart dual averaging around the current step size
         da = jax.vmap(lambda le: _DAState(le, jnp.asarray(0.0), jnp.asarray(0.0),
                                           le + jnp.log(10.0), jnp.asarray(0.0)))(da.log_eps)
-    carry = (q, da, inv_mass, jnp.zeros(dim), jnp.zeros(dim), jnp.asarray(0.0))
+    carry = (_shard_chains(q), _shard_chains(da), inv_mass,
+             jnp.zeros(dim), jnp.zeros(dim), jnp.asarray(0.0))
     carry = run_warmup(carry, max(num_warmup - half, 1), k2, "warmup(II)")
     q, da, inv_mass, _, _, _ = carry
     eps_final = jnp.exp(da.log_eps_bar)
@@ -522,6 +545,8 @@ def run_nuts(
     include_nn: bool = False,
     jitter: float = 0.01,
     engine: str = "xla",
+    mesh=None,
+    mesh_axis: str = "data",
 ) -> Dict[str, np.ndarray]:
     """Posterior over hybrid-model parameters given one data batch.
 
@@ -628,6 +653,7 @@ def run_nuts(
         num_samples=num_samples, num_warmup=num_warmup,
         max_depth=max_depth, target_accept=target_accept,
         logp_and_grad_fn=logp_and_grad_fn,
+        mesh=mesh, mesh_axis=mesh_axis,
     )
 
     # unflatten per-parameter: (chains, draws, dim) -> {name: (chains*draws, ...)}

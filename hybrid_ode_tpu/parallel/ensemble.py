@@ -1,0 +1,167 @@
+"""Ensemble parallelism: train K independent hybrid models in one program.
+
+Deep ensembles (Lakshminarayanan et al. 2017) are the natural
+"expert-parallel" axis for this workload: members share zero state, so the
+member axis vmaps into one XLA program on a chip (the small per-member
+matmuls batch into MXU-filling ones) and shards loss-free across a mesh
+('ens' axis) — each device trains its members with NO cross-device traffic,
+the exact opposite of DP's per-step gradient all-reduce. Composes with data
+parallelism on a 2D (ens, data) mesh: gradients reduce over 'data' only.
+
+No reference analogue (SURVEY.md §2.7: the reference trains one model,
+serially); the capability this buys is measured in benchmarks/ensemble_uq.py
+— ensemble predictive uncertainty as a UQ baseline vs VI
+(parity target: manuscript.tex:707-720 UQ table).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hybrid_ode_tpu.models.hybrid import (
+    HybridConfig,
+    batched_forward,
+    controls_from_batch,
+    hybrid_loss,
+    init_hybrid_params,
+    with_context,
+)
+from hybrid_ode_tpu.train.loop import TrainState
+
+
+def init_ensemble(
+    key: jax.Array,
+    config: HybridConfig,
+    n_members: int,
+    ode_params: Optional[Mapping[str, float]] = None,
+    norm_stats=None,
+) -> Dict[str, Any]:
+    """Stacked parameter pytree: every leaf gains a leading (K,) member axis.
+
+    Members differ only by init randomness — the standard deep-ensemble
+    diversity source (plus per-member shuffling keys during training)."""
+    members = [
+        init_hybrid_params(k, config, ode_params, norm_stats=norm_stats)
+        for k in jax.random.split(key, n_members)
+    ]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *members)
+
+
+def init_ensemble_state(
+    optimizer: optax.GradientTransformation, stacked_params: Dict[str, Any]
+) -> TrainState:
+    """TrainState with every leaf member-stacked (vmapped optimizer init)."""
+    opt_state = jax.vmap(optimizer.init)(stacked_params)
+    n_members = jax.tree.leaves(stacked_params)[0].shape[0]
+    return TrainState(
+        params=stacked_params,
+        opt_state=opt_state,
+        step=jnp.zeros((n_members,), jnp.int32),
+    )
+
+
+def make_ensemble_train_step(
+    optimizer: optax.GradientTransformation,
+    config: HybridConfig,
+    lambda1: float = 0.0,
+    lambda2: float = 0.01,
+    use_physics: bool = False,
+    mesh: Optional[Mesh] = None,
+    member_axis: str = "ens",
+    data_axis: Optional[str] = None,
+):
+    """Build step(state, batch, keys) updating ALL members in one program.
+
+    state leaves are member-stacked (leading K); `keys` is (K, 2) so members
+    draw independent physics-loss subsamples; the batch is shared (same
+    contract as `train.loop.make_train_step`, leaves NOT stacked).
+
+    mesh: shard the member axis over `member_axis`; with `data_axis` also
+    shard the batch (2D ensemble x data mesh — XLA reduces gradients over
+    'data' within each member and never communicates across 'ens')."""
+
+    def one(state: TrainState, batch: Dict, key: jax.Array):
+        def loss_fn(params):
+            return hybrid_loss(
+                params, batch, key, config,
+                lambda1=lambda1, lambda2=lambda2, use_physics_loss=use_physics,
+            )
+
+        (loss, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), dict(comps, loss=loss)
+
+    vstep = jax.vmap(one, in_axes=(0, None, 0))
+    if mesh is None:
+        return jax.jit(vstep, donate_argnums=(0,))
+
+    stacked = NamedSharding(mesh, P(member_axis))
+    batch_sh = NamedSharding(mesh, P(data_axis)) if data_axis else NamedSharding(mesh, P())
+    keys_sh = NamedSharding(mesh, P(member_axis))
+    return jax.jit(
+        vstep,
+        in_shardings=(stacked, batch_sh, keys_sh),
+        out_shardings=(stacked, stacked),
+        donate_argnums=(0,),
+    )
+
+
+def member_params(stacked: Dict[str, Any], i: int) -> Dict[str, Any]:
+    """Extract member i's (unstacked) parameter pytree."""
+    return jax.tree.map(lambda x: x[i], stacked)
+
+
+def ensemble_forward(
+    stacked: Dict[str, Any],
+    batch: Mapping[str, Any],
+    config: HybridConfig,
+) -> jnp.ndarray:
+    """All members' trajectories for one batch: (K, B, T, n_states).
+
+    Per-member context encoding included (each member's own 'enc' head).
+    Runs the generic XLA solver path — vmap-over-weights of the fused Pallas
+    kernel is not supported, so `use_pallas` is stripped here (DEVIATION:
+    the Pallas kernel stages weights into VMEM per launch; K weight sets
+    would need a member grid axis — measured unnecessary, the vmapped XLA
+    path already batches the K small matmuls into MXU-filling ones)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(config, use_pallas=False) if config.use_pallas else config
+
+    def one(params):
+        controls = controls_from_batch(batch)
+        controls = with_context(params, batch, controls, cfg)
+        return batched_forward(
+            params,
+            jnp.asarray(batch["initial_state"]),
+            jnp.asarray(batch["time_points"]),
+            controls,
+            cfg,
+        )
+
+    return jax.vmap(one)(stacked)
+
+
+def ensemble_predictive(
+    stacked: Dict[str, Any],
+    batch: Mapping[str, Any],
+    config: HybridConfig,
+    noise_sigma: Optional[jnp.ndarray] = None,
+):
+    """Predictive mean/std across members: (B, T, n), (B, T, n).
+
+    noise_sigma: per-state observation noise (n,) or scalar added in
+    quadrature (total predictive std = sqrt(member variance + sigma^2)) —
+    same convention as the VI posterior predictive (inference/vi.py)."""
+    trajs = ensemble_forward(stacked, batch, config)
+    mean = jnp.mean(trajs, axis=0)
+    var = jnp.var(trajs, axis=0)
+    if noise_sigma is not None:
+        var = var + jnp.asarray(noise_sigma) ** 2
+    return mean, jnp.sqrt(var)

@@ -472,3 +472,153 @@ def test_per_channel_masks_end_to_end(tmp_path):
     m = evaluate_model(init_hybrid_params(jax.random.PRNGKey(0), FAST),
                        ds, FAST, batch_size=4)
     assert np.isfinite(m["rmse"])
+
+
+# --------------------------------------------------------------------------
+# Ensemble parallelism (parallel/ensemble.py)
+# --------------------------------------------------------------------------
+
+def _tiny_batch(B=8, T=6, seed=0):
+    base = np.array([8.0, 100.0, 90.0, 20.0, 0.0, 1.2], np.float32)
+    rng = np.random.default_rng(seed)
+    return {
+        "initial_state": np.abs(
+            base[None, :] * (1 + 0.05 * rng.standard_normal((B, 6)))
+        ).astype(np.float32),
+        "observations": np.ones((B, T, 6), np.float32),
+        "time_points": np.broadcast_to(
+            np.linspace(0, 1, T, dtype=np.float32), (B, T)).copy(),
+        "external_inputs": {"meal": np.zeros((B, T), np.float32),
+                            "tVNS": np.zeros((B, T), np.float32)},
+        "mask": np.ones((B, T), np.float32),
+    }
+
+
+def test_ensemble_step_matches_single_member_and_shards():
+    """Member 0 of the vmapped ensemble step must match the plain train step;
+    sharding the member axis over the mesh must not change the losses."""
+    from hybrid_ode_tpu.parallel.ensemble import (
+        init_ensemble, init_ensemble_state, make_ensemble_train_step,
+        member_params,
+    )
+    from hybrid_ode_tpu.parallel.mesh import make_mesh, replicate
+    from hybrid_ode_tpu.train.loop import TrainState, make_optimizer, make_train_step
+
+    K = 8
+    batch = _tiny_batch()
+    opt = make_optimizer(1e-3, 1, 1, 5.0)
+    stacked = init_ensemble(jax.random.PRNGKey(0), FAST, K)
+    keys = jax.random.split(jax.random.PRNGKey(42), K)
+
+    # members differ by init
+    w0 = np.asarray(stacked["nn"]["w0"])
+    assert not np.allclose(w0[0], w0[1])
+
+    estep = make_ensemble_train_step(opt, FAST, 1.0, 0.01, True)
+    state = init_ensemble_state(opt, stacked)
+    state1, metrics = estep(state, batch, keys)
+    losses = np.asarray(metrics["loss"])
+    assert losses.shape == (K,) and np.isfinite(losses).all()
+
+    # member-0 parity with the single-model step (same params, same key)
+    p0 = member_params(init_ensemble(jax.random.PRNGKey(0), FAST, K), 0)
+    single = make_train_step(opt, FAST, 1.0, 0.01, True)
+    s0 = TrainState(p0, opt.init(p0), jnp.asarray(0, jnp.int32))
+    _, m_single = single(s0, batch, keys[0])
+    np.testing.assert_allclose(float(m_single["loss"]), losses[0], rtol=1e-5)
+
+    # sharded over an 8-device 'ens' mesh: identical losses
+    mesh = make_mesh(8, ("ens",))
+    sstep = make_ensemble_train_step(opt, FAST, 1.0, 0.01, True, mesh=mesh)
+    stacked2 = init_ensemble(jax.random.PRNGKey(0), FAST, K)
+    sstate = init_ensemble_state(opt, stacked2)
+    sstate = jax.tree.map(
+        lambda x: jax.device_put(
+            x, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("ens"))),
+        sstate)
+    _, m_sh = sstep(sstate, replicate(mesh, batch), jax.device_put(
+        keys, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("ens"))))
+    np.testing.assert_allclose(np.asarray(m_sh["loss"]), losses, rtol=1e-5)
+
+
+def test_ensemble_2d_mesh_ens_by_data():
+    """2D (ens, data) mesh: member axis and batch axis shard simultaneously;
+    losses match the unsharded ensemble step."""
+    from hybrid_ode_tpu.parallel.ensemble import (
+        init_ensemble, init_ensemble_state, make_ensemble_train_step,
+    )
+    from hybrid_ode_tpu.parallel.mesh import make_mesh, shard_batch
+
+    K = 2
+    batch = _tiny_batch(B=8)
+    from hybrid_ode_tpu.train.loop import make_optimizer
+
+    opt = make_optimizer(1e-3, 1, 1, 5.0)
+    keys = jax.random.split(jax.random.PRNGKey(7), K)
+
+    ref_step = make_ensemble_train_step(opt, FAST, 1.0, 0.01, True)
+    ref_state = init_ensemble_state(opt, init_ensemble(jax.random.PRNGKey(3), FAST, K))
+    _, m_ref = ref_step(ref_state, batch, keys)
+
+    mesh = make_mesh(8, ("ens", "data"), shape=(2, 4))
+    step = make_ensemble_train_step(
+        opt, FAST, 1.0, 0.01, True, mesh=mesh, data_axis="data")
+    state = init_ensemble_state(opt, init_ensemble(jax.random.PRNGKey(3), FAST, K))
+    state = jax.tree.map(
+        lambda x: jax.device_put(
+            x, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("ens"))),
+        state)
+    state1, m = step(state, shard_batch(mesh, batch), jax.device_put(
+        keys, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("ens"))))
+    np.testing.assert_allclose(
+        np.asarray(m["loss"]), np.asarray(m_ref["loss"]), rtol=2e-5)
+    assert np.isfinite(
+        np.asarray(jax.tree.leaves(state1.params["nn"])[0])).all()
+
+
+def test_ensemble_predictive_mean_std():
+    from hybrid_ode_tpu.parallel.ensemble import (
+        ensemble_forward, ensemble_predictive, init_ensemble,
+    )
+
+    K = 4
+    batch = _tiny_batch(B=5, T=6)
+    # non-zero output layers so members actually disagree
+    stacked = init_ensemble(jax.random.PRNGKey(1), FAST, K)
+    wK = stacked["nn"][f"w{FAST.nn_layers}"]
+    stacked["nn"][f"w{FAST.nn_layers}"] = 0.05 * jax.random.normal(
+        jax.random.PRNGKey(2), wK.shape)
+
+    trajs = ensemble_forward(stacked, batch, FAST)
+    assert trajs.shape == (K, 5, 6, 6)
+    mean, std = ensemble_predictive(stacked, batch, FAST, noise_sigma=0.1)
+    assert mean.shape == (5, 6, 6) and std.shape == (5, 6, 6)
+    assert np.isfinite(np.asarray(mean)).all()
+    assert (np.asarray(std) >= 0.1 - 1e-6).all()          # noise floor
+    assert float(jnp.max(std)) > 0.1 + 1e-4               # member disagreement
+
+
+def test_nuts_chain_axis_shards_over_mesh():
+    """nuts_sample(mesh=...) shards the chain axis; posterior statistics on
+    a known Gaussian match the unsharded run within MC error."""
+    from hybrid_ode_tpu.inference.mcmc import nuts_sample
+    from hybrid_ode_tpu.parallel.mesh import make_mesh
+
+    mu = jnp.array([1.0, -2.0, 0.5])
+
+    def logp(q):
+        return -0.5 * jnp.sum((q - mu) ** 2)
+
+    q0 = jnp.zeros((8, 3)) + 0.1 * jax.random.normal(jax.random.PRNGKey(0), (8, 3))
+    kwargs = dict(num_samples=150, num_warmup=80, max_depth=5, init_step_size=0.5)
+
+    out_plain = nuts_sample(logp, q0, jax.random.PRNGKey(1), **kwargs)
+    mesh = make_mesh(8)
+    out_sharded = nuts_sample(logp, q0, jax.random.PRNGKey(1), mesh=mesh, **kwargs)
+
+    m_plain = out_plain["samples"].reshape(-1, 3).mean(axis=0)
+    m_sh = out_sharded["samples"].reshape(-1, 3).mean(axis=0)
+    np.testing.assert_allclose(m_sh, np.asarray(mu), atol=0.35)
+    np.testing.assert_allclose(m_plain, m_sh, atol=0.35)
+    assert np.isfinite(out_sharded["accept_stat"]).all()
+    assert out_sharded["samples"].shape == (8, 150, 3)
