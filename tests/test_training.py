@@ -255,3 +255,30 @@ def test_selective_ode_param_training():
     assert float(jnp.abs(updates["ode"]["k_L"])) > 0
     assert float(jnp.abs(updates["ode"]["a_GI"])) == 0.0
     assert float(jnp.abs(updates["nn"]["w0"]).sum()) > 0
+
+
+def test_cli_ensemble_trains_and_checkpoints(tmp_path, monkeypatch):
+    """--ensemble K trains a K-member deep ensemble in one vmapped program
+    and saves a stacked-params checkpoint (leading member axis)."""
+    csv8 = make_test_csv(tmp_path / "ens.csv", n_subjects=8)
+    monkeypatch.chdir(tmp_path)
+    import yaml
+
+    cfg = default_config()
+    cfg["data"]["path"] = str(csv8)
+    cfg["model"].update(solver="rk4", substeps=2, nn_hidden=8, nn_layers=2)
+    cfg["training"].update(epochs=2, batch_size=4, learning_rate=1e-3)
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    from hybrid_ode_tpu.train.cli import main as cli_main
+
+    cli_main(["--config", str(cfg_path), "--ensemble", "3",
+              "--experiment-name", "ens_test"])
+    stacked, meta = load_checkpoint(
+        str(tmp_path / "checkpoints" / "ens_test" / "ensemble_model"))
+    assert meta["n_members"] == 3
+    assert np.isfinite(meta["val_rmse_ensemble"])
+    w0 = np.asarray(stacked["nn"]["w0"])
+    assert w0.shape[0] == 3
+    assert not np.allclose(w0[0], w0[1])  # members genuinely differ
