@@ -49,24 +49,39 @@ def evaluate_model(
     key: Optional[jax.Array] = None,
     denormalize: bool = False,
     obs_sigma: float = 0.0,
+    ensemble: bool = False,
 ) -> Dict[str, float]:
     """Evaluate on a dataset; uncertainty from the posterior when available,
-    else the reference's fixed sigma=0.1 placeholder (`evaluate.py:247`)."""
+    else the reference's fixed sigma=0.1 placeholder (`evaluate.py:247`).
+
+    ensemble: `params` is a member-stacked pytree (CLI --ensemble /
+    parallel.ensemble checkpoints) — predictions are the ensemble mean,
+    uncertainty the member spread (+ obs_sigma in quadrature), and the
+    calibration metrics are included like the variational path."""
     key = key if key is not None else jax.random.PRNGKey(0)
     preds_all, unc_all, targ_all, mask_all = [], [], [], []
 
     fwd = jax.jit(
         lambda p, y0, ts, c: batched_forward(p, y0, ts, c, config)
     )
+    if ensemble:
+        from hybrid_ode_tpu.parallel.ensemble import ensemble_predictive
 
     for batch in batch_iterator(test_ds, batch_size, shuffle=False):
         b, valid = pad_batch(batch, batch_size)
         controls = controls_from_batch(b)
         # conditioned models: encode the subject context from the window's
-        # first observations (neutral zeros are used when absent)
-        controls = with_context(params, b, controls, config)
+        # first observations (neutral zeros are used when absent);
+        # ensemble_predictive encodes per member itself
+        if not ensemble:
+            controls = with_context(params, b, controls, config)
         nb = int(valid.sum())
-        if variational is not None:
+        if ensemble:
+            preds, unc = ensemble_predictive(
+                params, b, config,
+                noise_sigma=obs_sigma if np.any(np.asarray(obs_sigma) > 0) else None,
+            )
+        elif variational is not None:
             key, sk = jax.random.split(key)
             mean, std = variational.posterior_predictive(
                 sk, jnp.asarray(b["initial_state"]), jnp.asarray(b["time_points"]),
@@ -108,7 +123,7 @@ def evaluate_model(
         metrics[f"rmse_{name.lower()}"] = float(rmse_ps[i])
         metrics[f"mae_{name.lower()}"] = float(mae_ps[i])
 
-    if variational is not None:
+    if variational is not None or ensemble:
         metrics.update(compute_calibration_error(preds, unc, targets, mask=mask))
         metrics["coverage_80"] = compute_coverage(preds, unc, targets, 0.8, mask=mask)
         metrics["coverage_90"] = compute_coverage(preds, unc, targets, 0.9, mask=mask)
@@ -138,10 +153,14 @@ def evaluate_checkpoint(
     from hybrid_ode_tpu.utils.checkpoint import load_checkpoint
 
     state, meta = load_checkpoint(checkpoint_path)
-    params = state["params"]
+    is_ensemble = bool(meta.get("n_members", 0))
+    # ensemble checkpoints store the stacked params pytree directly
+    params = state if is_ensemble else state["params"]
     if config is None:
-        config = config_from_dict(meta.get("config", {}))
-    metrics = evaluate_model(params, test_ds, config, batch_size)
+        config = config_from_dict(meta.get("config", {}),
+                                  **({"use_pallas": False} if is_ensemble else {}))
+    metrics = evaluate_model(params, test_ds, config, batch_size,
+                             ensemble=is_ensemble)
     metrics["checkpoint_epoch"] = meta.get("epoch", -1)
     metrics["checkpoint_val_loss"] = meta.get("val_loss", -1)
     return metrics

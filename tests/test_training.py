@@ -275,10 +275,19 @@ def test_cli_ensemble_trains_and_checkpoints(tmp_path, monkeypatch):
 
     cli_main(["--config", str(cfg_path), "--ensemble", "3",
               "--experiment-name", "ens_test"])
-    stacked, meta = load_checkpoint(
-        str(tmp_path / "checkpoints" / "ens_test" / "ensemble_model"))
+    ckpt = str(tmp_path / "checkpoints" / "ens_test" / "ensemble_model")
+    stacked, meta = load_checkpoint(ckpt)
     assert meta["n_members"] == 3
     assert np.isfinite(meta["val_rmse_ensemble"])
     w0 = np.asarray(stacked["nn"]["w0"])
     assert w0.shape[0] == 3
     assert not np.allclose(w0[0], w0[1])  # members genuinely differ
+
+    # evaluate CLI consumes ensemble checkpoints (mean + spread + calibration)
+    from hybrid_ode_tpu.data.dataset import create_data_arrays, split_dataset
+    from hybrid_ode_tpu.evals.evaluate import evaluate_checkpoint
+
+    ds = create_data_arrays(str(csv8))
+    _, _, test_ds = split_dataset(ds, seed=42)
+    m = evaluate_checkpoint(ckpt, test_ds)
+    assert np.isfinite(m["rmse"]) and "ece" in m and np.isfinite(m["ece"])
