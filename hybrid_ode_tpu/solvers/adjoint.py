@@ -17,6 +17,12 @@ Notes:
   * cotangents for `ts` are returned as zeros (observation times are data,
     never optimised in this framework).
   * adjoint accuracy is controlled by the same rtol/atol as the forward.
+  * seminorm=True (default): the backward solve's step control uses an error
+    SEMINORM over the [y, adjoint] components only — the parameter-cotangent
+    components are passive integrals (they never feed back into the
+    augmented dynamics), so controlling step size on them only wastes steps
+    (Kidger, Chen & Lyons 2021, arXiv:2009.09457; ~30-60% fewer backward
+    steps measured there, gradient accuracy unchanged).
 """
 
 from __future__ import annotations
@@ -40,8 +46,10 @@ def odeint_backsolve(
     atol: float = 1e-8,
     max_steps_per_interval: int = 32,
     substeps: int = 4,
+    seminorm: bool = True,
 ):
     from hybrid_ode_tpu.solvers.api import odeint as _odeint
+    from hybrid_ode_tpu.solvers.tableaus import TABLEAUS
 
     solve_kwargs = dict(
         solver=solver, rtol=rtol, atol=atol, mode="while",
@@ -55,6 +63,12 @@ def odeint_backsolve(
     args_flat, unravel_args = ravel_pytree(args)
     n = y0.shape[-1]
     m = args_flat.shape[0]
+
+    bwd_kwargs = dict(solve_kwargs)
+    if seminorm and solver in TABLEAUS:
+        # weight [y, a] = 1, parameter cotangents = 0 (seminorm, see above)
+        bwd_kwargs["norm_weights"] = jnp.concatenate(
+            [jnp.ones(2 * n), jnp.zeros(m)])
 
     def solve(y0_, ts_, args_flat_):
         return _odeint(f, y0_, ts_, unravel_args(args_flat_), **solve_kwargs)
@@ -90,7 +104,7 @@ def odeint_backsolve(
             aug = aug.at[n : 2 * n].add(g_ys[idx + 1])
             aug = aug.at[:n].set(ys[idx + 1])
             tau_grid = jnp.stack([-t_hi, -t_lo])
-            out = _odeint(aug_field, aug, tau_grid, args_flat_, **solve_kwargs)
+            out = _odeint(aug_field, aug, tau_grid, args_flat_, **bwd_kwargs)
             return out[-1], None
 
         aug0 = jnp.zeros((2 * n + m,), dtype)

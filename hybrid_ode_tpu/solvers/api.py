@@ -40,6 +40,7 @@ def odeint(
     checkpoint_intervals: bool = True,
     adjoint: str = "discrete",
     return_stats: bool = False,
+    norm_weights=None,
 ):
     """Solve dy/dt = f(t, y, args), reporting y(ts[i]) for every output time.
 
@@ -54,8 +55,18 @@ def odeint(
         adjoint: 'discrete' (backprop through the solver) or 'backsolve'
             (continuous adjoint; implies while-mode forward).
         return_stats: also return StepStats (adaptive solvers only).
+        norm_weights: optional (n,) error-SEMINORM component weights —
+            explicit adaptive solvers only (Kidger et al. 2021; used by the
+            backsolve adjoint to exclude parameter-cotangent components).
     """
     solver = solver.lower()
+    if norm_weights is not None and (
+        mode == "dense" or adjoint == "backsolve" or solver not in TABLEAUS
+    ):
+        raise ValueError(
+            "norm_weights is supported for the explicit adaptive solvers "
+            "(scan/while modes) only"
+        )
     if mode == "dense":
         # free-running steps + 4th-order dense interpolation (dopri5 only):
         # step size set by the dynamics, not by the observation grid
@@ -100,6 +111,7 @@ def odeint(
             max_steps_per_interval=max_steps_per_interval,
             checkpoint_intervals=checkpoint_intervals,
             return_stats=return_stats,
+            norm_weights=norm_weights,
         )
     if solver == "radau":
         return odeint_radau(

@@ -60,29 +60,51 @@ def _effective_tols(rtol: float, atol: float, dtype) -> Tuple[float, float]:
     return max(float(rtol), 100.0 * eps), max(float(atol), 10.0 * float(jnp.finfo(dtype).tiny))
 
 
-def _error_norm(tab: ERKTableau, K: jnp.ndarray, h, y0, y1, rtol, atol) -> jnp.ndarray:
-    """RMS error norm; accept when <= 1."""
+def _error_norm(tab: ERKTableau, K: jnp.ndarray, h, y0, y1, rtol, atol,
+                norm_weights=None) -> jnp.ndarray:
+    """RMS error norm; accept when <= 1.
+
+    norm_weights: optional per-component weights (n,) turning the norm into
+    a SEMINORM — zero-weighted components do not drive step control. Used by
+    the continuous adjoint to exclude the passively-integrated parameter
+    cotangents (Kidger, Chen & Lyons 2021, "'Hey, that's not an ODE': Faster
+    ODE Adjoints via Seminorms" — accuracy of the backward solve is governed
+    by the state/adjoint components; controlling on the parameter-gradient
+    integrals wastes steps)."""
     scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
     n = y0.shape[-1]
     hi = jax.lax.Precision.HIGHEST  # TPU f32 @ defaults to bf16 MXU passes
+    if norm_weights is None:
+        w = None
+        w_total = float(n)
+    else:
+        w = jnp.asarray(norm_weights, K.dtype)
+        w_total = jnp.maximum(jnp.sum(w), 1.0)
     if tab.err_weights_low is None:
         e = jnp.asarray(tab.err_weights, K.dtype)
         err = h * jnp.matmul(e, K, precision=hi)
-        return jnp.sqrt(jnp.mean((err / scale) ** 2))
+        sq = (err / scale) ** 2
+        if w is not None:
+            sq = sq * w
+        return jnp.sqrt(jnp.sum(sq) / w_total)
     # DOP853: err = err5 * |err5| / sqrt(|err5|^2 + 0.01 |err3|^2)
     e5 = jnp.asarray(tab.err_weights, K.dtype)
     e3 = jnp.asarray(tab.err_weights_low, K.dtype)
     v5 = jnp.matmul(e5, K, precision=hi) / scale
     v3 = jnp.matmul(e3, K, precision=hi) / scale
-    n5 = jnp.sum(v5 * v5)
-    n3 = jnp.sum(v3 * v3)
+    if w is not None:
+        n5 = jnp.sum(w * v5 * v5)
+        n3 = jnp.sum(w * v3 * v3)
+    else:
+        n5 = jnp.sum(v5 * v5)
+        n3 = jnp.sum(v3 * v3)
     denom = n5 + 0.01 * n3
-    safe = jnp.sqrt(jnp.maximum(denom * n, jnp.finfo(K.dtype).tiny))
+    safe = jnp.sqrt(jnp.maximum(denom * w_total, jnp.finfo(K.dtype).tiny))
     return jnp.where(denom > 0, jnp.abs(h) * n5 / safe, jnp.zeros_like(h))
 
 
 def make_erk_step(
-    f: Callable, tab: ERKTableau, rtol: float, atol: float
+    f: Callable, tab: ERKTableau, rtol: float, atol: float, norm_weights=None
 ) -> Callable:
     """Build a single-trial-step function: (t, y, fy, h, args) -> (y1, f1, err_norm).
 
@@ -118,7 +140,7 @@ def make_erk_step(
             # FSAL: the final stage was evaluated at (t+h, y1).
             f1 = ks[-1]
         K = jnp.stack(ks)
-        err = _error_norm(tab, K, h, y, y1, rtol, atol)
+        err = _error_norm(tab, K, h, y, y1, rtol, atol, norm_weights)
         return y1, f1, err
 
     return step
@@ -244,6 +266,7 @@ def odeint_erk(
     max_steps_per_interval: int = 32,
     checkpoint_intervals: bool = True,
     return_stats: bool = False,
+    norm_weights=None,
 ):
     """Integrate dy/dt = f(t, y, args) and report y at every ts[i].
 
@@ -256,6 +279,9 @@ def odeint_erk(
             output points.
         checkpoint_intervals: in scan mode, rematerialise each interval in
             the backward pass (memory O(T) instead of O(T * max_steps)).
+        norm_weights: optional (n,) component weights for the error SEMINORM
+            (see `_error_norm`; zero-weighted components don't drive step
+            control — the continuous adjoint's backward solve uses this).
 
     Returns:
         ys: (T, n) trajectory with ys[0] = y0 (optionally with StepStats).
@@ -263,7 +289,7 @@ def odeint_erk(
     dtype = y0.dtype
     ts = jnp.asarray(ts, dtype)
     rtol_e, atol_e = _effective_tols(rtol, atol, dtype)
-    step = make_erk_step(f, tab, rtol_e, atol_e)
+    step = make_erk_step(f, tab, rtol_e, atol_e, norm_weights)
 
     f0 = f(ts[0], y0, args)
     h0 = lax.stop_gradient(

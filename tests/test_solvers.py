@@ -316,3 +316,52 @@ def test_dense_output_bdf(x64):
                                           mode="dense", rtol=1e-5,
                                           atol=1e-7)[-1] ** 2))(params)
     assert np.isfinite(float(g["a_GI"])) and float(g["a_GI"]) != 0.0
+
+
+def test_seminorm_excludes_passive_components(x64):
+    """norm_weights seminorm (Kidger et al. 2021): zero-weighted components
+    don't drive step control. A fast passive integral (never feeding back)
+    forces many steps under the full norm; the seminorm ignores it with no
+    accuracy loss on the controlled component."""
+    def f(t, y, args):
+        # y0: slow decay (the 'real' state); y1: integral of cos(80 t)
+        return jnp.stack([-y[0], jnp.cos(80.0 * t)])
+
+    y0 = jnp.array([1.0, 0.0], jnp.float64)
+    ts = jnp.linspace(0.0, 2.0, 3, dtype=jnp.float64)
+    kw = dict(solver="dopri5", rtol=1e-8, atol=1e-10,
+              max_steps_per_interval=512, mode="while", return_stats=True)
+    ys_full, st_full = odeint(f, y0, ts, None, **kw)
+    ys_semi, st_semi = odeint(f, y0, ts, None,
+                              norm_weights=jnp.array([1.0, 0.0]), **kw)
+    assert bool(st_full.success) and bool(st_semi.success)
+    # controlled component stays accurate under the seminorm
+    np.testing.assert_allclose(
+        np.asarray(ys_semi[:, 0]), np.exp(-np.asarray(ts)), rtol=1e-6)
+    # and the fast passive component no longer drives step count
+    assert int(st_semi.n_accepted) < int(st_full.n_accepted) // 2, (
+        int(st_semi.n_accepted), int(st_full.n_accepted))
+
+
+def test_backsolve_seminorm_matches_full_norm_grads(x64):
+    """The backsolve adjoint's default seminorm changes step control only —
+    gradients match the full-norm backward solve."""
+    from hybrid_ode_tpu.solvers.adjoint import odeint_backsolve
+
+    params = make_ode_params(dtype=jnp.float64)
+    ts = jnp.linspace(0.0, 1.5, 4, dtype=jnp.float64)
+    y0 = (steady_state(params) + 0.2).astype(jnp.float64)
+    f = lambda t, y, a: mechanistic_field(t, y, a, None)
+
+    def loss(p, seminorm):
+        ys = odeint_backsolve(f, y0, ts, p, solver="dopri5",
+                              rtol=1e-9, atol=1e-11,
+                              max_steps_per_interval=64, seminorm=seminorm)
+        return jnp.sum(ys**2)
+
+    g_semi = jax.grad(lambda p: loss(p, True))(params)
+    g_full = jax.grad(lambda p: loss(p, False))(params)
+    for k in g_full:
+        np.testing.assert_allclose(
+            float(g_semi[k]), float(g_full[k]), rtol=1e-4, atol=1e-10,
+            err_msg=f"param {k}")
