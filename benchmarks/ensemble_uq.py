@@ -216,6 +216,33 @@ def main(argv=None):
     s_vec = fit_per_state_recalibration(pv, uv, tv, mask=mv,
                                         min_coverage_95=args.recal_floor)
 
+    # ---- in-silico recalibration cohort ------------------------------------
+    # The shipped val split is ONE subject (61 points/channel), which is why
+    # the val-fitted floor needs a 3-pt safety margin and still under-covers
+    # at 95 on test. The simulator provides unlimited validation data with
+    # zero test leakage: recalibrate on a FRESH 20-subject cohort (disjoint
+    # seed) at the NOMINAL floor.
+    from hybrid_ode_tpu.data.dataset import GlucoseDataset
+    from hybrid_ode_tpu.data.fourgi_gen import generate_4gi_dataset
+
+    fresh_path = "/tmp/4gi_uq_recal_cohort.csv"
+    generate_4gi_dataset(fresh_path, seed=777, n_subjects=20)
+    fraw = create_data_arrays(fresh_path)
+    fphys = fraw.observations * fraw.state_std + fraw.state_mean
+    frenorm = (fphys - ds.state_mean) / ds.state_std
+    fresh_ds = GlucoseDataset(
+        initial_state=frenorm[:, 0].astype(np.float32),
+        observations=frenorm.astype(np.float32),
+        time_points=fraw.time_points, meal=fraw.meal,
+        tvns=fraw.tvns, mask=fraw.mask,
+        state_mean=ds.state_mean, state_std=ds.state_std,
+        subject_ids=fraw.subject_ids, loss_weights=ds.loss_weights,
+    )
+    pf, uf, tf, mf = collect_ensemble_predictive(state.params, fresh_ds, config,
+                                                 sigma, args.batch_size)
+    s_fresh = fit_per_state_recalibration(pf, uf, tf, mask=mf,
+                                          min_coverage_95=0.95)
+
     results = {
         "n_members": K,
         "epochs": args.epochs,
@@ -225,8 +252,10 @@ def main(argv=None):
         "noise_sigma_per_state": [round(float(x), 4) for x in sigma],
         "recal_floor_val": args.recal_floor,
         "recalibration_per_state_val": [round(float(x), 4) for x in s_vec],
+        "recalibration_per_state_fresh_cohort": [round(float(x), 4) for x in s_fresh],
         "test_raw": metrics_at(pt, ut, tt, mt, 1.0),
         "test_recalibrated_per_state": metrics_at(pt, ut * s_vec, tt, mt, 1.0),
+        "test_recalibrated_fresh_cohort": metrics_at(pt, ut * s_fresh, tt, mt, 1.0),
         "_targets": {"ece": 0.08, "coverage_95": 0.95,
                      "source": "manuscript.tex:707-720,:765 (claimed on MIMIC)"},
         "_vi_comparison": "results/uq_calibration.json (same split, same metric path)",
