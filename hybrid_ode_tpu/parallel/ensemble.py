@@ -165,3 +165,61 @@ def ensemble_predictive(
     if noise_sigma is not None:
         var = var + jnp.asarray(noise_sigma) ** 2
     return mean, jnp.sqrt(var)
+
+
+def train_ensemble(
+    stacked_params: Dict[str, Any],
+    optimizer: optax.GradientTransformation,
+    config: HybridConfig,
+    train_batches,
+    val_batches,
+    key: jax.Array,
+    epochs: int,
+    lambda1: float = 0.0,
+    lambda2: float = 0.01,
+    use_physics: bool = False,
+    eval_every: int = 20,
+    mesh: Optional[Mesh] = None,
+):
+    """Host loop training all K members with per-member best-val selection.
+
+    Mirrors `train.loop.train_model`'s protocol (each member keeps the
+    parameters of its own best validation epoch) so single-model and
+    ensemble results stay comparable. Returns (best_params_stacked,
+    best_val_losses (K,), final_metrics)."""
+    import numpy as np
+
+    K = jax.tree.leaves(stacked_params)[0].shape[0]
+    step = make_ensemble_train_step(optimizer, config, lambda1, lambda2,
+                                    use_physics, mesh=mesh)
+    veval = jax.jit(jax.vmap(
+        lambda p, b, k: hybrid_loss(p, b, k, config, lambda1=lambda1,
+                                    lambda2=lambda2,
+                                    use_physics_loss=use_physics)[0],
+        in_axes=(0, None, None)))
+
+    state = init_ensemble_state(optimizer, stacked_params)
+    # genuine buffer copy: the train step DONATES its state, so aliasing
+    # state.params here would leave best_params pointing at deleted buffers
+    best_params = jax.tree.map(jnp.copy, state.params)
+    best_val = jnp.full((K,), jnp.inf)
+    metrics = {}
+    for epoch in range(epochs):
+        for b in train_batches:
+            key, sk = jax.random.split(key)
+            state, metrics = step(state, b, jax.random.split(sk, K))
+        if val_batches and (epoch % eval_every == 0 or epoch == epochs - 1):
+            key, vk = jax.random.split(key)
+            vl = jnp.mean(jnp.stack(
+                [veval(state.params, vb, vk) for vb in val_batches]), axis=0)
+            improved = vl < best_val
+            best_val = jnp.where(improved, vl, best_val)
+            sel = improved.astype(jnp.float32)
+            best_params = jax.tree.map(
+                lambda new, old: jnp.where(
+                    sel.reshape((K,) + (1,) * (new.ndim - 1)) > 0, new, old),
+                state.params, best_params)
+    if not val_batches:
+        best_params, best_val = state.params, jnp.asarray(
+            np.full((K,), np.nan))
+    return best_params, np.asarray(best_val), jax.tree.map(np.asarray, metrics)

@@ -622,3 +622,24 @@ def test_nuts_chain_axis_shards_over_mesh():
     np.testing.assert_allclose(m_plain, m_sh, atol=0.35)
     assert np.isfinite(out_sharded["accept_stat"]).all()
     assert out_sharded["samples"].shape == (8, 150, 3)
+
+
+def test_train_ensemble_best_val_selection():
+    """train_ensemble keeps per-member best-val params (train_model parity)
+    and survives the donating train step (no deleted-buffer aliasing)."""
+    from hybrid_ode_tpu.parallel.ensemble import init_ensemble, train_ensemble
+    from hybrid_ode_tpu.train.loop import make_optimizer
+
+    K = 2
+    batch = _tiny_batch()
+    opt = make_optimizer(1e-2, 6, 1, 5.0)
+    init = init_ensemble(jax.random.PRNGKey(0), FAST, K)
+    best, best_val, metrics = train_ensemble(
+        init, opt, FAST, [batch], [batch], jax.random.PRNGKey(1),
+        epochs=6, lambda1=1.0, lambda2=0.01, use_physics=True, eval_every=2)
+    assert best_val.shape == (K,) and np.isfinite(best_val).all()
+    assert np.isfinite(np.asarray(metrics["loss"])).all()
+    # training moved the params away from init
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     best["nn"], init_ensemble(jax.random.PRNGKey(0), FAST, K)["nn"])
+    assert max(jax.tree.leaves(d)) > 0
