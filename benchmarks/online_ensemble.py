@@ -1,0 +1,164 @@
+"""Ensemble online adaptation: prediction averaging vs the guard.
+
+The single-model benchmark (benchmarks/online_adapt.py,
+results/online_adaptation.json) measured that always-on per-subject
+adaptation OVERFITS short reveals — it loses at 6 h (1.401 vs 1.247) and
+needs a val-selected guard to never lose (guard v3: ties at 6/12 h,
+−11.5% at 24 h). Deep ensembles attack the same failure mode without a
+decision rule: every member adapts independently on the revealed window
+(one vmapped program, ~single-model cost) and the deployed forecast is
+the ensemble MEAN — idiosyncratic per-member overfit averages out.
+
+Protocol identical to online_adapt.py: population ensemble pretrained on
+20 fresh 30 h streams (subject split), evaluated on the SAME 80 unseen
+streams (seed 300), REPORT half only (the ensemble arms are
+decision-free: no policy is selected, so no selection split is consumed).
+Writes results/online_adaptation_ensemble.json.
+
+Usage: python benchmarks/online_ensemble.py [--members 8] [--reuse]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from online_adapt import HORIZONS, MEALS, POP_CFG, STREAM_HOURS  # noqa: E402
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--members", type=int, default=8)
+    ap.add_argument("--subjects", type=int, default=20)
+    ap.add_argument("--pretrain-epochs", type=int, default=1500)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--anchor", type=float, default=1.0)
+    ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--eval-subjects", type=int, default=80)
+    ap.add_argument("--eval-seed", type=int, default=300)
+    ap.add_argument("--reuse", action="store_true")
+    args = ap.parse_args(argv)
+
+    import copy
+    import dataclasses
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
+    from hybrid_ode_tpu.data.dataset import (
+        batch_iterator,
+        create_data_arrays,
+        pad_batch,
+        split_dataset,
+    )
+    from hybrid_ode_tpu.data.fourgi_gen import generate_4gi_dataset
+    from hybrid_ode_tpu.models.hybrid import config_from_dict
+    from hybrid_ode_tpu.parallel.ensemble import init_ensemble, train_ensemble
+    from hybrid_ode_tpu.train.loop import make_optimizer
+    from hybrid_ode_tpu.train.online import ensemble_online_adaptation_eval
+    from hybrid_ode_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    # ---- population ensemble on the SAME pretrain cohort -------------------
+    T = int(STREAM_HOURS * 12) + 1
+    train_csv = REPO / "results" / "online_train_cohort.csv"
+    generate_4gi_dataset(
+        path=str(train_csv), seed=args.seed + 1, n_subjects=args.subjects,
+        duration_hours=STREAM_HOURS,
+        meal_times=[m for m, _ in MEALS], meal_sizes=[s for _, s in MEALS],
+    )
+    train_all = create_data_arrays(str(train_csv), sequence_length=T, stride=T)
+    tr, va, _ = split_dataset(train_all, 0.85, 0.15, seed=1, level="subject")
+
+    cfg = copy.deepcopy(POP_CFG)
+    cfg["model"]["use_pallas"] = False  # ensemble vmaps member weights
+    config = config_from_dict(cfg)
+    K = args.members
+    ckpt = REPO / "checkpoints" / "online_population_ens" / "ensemble_model"
+
+    t0 = time.time()
+    if args.reuse and ckpt.exists():
+        stacked, meta = load_checkpoint(str(ckpt))
+        print(f"population ensemble: reusing checkpoint (K={meta['n_members']})")
+    else:
+        bs = cfg["training"]["batch_size"]
+        batches = [pad_batch(b, bs)[0]
+                   for b in batch_iterator(tr, bs, shuffle=False)]
+        val_batches = [pad_batch(b, bs)[0]
+                       for b in batch_iterator(va, bs, shuffle=False)]
+        opt = make_optimizer(cfg["training"]["learning_rate"],
+                             args.pretrain_epochs, len(batches),
+                             cfg["training"]["gradient_clip"],
+                             train_ode_params=True)
+        stacked, best_val, _ = train_ensemble(
+            init_ensemble(jax.random.PRNGKey(0), config, K),
+            opt, config, batches, val_batches, jax.random.PRNGKey(1),
+            args.pretrain_epochs, lambda1=0.0, lambda2=0.01, use_physics=False)
+        save_checkpoint(str(ckpt), stacked,
+                        {"config": cfg, "n_members": K,
+                         "best_val": [float(x) for x in best_val]})
+        print(f"population ensemble pretrain: {time.time()-t0:.0f}s, "
+              f"best val {np.round(best_val, 4)}")
+    pop_mean, pop_std = train_all.state_mean, train_all.state_std
+
+    # ---- same eval streams, rebased to the population frame ----------------
+    stream_csv = REPO / "results" / "online_stream_cohort.csv"
+    generate_4gi_dataset(
+        path=str(stream_csv), seed=args.eval_seed, n_subjects=args.eval_subjects,
+        duration_hours=STREAM_HOURS,
+        meal_times=[m for m, _ in MEALS], meal_sizes=[s for _, s in MEALS],
+    )
+    ds = create_data_arrays(str(stream_csv), sequence_length=T, stride=T)
+    obs_phys = ds.observations * ds.state_std + ds.state_mean
+    init_phys = ds.initial_state * ds.state_std + ds.state_mean
+    ds = dataclasses.replace(
+        ds,
+        observations=((obs_phys - pop_mean) / pop_std).astype(np.float32),
+        initial_state=((init_phys - pop_mean) / pop_std).astype(np.float32),
+        state_mean=pop_mean, state_std=pop_std,
+    )
+    n = len(ds)
+    test_idx = list(range(n // 2, n))  # the report half of online_adapt.py
+
+    rows = {}
+    for name, steps in (("ens_no_adaptation", 0),
+                        ("ens_online_anchored", args.steps)):
+        t0 = time.time()
+        res = ensemble_online_adaptation_eval(
+            stacked, ds, config, horizons_hours=HORIZONS,
+            adapt_steps=steps, learning_rate=args.lr,
+            anchor_weight=args.anchor, window_indices=test_idx)
+        rows[name] = {str(h): round(v, 4) for h, v in res.items()}
+        rows[name]["wall_s"] = round(time.time() - t0, 1)
+        print(name, rows[name], flush=True)
+
+    single = REPO / "results" / "online_adaptation.json"
+    if single.exists():
+        srows = json.loads(single.read_text())
+        rows["_single_model_reference"] = {
+            k: srows[k] for k in
+            ("no_adaptation", "online_anchored", "online_guarded")
+            if k in srows}
+    rows["_protocol"] = (
+        f"K={K} population ensemble, identical pretrain cohort/recipe and "
+        f"eval streams as online_adapt.py; decision-free arms measured on "
+        f"the report half ({len(test_idx)} subjects); every member adapts "
+        f"independently ({args.steps} steps, lr {args.lr}, anchor "
+        f"{args.anchor}), forecast = ensemble mean re-anchored at the last "
+        f"revealed observation")
+    out = REPO / "results" / "online_adaptation_ensemble.json"
+    out.write_text(json.dumps(rows, indent=2))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

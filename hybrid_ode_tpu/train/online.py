@@ -121,6 +121,85 @@ def adapt_subject(
     return adapted
 
 
+def adapt_subject_ensemble(
+    stacked_params: Any,
+    subject_window: Dict[str, np.ndarray],
+    config: HybridConfig,
+    reveal_points: int,
+    adapt_steps: int = 50,
+    learning_rate: float = 1e-3,
+    key: Optional[jax.Array] = None,
+    anchor_weight: float = 1.0,
+    adapt_scope: str = "nn",
+) -> Any:
+    """Per-subject adaptation of EVERY ensemble member in one vmapped
+    program (parallel/ensemble.py layout: leading member axis on every
+    leaf). Each member anchors to its OWN population weights; members see
+    independent physics-subsample keys. Cost ~ one single-model
+    `adapt_subject` (the member axis batches the tiny per-step kernels —
+    measured in results/ensemble_uq.json)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    K = jax.tree.leaves(stacked_params)[0].shape[0]
+    R = reveal_points
+    n_last = max(int(k[1:]) for k in stacked_params["nn"] if k.startswith("w"))
+    last_keys = {f"w{n_last}", f"b{n_last}"}
+
+    batch = {
+        "initial_state": jnp.asarray(subject_window["observations"][None, 0]),
+        "observations": jnp.asarray(subject_window["observations"][None, :R]),
+        "time_points": jnp.asarray(subject_window["time_points"][None, :R]),
+        "external_inputs": {
+            k: jnp.asarray(v[None, :R])
+            for k, v in subject_window["external_inputs"].items()
+        },
+        "mask": jnp.asarray(subject_window["mask"][None, :R]),
+    }
+
+    optimizer = optax.adam(learning_rate)
+
+    def labels(p):
+        out = {}
+        for k, v in p.items():
+            if k == "nn":
+                out[k] = {
+                    kk: jax.tree.map(
+                        lambda _: "train"
+                        if (adapt_scope == "nn" or kk in last_keys)
+                        else "freeze", vv)
+                    for kk, vv in v.items()
+                }
+            else:
+                out[k] = jax.tree.map(lambda _: "freeze", v)
+        return out
+
+    tx = optax.multi_transform({"train": optimizer, "freeze": optax.set_to_zero()}, labels)
+
+    def adapt_one(p, pop_nn, k):
+        def body(carry, kk):
+            p, s = carry
+
+            def objective(pp):
+                loss, aux = hybrid_loss(pp, batch, kk, config, lambda1=0.0,
+                                        lambda2=0.0, use_physics_loss=False)
+                anchor = sum(
+                    jnp.sum((pp["nn"][n] - pop_nn[n]) ** 2) for n in pop_nn
+                )
+                return loss + anchor_weight * anchor, aux
+
+            (loss, _), g = jax.value_and_grad(objective, has_aux=True)(p)
+            updates, s = tx.update(g, s, p)
+            return (optax.apply_updates(p, updates), s), loss
+
+        keys = jax.random.split(k, adapt_steps)
+        (p, _), _ = jax.lax.scan(body, (p, tx.init(p)), keys)
+        return p
+
+    pop_nn_stacked = {k: jnp.asarray(v) for k, v in stacked_params["nn"].items()}
+    adapted = jax.jit(jax.vmap(adapt_one, in_axes=(0, 0, 0)))(
+        stacked_params, pop_nn_stacked, jax.random.split(key, K))
+    return adapted
+
+
 def _blend_nn(base: Any, adapted: Any, alpha: float) -> Any:
     """theta_pop + alpha * (theta_adapted - theta_pop), NN group only."""
     out = dict(base)
@@ -263,6 +342,13 @@ def forecast_remainder_rmse(
     units). Context-conditioned models encode the subject from the
     revealed prefix only."""
     stop = len(ds.time_points[w]) if stop is None else stop
+    inputs = _remainder_inputs(ds, w, reveal, config, stop)
+    preds = np.asarray(_forecast_preds(params, config, *inputs))
+    return _remainder_rmse(preds, ds, w, reveal, stop, state_index)
+
+
+def _remainder_inputs(ds, w: int, reveal: int, config: HybridConfig, stop: int):
+    """(ts, y0, controls, ctx_batch) for the re-anchored remainder rollout."""
     r0 = reveal - 1
     ts = jnp.asarray(ds.time_points[w : w + 1, r0:stop])
     y0 = jnp.asarray(ds.observations[w : w + 1, r0])
@@ -279,11 +365,80 @@ def forecast_remainder_rmse(
         tp_r = np.concatenate([tp_r, np.repeat(tp_r[-1:], k - reveal, 0)])
     ctx_batch = {"observations": jnp.asarray(obs_r[None]),
                  "time_points": jnp.asarray(tp_r[None])}
-    controls = with_context(params, ctx_batch, controls, config)
-    preds = np.asarray(batched_forward(params, y0, ts, controls, config))[0]
+    return ts, y0, controls, ctx_batch
+
+
+def _forecast_preds(params, config, ts, y0, controls, ctx_batch):
+    c = with_context(params, ctx_batch, controls, config)
+    return batched_forward(params, y0, ts, c, config)[0]
+
+
+def _remainder_rmse(preds: np.ndarray, ds, w: int, reveal: int, stop: int,
+                    state_index: int) -> float:
     err = preds[1:, state_index] - ds.observations[w, reveal:stop, state_index]
     m = ds.mask[w, reveal:stop] > 0
     return float(np.sqrt(np.mean(err[m] ** 2))) if m.any() else float("nan")
+
+
+def ensemble_forecast_remainder_rmse(
+    stacked_params: Any,
+    ds,
+    w: int,
+    reveal: int,
+    config: HybridConfig,
+    state_index: int = 0,
+    stop: Optional[int] = None,
+) -> float:
+    """Remainder RMSE of the ensemble-MEAN forecast (members vmapped;
+    each member encodes its own subject context)."""
+    stop = len(ds.time_points[w]) if stop is None else stop
+    inputs = _remainder_inputs(ds, w, reveal, config, stop)
+    preds_k = jax.vmap(lambda p: _forecast_preds(p, config, *inputs))(stacked_params)
+    return _remainder_rmse(np.asarray(jnp.mean(preds_k, axis=0)),
+                           ds, w, reveal, stop, state_index)
+
+
+def ensemble_online_adaptation_eval(
+    stacked_params: Any,
+    ds,
+    config: HybridConfig,
+    horizons_hours: Sequence[float] = (6.0, 12.0, 24.0),
+    adapt_steps: int = 50,
+    learning_rate: float = 1e-3,
+    state_index: int = 0,
+    anchor_weight: float = 1.0,
+    adapt_scope: str = "nn",
+    window_indices: Optional[Sequence[int]] = None,
+) -> Dict[float, float]:
+    """`online_adaptation_eval` with a K-member population ensemble:
+    every member adapts independently on the revealed window (one vmapped
+    program) and the deployed forecast is the ensemble mean — prediction
+    averaging as the regularizer against per-subject adaptation overfit
+    (the failure mode the single-model guard exists to contain)."""
+    results: Dict[float, list] = {h: [] for h in horizons_hours}
+    for w in (range(len(ds)) if window_indices is None else window_indices):
+        window = {
+            "observations": ds.observations[w],
+            "time_points": ds.time_points[w],
+            "external_inputs": {"meal": ds.meal[w], "tVNS": ds.tvns[w]},
+            "mask": ds.mask[w],
+        }
+        t0 = float(ds.time_points[w, 0])
+        for h in horizons_hours:
+            reveal = int(np.searchsorted(ds.time_points[w], t0 + h))
+            reveal = int(np.clip(reveal, 4, len(ds.time_points[w]) - 4))
+            if adapt_steps > 0:
+                adapted = adapt_subject_ensemble(
+                    stacked_params, window, config, reveal, adapt_steps,
+                    learning_rate, anchor_weight=anchor_weight,
+                    adapt_scope=adapt_scope)
+            else:
+                adapted = stacked_params
+            rmse_n = ensemble_forecast_remainder_rmse(
+                adapted, ds, w, reveal, config, state_index)
+            if np.isfinite(rmse_n):
+                results[h].append(rmse_n * float(ds.state_std[state_index]))
+    return {h: float(np.mean(v)) if v else float("nan") for h, v in results.items()}
 
 
 def select_guard_policy(

@@ -643,3 +643,48 @@ def test_train_ensemble_best_val_selection():
     d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                      best["nn"], init_ensemble(jax.random.PRNGKey(0), FAST, K)["nn"])
     assert max(jax.tree.leaves(d)) > 0
+
+
+def test_ensemble_online_adaptation_smoke():
+    """adapt_subject_ensemble + ensemble forecast: members adapt
+    independently in one vmapped program; adapted members differ from the
+    population and the ensemble-mean remainder RMSE is finite."""
+    from hybrid_ode_tpu.data.dataset import GlucoseDataset
+    from hybrid_ode_tpu.parallel.ensemble import init_ensemble
+    from hybrid_ode_tpu.train.online import (
+        adapt_subject_ensemble,
+        ensemble_online_adaptation_eval,
+    )
+
+    K, T = 2, 16
+    rng = np.random.default_rng(0)
+    base = np.array([8.0, 100.0, 90.0, 20.0, 0.0, 1.2], np.float32)
+    obs = np.abs(base[None, None] * (1 + 0.05 * rng.standard_normal((2, T, 6)))
+                 ).astype(np.float32)
+    ds = GlucoseDataset(
+        initial_state=obs[:, 0], observations=obs,
+        time_points=np.broadcast_to(
+            np.linspace(0, 2, T, dtype=np.float32), (2, T)).copy(),
+        meal=np.zeros((2, T), np.float32), tvns=np.zeros((2, T), np.float32),
+        mask=np.ones((2, T), np.float32),
+        state_mean=np.zeros(6, np.float32), state_std=np.ones(6, np.float32),
+        subject_ids=np.array([0, 1]), loss_weights=np.ones(6, np.float32),
+    )
+    stacked = init_ensemble(jax.random.PRNGKey(0), FAST, K)
+    window = {"observations": ds.observations[0],
+              "time_points": ds.time_points[0],
+              "external_inputs": {"meal": ds.meal[0], "tVNS": ds.tvns[0]},
+              "mask": ds.mask[0]}
+    adapted = adapt_subject_ensemble(stacked, window, FAST, reveal_points=8,
+                                     adapt_steps=3, learning_rate=1e-2)
+    moved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         adapted["nn"], stacked["nn"])
+    assert max(jax.tree.leaves(moved)) > 0
+    # members moved differently (independent keys/initialisations)
+    w0 = np.asarray(adapted["nn"]["w0"] - stacked["nn"]["w0"])
+    assert not np.allclose(w0[0], w0[1])
+
+    res = ensemble_online_adaptation_eval(
+        stacked, ds, FAST, horizons_hours=(1.0,), adapt_steps=2,
+        learning_rate=1e-2, window_indices=[0, 1])
+    assert np.isfinite(res[1.0])
