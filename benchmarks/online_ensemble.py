@@ -41,6 +41,11 @@ def main(argv=None):
     ap.add_argument("--pretrain-epochs", type=int, default=1500)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--pretrain-lr", type=float, default=1e-3,
+                    help="gentler than the single-model 3e-3: 30 h rk4 "
+                         "rollouts with trainable ODE params NaN most "
+                         "members at 3e-3 (measured; see ensemble.py guard)")
+    ap.add_argument("--pretrain-clip", type=float, default=1.0)
     ap.add_argument("--anchor", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=123)
     ap.add_argument("--eval-subjects", type=int, default=80)
@@ -95,9 +100,9 @@ def main(argv=None):
                    for b in batch_iterator(tr, bs, shuffle=False)]
         val_batches = [pad_batch(b, bs)[0]
                        for b in batch_iterator(va, bs, shuffle=False)]
-        opt = make_optimizer(cfg["training"]["learning_rate"],
+        opt = make_optimizer(args.pretrain_lr,
                              args.pretrain_epochs, len(batches),
-                             cfg["training"]["gradient_clip"],
+                             args.pretrain_clip,
                              train_ode_params=True)
         stacked, best_val, _ = train_ensemble(
             init_ensemble(jax.random.PRNGKey(0), config, K),
@@ -108,6 +113,20 @@ def main(argv=None):
                          "best_val": [float(x) for x in best_val]})
         print(f"population ensemble pretrain: {time.time()-t0:.0f}s, "
               f"best val {np.round(best_val, 4)}")
+        meta = {"best_val": [float(x) for x in best_val], "n_members": K}
+
+    # deploy only members that converged: best-val selection already snapshots
+    # each member's best epoch, but a member that NEVER trained (non-finite
+    # or init-level val loss) would poison the ensemble MEAN forecast
+    bv = np.asarray(meta.get("best_val", [np.nan] * K), float)
+    med = float(np.median(bv[np.isfinite(bv)]))
+    keep = np.where(np.isfinite(bv) & (bv <= 3.0 * med))[0]
+    if len(keep) < K:
+        print(f"pruning {K - len(keep)} unconverged members "
+              f"(best val {np.round(bv, 3)}); deploying {len(keep)}")
+        stacked = jax.tree.map(lambda x: x[keep], stacked)
+    pruned_info = {"best_val": [round(float(x), 4) for x in bv],
+                   "deployed_members": int(len(keep))}
     pop_mean, pop_std = train_all.state_mean, train_all.state_std
 
     # ---- same eval streams, rebased to the population frame ----------------
@@ -129,7 +148,7 @@ def main(argv=None):
     n = len(ds)
     test_idx = list(range(n // 2, n))  # the report half of online_adapt.py
 
-    rows = {}
+    rows = {"_pretrain": pruned_info}
     for name, steps in (("ens_no_adaptation", 0),
                         ("ens_online_anchored", args.steps)):
         t0 = time.time()

@@ -83,7 +83,13 @@ def make_ensemble_train_step(
 
     mesh: shard the member axis over `member_axis`; with `data_axis` also
     shard the batch (2D ensemble x data mesh — XLA reduces gradients over
-    'data' within each member and never communicates across 'ens')."""
+    'data' within each member and never communicates across 'ens').
+
+    Per-member non-finite updates are SKIPPED (params and optimizer state
+    kept): one member hitting a NaN loss/gradient (e.g. an unstable ODE
+    rollout on long streams — measured: 7/8 members of a 30 h-stream
+    ensemble died within 10 epochs at lr 3e-3) must not poison its Adam
+    moments; surviving members are unaffected either way."""
 
     def one(state: TrainState, batch: Dict, key: jax.Array):
         def loss_fn(params):
@@ -93,9 +99,15 @@ def make_ensemble_train_step(
             )
 
         (loss, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), dict(comps, loss=loss)
+        ok = jnp.isfinite(loss) & jnp.isfinite(optax.global_norm(grads))
+        updates, opt_state_new = optimizer.update(grads, state.opt_state, state.params)
+        params_new = optax.apply_updates(state.params, updates)
+        params = jax.tree.map(lambda n, o: jnp.where(ok, n, o),
+                              params_new, state.params)
+        opt_state = jax.tree.map(lambda n, o: jnp.where(ok, n, o),
+                                 opt_state_new, state.opt_state)
+        return (TrainState(params, opt_state, state.step + 1),
+                dict(comps, loss=loss, update_ok=ok))
 
     vstep = jax.vmap(one, in_axes=(0, None, 0))
     if mesh is None:
