@@ -51,6 +51,12 @@ def main(argv=None):
     ap.add_argument("--eval-subjects", type=int, default=80)
     ap.add_argument("--eval-seed", type=int, default=300)
     ap.add_argument("--reuse", action="store_true")
+    ap.add_argument("--policy-select", action="store_true",
+                    help="select a per-horizon policy among "
+                         "{no-adapt, always-on, UCB guard} on the selection "
+                         "half (paired t >= 2 vs no-adapt, the single-model "
+                         "benchmark's pre-registered rule), then report the "
+                         "frozen composed row on the report half")
     args = ap.parse_args(argv)
 
     import copy
@@ -148,9 +154,18 @@ def main(argv=None):
     n = len(ds)
     test_idx = list(range(n // 2, n))  # the report half of online_adapt.py
 
-    rows = {"_pretrain": pruned_info}
+    out = REPO / "results" / "online_adaptation_ensemble.json"
+    rows = {}
+    if args.reuse and out.exists():
+        # iterate on the policy phase without re-measuring the unchanged
+        # decision-free arms (deterministic given the checkpoint)
+        rows = json.loads(out.read_text())
+    rows["_pretrain"] = pruned_info
     for name, steps in (("ens_no_adaptation", 0),
                         ("ens_online_anchored", args.steps)):
+        if name in rows:
+            print(f"{name}: reusing artifact row {rows[name]}", flush=True)
+            continue
         t0 = time.time()
         res = ensemble_online_adaptation_eval(
             stacked, ds, config, horizons_hours=HORIZONS,
@@ -159,6 +174,86 @@ def main(argv=None):
         rows[name] = {str(h): round(v, 4) for h, v in res.items()}
         rows[name]["wall_s"] = round(time.time() - t0, 1)
         print(name, rows[name], flush=True)
+
+    if args.policy_select:
+        from hybrid_ode_tpu.train.online import (
+            adapt_subject_ensemble,
+            adapt_subject_guarded_ensemble,
+            ensemble_forecast_remainder_rmse,
+        )
+
+        val_idx = list(range(0, n // 2))
+        g_std = float(ds.state_std[0])
+        per = {h: {"none": [], "always": [], "guard": []} for h in HORIZONS}
+        t0 = time.time()
+        for w in val_idx:
+            window = {
+                "observations": ds.observations[w],
+                "time_points": ds.time_points[w],
+                "external_inputs": {"meal": ds.meal[w], "tVNS": ds.tvns[w]},
+                "mask": ds.mask[w],
+            }
+            tw0 = float(ds.time_points[w, 0])
+            for h in HORIZONS:
+                reveal = int(np.searchsorted(ds.time_points[w], tw0 + h))
+                reveal = int(np.clip(reveal, 4, len(ds.time_points[w]) - 4))
+                per[h]["none"].append(g_std * ensemble_forecast_remainder_rmse(
+                    stacked, ds, w, reveal, config))
+                a = adapt_subject_ensemble(
+                    stacked, window, config, reveal, args.steps, args.lr,
+                    anchor_weight=args.anchor)
+                per[h]["always"].append(g_std * ensemble_forecast_remainder_rmse(
+                    a, ds, w, reveal, config))
+                g = adapt_subject_guarded_ensemble(
+                    stacked, window, config, reveal, args.steps, args.lr,
+                    anchor_weight=args.anchor, ucb_k=0.5)
+                per[h]["guard"].append(g_std * ensemble_forecast_remainder_rmse(
+                    g, ds, w, reveal, config))
+        sel_table, policy = {}, {}
+        for h in HORIZONS:
+            base = np.asarray(per[h]["none"])
+            sel_table[str(h)] = {"none_val_rmse": round(float(base.mean()), 4),
+                                 "n": len(val_idx), "candidates": {}}
+            best_name, best_mean = "none", float(base.mean())
+            for cand in ("always", "guard"):
+                arr = np.asarray(per[h][cand])
+                d = base - arr
+                t_stat = float(d.mean() / (d.std(ddof=1) / np.sqrt(len(d)) + 1e-12))
+                sel_table[str(h)]["candidates"][cand] = {
+                    "val_rmse": round(float(arr.mean()), 4),
+                    "paired_improvement": round(float(d.mean()), 4),
+                    "t": round(t_stat, 2)}
+                if t_stat >= 2.0 and float(arr.mean()) < best_mean:
+                    best_name, best_mean = cand, float(arr.mean())
+            sel_table[str(h)]["selected"] = best_name
+            policy[h] = best_name
+            print(f"policy-select h={h}: {best_name} "
+                  f"({json.dumps(sel_table[str(h)]['candidates'])})", flush=True)
+        rows["_policy_selection_val"] = sel_table
+        rows["_policy_selection_val"]["wall_s"] = round(time.time() - t0, 1)
+        rows["_policy"] = {str(h): p for h, p in policy.items()}
+
+        # frozen composed row on the report half: reuse the measured
+        # decision-free test rows; run the guard only where selected
+        composed = {}
+        guard_hs = [h for h, p in policy.items() if p == "guard"]
+        if guard_hs:
+            t0 = time.time()
+            res_g = ensemble_online_adaptation_eval(
+                stacked, ds, config, horizons_hours=guard_hs,
+                adapt_steps=args.steps, learning_rate=args.lr,
+                anchor_weight=args.anchor, guard=True, ucb_k=0.5,
+                window_indices=test_idx)
+            rows["_guard_report_wall_s"] = round(time.time() - t0, 1)
+        for h in HORIZONS:
+            if policy[h] == "none":
+                composed[str(h)] = rows["ens_no_adaptation"][str(h)]
+            elif policy[h] == "always":
+                composed[str(h)] = rows["ens_online_anchored"][str(h)]
+            else:
+                composed[str(h)] = round(res_g[h], 4)
+        rows["ens_policy_composed"] = composed
+        print("ens_policy_composed", composed, flush=True)
 
     single = REPO / "results" / "online_adaptation.json"
     if single.exists():

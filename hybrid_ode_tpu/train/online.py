@@ -398,6 +398,96 @@ def ensemble_forecast_remainder_rmse(
                            ds, w, reveal, stop, state_index)
 
 
+def guard_candidate_arms_ensemble(
+    stacked_params: Any,
+    subject_window: Dict[str, np.ndarray],
+    config: HybridConfig,
+    reveal_points: int,
+    adapt_steps: int = 50,
+    learning_rate: float = 1e-3,
+    anchor_weight: float = 1.0,
+    adapt_scope: str = "nn",
+    holdout_frac: float = 0.25,
+    state_index: int = 0,
+    shrink_candidates: Sequence[float] = (0.25, 0.5, 1.0),
+):
+    """`guard_candidate_arms` for a population ensemble: every member
+    adapts on the fit portion (one vmapped program), candidate arms are
+    shrinkage blends of the PER-MEMBER deltas, and the holdout squared
+    errors are scored on the ensemble-MEAN forecast (the deployed
+    estimator — guarding each member separately would validate forecasts
+    nobody deploys)."""
+    R = reveal_points
+    n_hold = max(int(round(holdout_frac * R)), 3)
+    fit = max(R - n_hold, 4)
+
+    adapted_fit = adapt_subject_ensemble(
+        stacked_params, subject_window, config, fit, adapt_steps,
+        learning_rate, anchor_weight=anchor_weight, adapt_scope=adapt_scope)
+
+    ts = jnp.asarray(subject_window["time_points"][None, fit - 1 : R])
+    y0 = jnp.asarray(subject_window["observations"][None, fit - 1])
+    ctrls = Controls(
+        ts=ts,
+        signals={k: jnp.asarray(v[None, fit - 1 : R])
+                 for k, v in subject_window["external_inputs"].items()},
+    )
+    ctx_batch = {
+        "observations": jnp.asarray(subject_window["observations"][None, :fit]),
+        "time_points": jnp.asarray(subject_window["time_points"][None, :fit]),
+    }
+    obs = subject_window["observations"][fit:R, state_index]
+    m = subject_window["mask"][fit:R] > 0
+
+    def tail_sqerr(p_stacked):
+        def one(p):
+            ctl = with_context(p, ctx_batch, ctrls, config)
+            return batched_forward(p, y0, ts, ctl, config)[0]
+
+        pred = np.asarray(jnp.mean(jax.vmap(one)(p_stacked), axis=0))
+        err = pred[1:, state_index] - obs
+        return (err[m] ** 2).astype(np.float64)
+
+    arms = {0.0: stacked_params}
+    sqerrs = {0.0: tail_sqerr(stacked_params)}
+    for alpha in shrink_candidates:
+        # _blend_nn is pure tree arithmetic — stacked leaves blend per member
+        arms[alpha] = _blend_nn(stacked_params, adapted_fit, alpha)
+        sqerrs[alpha] = tail_sqerr(arms[alpha])
+    return arms, sqerrs
+
+
+def adapt_subject_guarded_ensemble(
+    stacked_params: Any,
+    subject_window: Dict[str, np.ndarray],
+    config: HybridConfig,
+    reveal_points: int,
+    adapt_steps: int = 50,
+    learning_rate: float = 1e-3,
+    anchor_weight: float = 1.0,
+    adapt_scope: str = "nn",
+    holdout_frac: float = 0.25,
+    state_index: int = 0,
+    shrink_candidates: Sequence[float] = (0.25, 0.5, 1.0),
+    ucb_k: float = 0.5,
+    **_legacy,
+) -> Any:
+    """Ensemble counterpart of `adapt_subject_guarded` (same v3 UCB rule:
+    deploy the validated fit-adapted blend minimizing mean + k*sem of the
+    holdout squared errors of the ensemble-mean forecast)."""
+    arms, sqerrs = guard_candidate_arms_ensemble(
+        stacked_params, subject_window, config, reveal_points, adapt_steps,
+        learning_rate, anchor_weight=anchor_weight, adapt_scope=adapt_scope,
+        holdout_frac=holdout_frac, state_index=state_index,
+        shrink_candidates=shrink_candidates)
+
+    def score(e):
+        n = len(e)
+        return np.inf if n < 2 else e.mean() + ucb_k * e.std(ddof=1) / np.sqrt(n)
+
+    return arms[min(sqerrs, key=lambda a: score(sqerrs[a]))]
+
+
 def ensemble_online_adaptation_eval(
     stacked_params: Any,
     ds,
@@ -409,12 +499,19 @@ def ensemble_online_adaptation_eval(
     anchor_weight: float = 1.0,
     adapt_scope: str = "nn",
     window_indices: Optional[Sequence[int]] = None,
+    guard: bool = False,
+    ucb_k: float = 0.5,
+    policy: Optional[Dict[float, Dict[str, Any]]] = None,
 ) -> Dict[float, float]:
     """`online_adaptation_eval` with a K-member population ensemble:
     every member adapts independently on the revealed window (one vmapped
     program) and the deployed forecast is the ensemble mean — prediction
     averaging as the regularizer against per-subject adaptation overfit
-    (the failure mode the single-model guard exists to contain)."""
+    (the failure mode the single-model guard exists to contain).
+
+    guard=True applies the v3 UCB shrinkage guard to the ensemble delta
+    (`adapt_subject_guarded_ensemble`); `policy` overrides hyperparameters
+    per horizon with the same schema as `online_adaptation_eval`."""
     results: Dict[float, list] = {h: [] for h in horizons_hours}
     for w in (range(len(ds)) if window_indices is None else window_indices):
         window = {
@@ -425,13 +522,26 @@ def ensemble_online_adaptation_eval(
         }
         t0 = float(ds.time_points[w, 0])
         for h in horizons_hours:
+            hp = dict(adapt_steps=adapt_steps, learning_rate=learning_rate,
+                      anchor_weight=anchor_weight, adapt_scope=adapt_scope,
+                      guard=guard, ucb_k=ucb_k)
+            if policy and h in policy:
+                hp.update(policy[h])
             reveal = int(np.searchsorted(ds.time_points[w], t0 + h))
             reveal = int(np.clip(reveal, 4, len(ds.time_points[w]) - 4))
-            if adapt_steps > 0:
+            if hp["adapt_steps"] > 0 and hp["guard"]:
+                adapted = adapt_subject_guarded_ensemble(
+                    stacked_params, window, config, reveal,
+                    hp["adapt_steps"], hp["learning_rate"],
+                    anchor_weight=hp["anchor_weight"],
+                    adapt_scope=hp["adapt_scope"], state_index=state_index,
+                    ucb_k=hp["ucb_k"])
+            elif hp["adapt_steps"] > 0:
                 adapted = adapt_subject_ensemble(
-                    stacked_params, window, config, reveal, adapt_steps,
-                    learning_rate, anchor_weight=anchor_weight,
-                    adapt_scope=adapt_scope)
+                    stacked_params, window, config, reveal,
+                    hp["adapt_steps"], hp["learning_rate"],
+                    anchor_weight=hp["anchor_weight"],
+                    adapt_scope=hp["adapt_scope"])
             else:
                 adapted = stacked_params
             rmse_n = ensemble_forecast_remainder_rmse(
