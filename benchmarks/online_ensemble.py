@@ -51,6 +51,11 @@ def main(argv=None):
     ap.add_argument("--eval-subjects", type=int, default=80)
     ap.add_argument("--eval-seed", type=int, default=300)
     ap.add_argument("--reuse", action="store_true")
+    ap.add_argument("--per-member-guard-24h", action="store_true",
+                    help="v2 policy at 24 h only: per-member UCB blending "
+                         "(blend_mode='per_member') selected on the "
+                         "selection half against the frozen v1 choice, "
+                         "composed row reported on the report half")
     ap.add_argument("--policy-select", action="store_true",
                     help="select a per-horizon policy among "
                          "{no-adapt, always-on, UCB guard} on the selection "
@@ -254,6 +259,62 @@ def main(argv=None):
                 composed[str(h)] = round(res_g[h], 4)
         rows["ens_policy_composed"] = composed
         print("ens_policy_composed", composed, flush=True)
+
+    if args.per_member_guard_24h:
+        from hybrid_ode_tpu.train.online import (
+            adapt_subject_guarded_ensemble,
+            ensemble_forecast_remainder_rmse,
+        )
+
+        h = 24.0
+        val_idx = list(range(0, n // 2))
+        g_std = float(ds.state_std[0])
+        per_none, per_pm = [], []
+        t0 = time.time()
+        for w in val_idx:
+            window = {
+                "observations": ds.observations[w],
+                "time_points": ds.time_points[w],
+                "external_inputs": {"meal": ds.meal[w], "tVNS": ds.tvns[w]},
+                "mask": ds.mask[w],
+            }
+            tw0 = float(ds.time_points[w, 0])
+            reveal = int(np.searchsorted(ds.time_points[w], tw0 + h))
+            reveal = int(np.clip(reveal, 4, len(ds.time_points[w]) - 4))
+            per_none.append(g_std * ensemble_forecast_remainder_rmse(
+                stacked, ds, w, reveal, config))
+            gpm = adapt_subject_guarded_ensemble(
+                stacked, window, config, reveal, args.steps, args.lr,
+                anchor_weight=args.anchor, ucb_k=0.5, blend_mode="per_member")
+            per_pm.append(g_std * ensemble_forecast_remainder_rmse(
+                gpm, ds, w, reveal, config))
+        base, arr = np.asarray(per_none), np.asarray(per_pm)
+        d = base - arr
+        t_stat = float(d.mean() / (d.std(ddof=1) / np.sqrt(len(d)) + 1e-12))
+        v1_mean = rows.get("_policy_selection_val", {}).get(str(h), {}).get(
+            "candidates", {}).get("guard", {}).get("val_rmse", np.inf)
+        sel = {"none_val_rmse": round(float(base.mean()), 4),
+               "per_member_val_rmse": round(float(arr.mean()), 4),
+               "t_vs_none": round(t_stat, 2),
+               "v1_guard_mean_val_rmse": v1_mean,
+               "wall_s": round(time.time() - t0, 1)}
+        use_pm = t_stat >= 2.0 and float(arr.mean()) < float(v1_mean)
+        sel["selected"] = "guard_per_member" if use_pm else "v1_choice"
+        rows["_per_member_selection_val_24h"] = sel
+        print("per-member 24h selection:", json.dumps(sel), flush=True)
+
+        composed2 = dict(rows.get("ens_policy_composed", {}))
+        if use_pm:
+            t0 = time.time()
+            res_pm = ensemble_online_adaptation_eval(
+                stacked, ds, config, horizons_hours=[h],
+                adapt_steps=args.steps, learning_rate=args.lr,
+                anchor_weight=args.anchor, guard=True, ucb_k=0.5,
+                blend_mode="per_member", window_indices=test_idx)
+            composed2[str(h)] = round(res_pm[h], 4)
+            composed2["_24h_report_wall_s"] = round(time.time() - t0, 1)
+        rows["ens_policy_composed_v2"] = composed2
+        print("ens_policy_composed_v2", composed2, flush=True)
 
     single = REPO / "results" / "online_adaptation.json"
     if single.exists():

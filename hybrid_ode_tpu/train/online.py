@@ -439,22 +439,32 @@ def guard_candidate_arms_ensemble(
     obs = subject_window["observations"][fit:R, state_index]
     m = subject_window["mask"][fit:R] > 0
 
-    def tail_sqerr(p_stacked):
+    def member_preds(p_stacked):
         def one(p):
             ctl = with_context(p, ctx_batch, ctrls, config)
             return batched_forward(p, y0, ts, ctl, config)[0]
 
-        pred = np.asarray(jnp.mean(jax.vmap(one)(p_stacked), axis=0))
-        err = pred[1:, state_index] - obs
+        return np.asarray(jax.vmap(one)(p_stacked))  # (K, T', n)
+
+    def tail_sqerr_from(preds_k):
+        err = preds_k.mean(axis=0)[1:, state_index] - obs
         return (err[m] ** 2).astype(np.float64)
 
+    def member_sqerr_from(preds_k):
+        err = preds_k[:, 1:, state_index] - obs[None]
+        return (err[:, m] ** 2).astype(np.float64)  # (K, n_holdout)
+
     arms = {0.0: stacked_params}
-    sqerrs = {0.0: tail_sqerr(stacked_params)}
+    preds0 = member_preds(stacked_params)
+    sqerrs = {0.0: tail_sqerr_from(preds0)}
+    member_sqerrs = {0.0: member_sqerr_from(preds0)}
     for alpha in shrink_candidates:
         # _blend_nn is pure tree arithmetic — stacked leaves blend per member
         arms[alpha] = _blend_nn(stacked_params, adapted_fit, alpha)
-        sqerrs[alpha] = tail_sqerr(arms[alpha])
-    return arms, sqerrs
+        preds_a = member_preds(arms[alpha])
+        sqerrs[alpha] = tail_sqerr_from(preds_a)
+        member_sqerrs[alpha] = member_sqerr_from(preds_a)
+    return arms, sqerrs, member_sqerrs
 
 
 def adapt_subject_guarded_ensemble(
@@ -470,12 +480,18 @@ def adapt_subject_guarded_ensemble(
     state_index: int = 0,
     shrink_candidates: Sequence[float] = (0.25, 0.5, 1.0),
     ucb_k: float = 0.5,
+    blend_mode: str = "mean",
     **_legacy,
 ) -> Any:
     """Ensemble counterpart of `adapt_subject_guarded` (same v3 UCB rule:
     deploy the validated fit-adapted blend minimizing mean + k*sem of the
-    holdout squared errors of the ensemble-mean forecast)."""
-    arms, sqerrs = guard_candidate_arms_ensemble(
+    holdout squared errors of the ensemble-mean forecast).
+
+    blend_mode='per_member': each member picks its OWN shrinkage α by the
+    UCB score of its own holdout forecast (the mean is taken at deploy
+    time) — a shared α dilutes the adaptation signal of members whose
+    delta is genuinely profitable (measured at 24 h, RESULTS.md)."""
+    arms, sqerrs, member_sqerrs = guard_candidate_arms_ensemble(
         stacked_params, subject_window, config, reveal_points, adapt_steps,
         learning_rate, anchor_weight=anchor_weight, adapt_scope=adapt_scope,
         holdout_frac=holdout_frac, state_index=state_index,
@@ -485,7 +501,22 @@ def adapt_subject_guarded_ensemble(
         n = len(e)
         return np.inf if n < 2 else e.mean() + ucb_k * e.std(ddof=1) / np.sqrt(n)
 
-    return arms[min(sqerrs, key=lambda a: score(sqerrs[a]))]
+    if blend_mode == "mean":
+        return arms[min(sqerrs, key=lambda a: score(sqerrs[a]))]
+    if blend_mode != "per_member":
+        raise ValueError(f"unknown blend_mode {blend_mode!r}")
+    K = member_sqerrs[0.0].shape[0]
+    alphas = np.asarray(
+        [min(member_sqerrs, key=lambda a: score(member_sqerrs[a][mi]))
+         for mi in range(K)])
+    a_max = max(a for a in arms if a > 0)
+    adapted_full = arms[a_max]  # at alpha=1.0 this IS the fit-adapted members
+    a_col = jnp.asarray(alphas / a_max, jnp.float32)
+    out = dict(stacked_params)
+    out["nn"] = jax.tree.map(
+        lambda p0, p1: p0 + a_col.reshape((K,) + (1,) * (p0.ndim - 1)) * (p1 - p0),
+        stacked_params["nn"], adapted_full["nn"])
+    return out
 
 
 def ensemble_online_adaptation_eval(
@@ -501,6 +532,7 @@ def ensemble_online_adaptation_eval(
     window_indices: Optional[Sequence[int]] = None,
     guard: bool = False,
     ucb_k: float = 0.5,
+    blend_mode: str = "mean",
     policy: Optional[Dict[float, Dict[str, Any]]] = None,
 ) -> Dict[float, float]:
     """`online_adaptation_eval` with a K-member population ensemble:
@@ -524,7 +556,7 @@ def ensemble_online_adaptation_eval(
         for h in horizons_hours:
             hp = dict(adapt_steps=adapt_steps, learning_rate=learning_rate,
                       anchor_weight=anchor_weight, adapt_scope=adapt_scope,
-                      guard=guard, ucb_k=ucb_k)
+                      guard=guard, ucb_k=ucb_k, blend_mode=blend_mode)
             if policy and h in policy:
                 hp.update(policy[h])
             reveal = int(np.searchsorted(ds.time_points[w], t0 + h))
@@ -535,7 +567,7 @@ def ensemble_online_adaptation_eval(
                     hp["adapt_steps"], hp["learning_rate"],
                     anchor_weight=hp["anchor_weight"],
                     adapt_scope=hp["adapt_scope"], state_index=state_index,
-                    ucb_k=hp["ucb_k"])
+                    ucb_k=hp["ucb_k"], blend_mode=hp["blend_mode"])
             elif hp["adapt_steps"] > 0:
                 adapted = adapt_subject_ensemble(
                     stacked_params, window, config, reveal,
