@@ -1,0 +1,163 @@
+"""K-member params-mode ensemble with per-member test-time identification.
+
+Combines every accuracy lever the framework has on the fresh-cohort
+protocol: a K=8 deep ensemble of the subject-conditioning recipe
+(context_mode='params', the measured-best family) trained in ONE vmapped
+program, per-member MAP identification of each window's latent
+(`identify_context` vmapped over the member axis — each member refines in
+its own latent space), and ensemble-mean prediction. Prior bests on this
+protocol: 0.665 single identified seed / 0.634 cross-seed (3 checkpoints)
+identified ensemble (results/seed_ensemble_id.json).
+
+Writes results/ensemble_id.json.
+
+Usage: python benchmarks/ensemble_id.py [--members 8] [--epochs 2500]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--members", type=int, default=8)
+    ap.add_argument("--epochs", type=int, default=2500)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--id-steps", type=int, default=150)
+    ap.add_argument("--points", type=int, default=36)
+    ap.add_argument("--fresh-subjects", type=int, default=50)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
+    from hybrid_ode_tpu.data.dataset import (
+        GlucoseDataset,
+        batch_iterator,
+        create_data_arrays,
+        pad_batch,
+        split_dataset,
+    )
+    from hybrid_ode_tpu.data.fourgi_gen import generate_4gi_dataset
+    from hybrid_ode_tpu.dynamics.controls import Controls
+    from hybrid_ode_tpu.models.hybrid import (
+        batched_forward,
+        config_from_dict,
+        identify_context,
+    )
+    from hybrid_ode_tpu.parallel.ensemble import init_ensemble, train_ensemble
+    from hybrid_ode_tpu.train.loop import make_optimizer
+    from hybrid_ode_tpu.utils.config import default_config
+
+    # the subject_id.py recipe (params-mode conditioning of the basals)
+    cfg = default_config()
+    data_path = str(REPO / "data" / "4gi_dataset.csv")
+    cfg["data"]["path"] = data_path
+    cfg["model"].update(
+        solver="rk4", substeps=4, mode="scan", nn_hidden=128, nn_layers=4,
+        context_points=12, context_mode="params",
+        context_params=["G_b", "I_b", "Glu_b"], use_pallas=False,
+    )
+    cfg["training"].update(
+        epochs=args.epochs, batch_size=args.batch_size, learning_rate=3e-3,
+        lambda1=0.0, lambda2=0.01, train_ode_params=True,
+    )
+    config = config_from_dict(cfg)
+
+    ds = create_data_arrays(data_path)
+    tr, va, _ = split_dataset(ds, seed=42)
+    K = args.members
+    batches = [pad_batch(b, args.batch_size)[0]
+               for b in batch_iterator(tr, args.batch_size, shuffle=False)]
+    val_batches = [pad_batch(b, args.batch_size)[0]
+                   for b in batch_iterator(va, args.batch_size, shuffle=False)]
+    opt = make_optimizer(3e-3, args.epochs, len(batches), 5.0,
+                         train_ode_params=True)
+    t0 = time.time()
+    stacked, best_val, _ = train_ensemble(
+        init_ensemble(jax.random.PRNGKey(0), config, K),
+        opt, config, batches, val_batches, jax.random.PRNGKey(1),
+        args.epochs, lambda1=0.0, lambda2=0.01, use_physics=False)
+    train_wall = time.time() - t0
+    print(f"trained {K} members x {args.epochs} epochs in {train_wall:.1f}s; "
+          f"best val {np.round(best_val, 4)}")
+
+    # fresh cohort in the TRAINING normalization (subject_id.py protocol)
+    fresh_path = "/tmp/4gi_cohort_ens_id.csv"
+    df = generate_4gi_dataset(fresh_path, seed=123,
+                              n_subjects=args.fresh_subjects)
+    raw = create_data_arrays(fresh_path)
+    phys = raw.observations * raw.state_std + raw.state_mean
+    renorm = (phys - ds.state_mean) / ds.state_std
+    fresh = GlucoseDataset(
+        initial_state=renorm[:, 0].astype(np.float32),
+        observations=renorm.astype(np.float32),
+        time_points=raw.time_points, meal=raw.meal,
+        tvns=raw.tvns, mask=raw.mask,
+        state_mean=ds.state_mean, state_std=ds.state_std,
+        subject_ids=raw.subject_ids, loss_weights=ds.loss_weights,
+    )
+    truth = {sid: sub["glucose_true_mmol_L"].to_numpy()
+             for sid, sub in df.groupby("subject_id")}
+    tarr = np.stack([truth[fresh.subject_ids[w]] for w in range(len(fresh))])
+    batch = fresh.batch(np.arange(len(fresh)))
+
+    def member_preds(ctxs):
+        """(K, B, ctx_dim) per-member contexts -> (K, B, T, 6) rollouts."""
+        def one(p, ctx):
+            controls = Controls(
+                ts=jnp.asarray(fresh.time_points),
+                signals={"meal": jnp.asarray(fresh.meal),
+                         "tVNS": jnp.asarray(fresh.tvns), "context": ctx})
+            return batched_forward(
+                p, jnp.asarray(fresh.initial_state),
+                jnp.asarray(fresh.time_points), controls, config)
+
+        return np.asarray(jax.vmap(one)(stacked, ctxs))
+
+    t0 = time.time()
+    ident = lambda p: identify_context(p, batch, config, steps=args.id_steps,
+                                       lr=0.02, prior_std=0.3,
+                                       points=args.points)
+    ctxs = jax.vmap(ident)(stacked)
+    ctxs.block_until_ready()
+    id_wall = time.time() - t0
+
+    preds = member_preds(ctxs)
+    phys_k = preds * fresh.state_std + fresh.state_mean
+    per_member = np.sqrt(np.mean((phys_k[:, :, :, 0] - tarr[None]) ** 2,
+                                 axis=(1, 2)))
+    ens_rmse = float(np.sqrt(np.mean((phys_k[:, :, :, 0].mean(0) - tarr) ** 2)))
+
+    results = {
+        "n_members": K,
+        "epochs": args.epochs,
+        "train_wall_s": round(train_wall, 1),
+        "identify_wall_s": round(id_wall, 2),
+        "id_steps": args.id_steps,
+        "points": args.points,
+        "fresh_rmse_identified_per_member": [round(float(x), 4) for x in per_member],
+        "fresh_rmse_identified_ensemble_mean": round(ens_rmse, 4),
+        "_prior_bests": {"single_identified": 0.665,
+                         "cross_seed_identified_ensemble": 0.634,
+                         "source": "results/subject_id.json, results/seed_ensemble_id.json"},
+    }
+    out = REPO / "results" / "ensemble_id.json"
+    out.write_text(json.dumps(results, indent=2))
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
