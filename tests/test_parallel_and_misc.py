@@ -689,9 +689,12 @@ def test_ensemble_online_adaptation_smoke():
         learning_rate=1e-2, window_indices=[0, 1])
     assert np.isfinite(res[1.0])
 
-    # UCB-guarded variant: candidate blends of the ensemble delta, scored
-    # on the ensemble-mean holdout forecast
-    res_g = ensemble_online_adaptation_eval(
-        stacked, ds, FAST, horizons_hours=(1.0,), adapt_steps=2,
-        learning_rate=1e-2, window_indices=[0], guard=True, ucb_k=0.5)
-    assert np.isfinite(res_g[1.0])
+    # UCB-guarded variants: candidate blends of the ensemble delta, scored
+    # on the ensemble-mean holdout forecast ('mean') or each member's own
+    # forecast ('per_member')
+    for mode in ("mean", "per_member"):
+        res_g = ensemble_online_adaptation_eval(
+            stacked, ds, FAST, horizons_hours=(1.0,), adapt_steps=2,
+            learning_rate=1e-2, window_indices=[0], guard=True, ucb_k=0.5,
+            blend_mode=mode)
+        assert np.isfinite(res_g[1.0]), mode
