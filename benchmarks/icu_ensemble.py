@@ -33,6 +33,8 @@ def main(argv=None):
     ap.add_argument("--members", type=int, default=8)
     ap.add_argument("--epochs", type=int, default=400)
     ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--reuse", action="store_true",
+                    help="load checkpoints/icu_ensemble instead of retraining")
     args = ap.parse_args(argv)
 
     import jax
@@ -82,15 +84,27 @@ def main(argv=None):
                          len(batches), cfg["training"]["gradient_clip"],
                          train_ode_params=True)
 
+    from hybrid_ode_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    ckpt = REPO / "checkpoints" / "icu_ensemble" / "ensemble_model"
     t0 = time.time()
-    best_params, best_val, _ = train_ensemble(
-        init_ensemble(jax.random.PRNGKey(0), config, K),
-        opt, config, batches, val_batches, jax.random.PRNGKey(1),
-        args.epochs, lambda1=0.0, lambda2=0.01, use_physics=False,
-    )
-    wall = time.time() - t0
-    print(f"trained {K} members x {args.epochs} epochs in {wall:.1f}s; "
-          f"best val losses {np.round(best_val, 4)}")
+    if args.reuse and ckpt.exists():
+        best_params, meta = load_checkpoint(str(ckpt))
+        best_val = np.asarray(meta["best_val"])
+        wall = float("nan")
+        print(f"reusing ICU ensemble checkpoint (K={meta['n_members']})")
+    else:
+        best_params, best_val, _ = train_ensemble(
+            init_ensemble(jax.random.PRNGKey(0), config, K),
+            opt, config, batches, val_batches, jax.random.PRNGKey(1),
+            args.epochs, lambda1=0.0, lambda2=0.01, use_physics=False,
+        )
+        wall = time.time() - t0
+        save_checkpoint(str(ckpt), best_params,
+                        {"config": cfg, "n_members": K,
+                         "best_val": [float(x) for x in best_val]})
+        print(f"trained {K} members x {args.epochs} epochs in {wall:.1f}s; "
+              f"best val losses {np.round(best_val, 4)}")
 
     m_ens = evaluate_model(best_params, te, config, batch_size=args.batch_size,
                            ensemble=True)
@@ -102,10 +116,75 @@ def main(argv=None):
                             batch_size=args.batch_size)
         per_member.append(round(mi["rmse_glucose"] * g_std, 4))
 
+    # ---- calibrated clinical UQ (the manuscript's ECE 0.08 claim is on the
+    # CLINICAL table, manuscript.tex:765 — measure it on the ICU cohort):
+    # moment-matched per-state observation noise + per-state recalibration,
+    # BOTH fit on the 408-window val split (12 held-out patients — large
+    # enough for the nominal coverage floor, unlike 4GI's 1-subject val)
+    from hybrid_ode_tpu.data.dataset import batch_iterator as _bit
+    from hybrid_ode_tpu.evals.metrics import (
+        compute_calibration_error,
+        compute_coverage,
+        compute_crps,
+        compute_nll,
+        fit_per_state_recalibration,
+    )
+    from hybrid_ode_tpu.parallel.ensemble import ensemble_forward, ensemble_predictive
+
+    def collect(ds_split, sigma=None):
+        preds, uncs, targs, masks = [], [], [], []
+        for b in _bit(ds_split, args.batch_size, shuffle=False):
+            bp, valid = pad_batch(b, args.batch_size)
+            nb = int(valid.sum())
+            mean, std = ensemble_predictive(best_params, bp, config,
+                                            noise_sigma=sigma)
+            preds.append(np.asarray(mean)[:nb])
+            uncs.append(np.asarray(std)[:nb])
+            targs.append(np.asarray(bp["observations"])[:nb])
+            masks.append(np.asarray(bp.get("mask_channels", bp["mask"]))[:nb])
+        return (np.concatenate(preds), np.concatenate(uncs),
+                np.concatenate(targs), np.concatenate(masks))
+
+    # moment-matched per-state sigma on val
+    bva, valid = pad_batch(next(_bit(va, args.batch_size, shuffle=False)),
+                           args.batch_size)
+    trajs = np.asarray(ensemble_forward(best_params, bva, config))
+    nb = int(valid.sum())
+    mu_, var_ = trajs[:, :nb].mean(0), trajs[:, :nb].var(0)
+    r2_ = (np.asarray(bva["observations"])[:nb] - mu_) ** 2
+    w_ = np.asarray(bva.get("mask_channels", bva["mask"]))[:nb]
+    if w_.ndim == 2:
+        w_ = w_[..., None] * np.ones_like(r2_)
+    den = np.maximum(w_.sum(axis=(0, 1)), 1.0)
+    sigma = np.sqrt(np.maximum((r2_ * w_).sum(axis=(0, 1)) / den
+                               - (var_ * w_).sum(axis=(0, 1)) / den, 1e-4))
+
+    import jax.numpy as jnp
+
+    pv, uv, tv, mv = collect(va, jnp.asarray(sigma))
+    pt, ut, tt, mt = collect(te, jnp.asarray(sigma))
+    s_vec = fit_per_state_recalibration(pv, uv, tv, mask=mv, min_coverage_95=0.95)
+
+    def m_at(u_scale):
+        u = ut * u_scale
+        out = compute_calibration_error(pt, u, tt, mask=mt)
+        out["coverage_80"] = compute_coverage(pt, u, tt, 0.8, mask=mt)
+        out["coverage_90"] = compute_coverage(pt, u, tt, 0.9, mask=mt)
+        out["nll"] = compute_nll(pt, u, tt, mask=mt)
+        out["crps"] = compute_crps(pt, u, tt, mask=mt)
+        return {k: round(float(v), 4) for k, v in out.items()}
+
+    uq = {"noise_sigma_per_state": [round(float(x), 4) for x in sigma],
+          "recalibration_per_state_val": [round(float(x), 4) for x in s_vec],
+          "test_raw": m_at(np.ones(6)),
+          "test_recalibrated_per_state": m_at(s_vec)}
+    print("clinical UQ:", json.dumps(uq["test_recalibrated_per_state"]))
+
     results = {
         "n_members": K,
         "epochs": args.epochs,
         "train_wall_s": round(wall, 1),
+        "clinical_uq": uq,
         "best_val_losses": [round(float(x), 4) for x in best_val],
         "glucose_rmse_mmol_per_member": per_member,
         "glucose_rmse_mmol_ensemble_mean": round(m_ens["rmse_glucose"] * g_std, 4),
