@@ -36,24 +36,15 @@ sys.path.insert(0, str(REPO))
 
 
 def collect_ensemble_predictive(stacked, ds, config, noise_sigma, batch_size=8):
-    """Ensemble predictive mean/unc arrays over a dataset split (mask-aware)."""
+    """Shared implementation: parallel.ensemble.collect_ensemble_predictive."""
     import jax.numpy as jnp
 
-    from hybrid_ode_tpu.data.dataset import batch_iterator, pad_batch
-    from hybrid_ode_tpu.parallel.ensemble import ensemble_predictive
+    from hybrid_ode_tpu.parallel.ensemble import (
+        collect_ensemble_predictive as _collect,
+    )
 
-    preds, uncs, targs, masks = [], [], [], []
-    for batch in batch_iterator(ds, batch_size, shuffle=False):
-        b, valid = pad_batch(batch, batch_size)
-        nb = int(valid.sum())
-        mean, std = ensemble_predictive(stacked, b, config,
-                                        noise_sigma=jnp.asarray(noise_sigma))
-        preds.append(np.asarray(mean)[:nb])
-        uncs.append(np.asarray(std)[:nb])
-        targs.append(np.asarray(b["observations"])[:nb])
-        masks.append(np.asarray(b["mask"])[:nb])
-    return (np.concatenate(preds), np.concatenate(uncs),
-            np.concatenate(targs), np.concatenate(masks))
+    return _collect(stacked, ds, config, noise_sigma=jnp.asarray(noise_sigma),
+                    batch_size=batch_size)
 
 
 def metrics_at(preds, unc, targs, mask, scale=1.0):

@@ -129,21 +129,15 @@ def main(argv=None):
         compute_nll,
         fit_per_state_recalibration,
     )
-    from hybrid_ode_tpu.parallel.ensemble import ensemble_forward, ensemble_predictive
+    from hybrid_ode_tpu.parallel.ensemble import (
+        collect_ensemble_predictive,
+        ensemble_forward,
+    )
 
     def collect(ds_split, sigma=None):
-        preds, uncs, targs, masks = [], [], [], []
-        for b in _bit(ds_split, args.batch_size, shuffle=False):
-            bp, valid = pad_batch(b, args.batch_size)
-            nb = int(valid.sum())
-            mean, std = ensemble_predictive(best_params, bp, config,
-                                            noise_sigma=sigma)
-            preds.append(np.asarray(mean)[:nb])
-            uncs.append(np.asarray(std)[:nb])
-            targs.append(np.asarray(bp["observations"])[:nb])
-            masks.append(np.asarray(bp.get("mask_channels", bp["mask"]))[:nb])
-        return (np.concatenate(preds), np.concatenate(uncs),
-                np.concatenate(targs), np.concatenate(masks))
+        return collect_ensemble_predictive(best_params, ds_split, config,
+                                           noise_sigma=sigma,
+                                           batch_size=args.batch_size)
 
     # moment-matched per-state sigma on val
     bva, valid = pad_batch(next(_bit(va, args.batch_size, shuffle=False)),

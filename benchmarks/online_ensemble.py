@@ -130,7 +130,12 @@ def main(argv=None):
     # each member's best epoch, but a member that NEVER trained (non-finite
     # or init-level val loss) would poison the ensemble MEAN forecast
     bv = np.asarray(meta.get("best_val", [np.nan] * K), float)
-    med = float(np.median(bv[np.isfinite(bv)]))
+    finite = bv[np.isfinite(bv)]
+    if finite.size == 0:
+        raise RuntimeError(
+            f"no ensemble member converged (best val {bv}) — nothing to "
+            f"deploy; lower --pretrain-lr / raise --pretrain-clip")
+    med = float(np.median(finite))
     keep = np.where(np.isfinite(bv) & (bv <= 3.0 * med))[0]
     if len(keep) < K:
         print(f"pruning {K - len(keep)} unconverged members "

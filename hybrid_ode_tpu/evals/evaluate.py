@@ -162,7 +162,11 @@ def evaluate_checkpoint(
     metrics = evaluate_model(params, test_ds, config, batch_size,
                              ensemble=is_ensemble)
     metrics["checkpoint_epoch"] = meta.get("epoch", -1)
-    metrics["checkpoint_val_loss"] = meta.get("val_loss", -1)
+    val_loss = meta.get("val_loss")
+    if val_loss is None and meta.get("best_val"):
+        # ensemble checkpoints store per-member best-val losses instead
+        val_loss = float(np.mean(meta["best_val"]))
+    metrics["checkpoint_val_loss"] = -1 if val_loss is None else val_loss
     return metrics
 
 

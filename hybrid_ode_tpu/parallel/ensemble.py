@@ -81,9 +81,12 @@ def make_ensemble_train_step(
     draw independent physics-loss subsamples; the batch is shared (same
     contract as `train.loop.make_train_step`, leaves NOT stacked).
 
-    mesh: shard the member axis over `member_axis`; with `data_axis` also
-    shard the batch (2D ensemble x data mesh — XLA reduces gradients over
-    'data' within each member and never communicates across 'ens').
+    mesh: shard the member axis over `member_axis`. For a 2D (ens, data)
+    mesh place the batch with `mesh.shard_batch(mesh, batch, 'data')`
+    before the call (the step infers the batch sharding from its
+    arguments) — XLA reduces gradients over 'data' within each member and
+    never communicates across 'ens'. `data_axis` is kept for
+    documentation of that intent; batch placement is the caller's.
 
     Per-member non-finite updates are SKIPPED (params and optimizer state
     kept): one member hitting a NaN loss/gradient (e.g. an unstable ODE
@@ -114,11 +117,15 @@ def make_ensemble_train_step(
         return jax.jit(vstep, donate_argnums=(0,))
 
     stacked = NamedSharding(mesh, P(member_axis))
-    batch_sh = NamedSharding(mesh, P(data_axis)) if data_axis else NamedSharding(mesh, P())
     keys_sh = NamedSharding(mesh, P(member_axis))
+    # The batch's sharding is taken from the ARGUMENTS (None = inferred):
+    # real dataset batches carry unbatched leaves (loss_weights (6,)) that a
+    # blanket P(data_axis) spec would reject — place the batch with
+    # `mesh.shard_batch(mesh, batch, data_axis)` (divisibility-aware) or
+    # `replicate(mesh, batch)` before calling the step.
     return jax.jit(
         vstep,
-        in_shardings=(stacked, batch_sh, keys_sh),
+        in_shardings=(stacked, None, keys_sh),
         out_shardings=(stacked, stacked),
         donate_argnums=(0,),
     )
@@ -177,6 +184,35 @@ def ensemble_predictive(
     if noise_sigma is not None:
         var = var + jnp.asarray(noise_sigma) ** 2
     return mean, jnp.sqrt(var)
+
+
+def collect_ensemble_predictive(
+    stacked: Dict[str, Any],
+    ds,
+    config: HybridConfig,
+    noise_sigma=None,
+    batch_size: int = 8,
+):
+    """Ensemble predictive mean/unc/target/mask arrays over a dataset split
+    (mask-aware; per-channel masks used when the dataset carries them).
+    Shared by the UQ/clinical benchmarks — ONE implementation so mask
+    semantics cannot silently diverge between them."""
+    import numpy as np
+
+    from hybrid_ode_tpu.data.dataset import batch_iterator, pad_batch
+
+    preds, uncs, targs, masks = [], [], [], []
+    for batch in batch_iterator(ds, batch_size, shuffle=False):
+        b, valid = pad_batch(batch, batch_size)
+        nb = int(valid.sum())
+        mean, std = ensemble_predictive(stacked, b, config,
+                                        noise_sigma=noise_sigma)
+        preds.append(np.asarray(mean)[:nb])
+        uncs.append(np.asarray(std)[:nb])
+        targs.append(np.asarray(b["observations"])[:nb])
+        masks.append(np.asarray(b.get("mask_channels", b["mask"]))[:nb])
+    return (np.concatenate(preds), np.concatenate(uncs),
+            np.concatenate(targs), np.concatenate(masks))
 
 
 def train_ensemble(

@@ -50,9 +50,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
-    """Device-put a batch pytree with leading-dim sharding over `axis`."""
+    """Device-put a batch pytree with leading-dim sharding over `axis`.
+
+    Leaves whose leading dimension is not divisible by the axis size are
+    REPLICATED instead of sharded: real dataset batches carry unbatched
+    leaves (`loss_weights` is (6,), `dataset.py` pad_batch keeps it
+    per-state, not per-sample) that a blanket P(axis) placement would
+    reject with a divisibility error."""
     sharding = NamedSharding(mesh, P(axis))
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    repl = NamedSharding(mesh, P())
+    size = mesh.shape[axis]
+
+    def place(x):
+        arr = np.asarray(x) if not hasattr(x, "shape") else x
+        ok = arr.ndim >= 1 and arr.shape[0] % size == 0 and arr.shape[0] > 0
+        return jax.device_put(x, sharding if ok else repl)
+
+    return jax.tree.map(place, batch)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:

@@ -146,8 +146,7 @@ def _run_ensemble(cfg, args, train_ds, val_ds, ckpt_dir, seed):
     from hybrid_ode_tpu.parallel.ensemble import (
         ensemble_predictive,
         init_ensemble,
-        init_ensemble_state,
-        make_ensemble_train_step,
+        train_ensemble,
     )
     from hybrid_ode_tpu.train.loop import make_optimizer
     from hybrid_ode_tpu.utils.checkpoint import save_checkpoint
@@ -159,38 +158,44 @@ def _run_ensemble(cfg, args, train_ds, val_ds, ckpt_dir, seed):
     epochs = tr_cfg.get("epochs", 100)
     batches = [pad_batch(b, batch_size)[0]
                for b in batch_iterator(train_ds, batch_size, shuffle=False)]
+    val_batches = [pad_batch(b, batch_size)[0]
+                   for b in batch_iterator(val_ds, batch_size, shuffle=False)]
     opt = make_optimizer(tr_cfg.get("learning_rate", 1e-3), epochs, len(batches),
                          tr_cfg.get("gradient_clip", 5.0),
                          train_ode_params=tr_cfg.get("train_ode_params", False))
-    step = make_ensemble_train_step(
-        opt, config, tr_cfg.get("lambda1", 1.0), tr_cfg.get("lambda2", 0.01),
-        not cfg["ablation"].get("no_physics", False))
 
-    state = init_ensemble_state(
-        opt, init_ensemble(jax.random.PRNGKey(seed), config, K))
-    key = jax.random.PRNGKey(seed + 1)
-    for epoch in range(epochs):
-        for b in batches:
-            key, sk = jax.random.split(key)
-            state, metrics = step(state, b, jax.random.split(sk, K))
-        if epoch % max(1, cfg.get("logging", {}).get("log_interval", 10)) == 0:
-            logger.info("ensemble epoch %d: member losses %s", epoch,
-                        np.round(np.asarray(metrics["loss"]), 4))
+    # train_ensemble keeps each member's best-val params — the same
+    # selection protocol as train_model, so --ensemble checkpoints stay
+    # comparable to single-model ones
+    stacked, best_val, metrics = train_ensemble(
+        init_ensemble(jax.random.PRNGKey(seed), config, K),
+        opt, config, batches, val_batches, jax.random.PRNGKey(seed + 1),
+        epochs,
+        lambda1=tr_cfg.get("lambda1", 1.0),
+        lambda2=tr_cfg.get("lambda2", 0.01),
+        use_physics=not cfg["ablation"].get("no_physics", False),
+        eval_every=max(1, cfg.get("logging", {}).get("log_interval", 10)),
+    )
+    logger.info("ensemble final member losses %s; best val %s",
+                np.round(np.asarray(metrics["loss"]), 4), np.round(best_val, 4))
 
-    # ensemble-mean val fit (normalized RMSE over observed points)
+    # ensemble-mean val fit (normalized RMSE over observed points, ALL batches)
     val_rmse = float("nan")
-    if len(val_ds) > 0:
-        vb, valid = pad_batch(
-            next(batch_iterator(val_ds, batch_size, shuffle=False)), batch_size)
-        nb = int(valid.sum())
-        mean, _ = ensemble_predictive(state.params, vb, config)
-        err = (np.asarray(mean) - vb["observations"])[:nb]
-        w = vb["mask"][:nb][..., None] * np.ones_like(err)
-        val_rmse = float(np.sqrt((err**2 * w).sum() / np.maximum(w.sum(), 1.0)))
+    if val_batches:
+        se, wsum = 0.0, 0.0
+        for vb in val_batches:
+            mean, _ = ensemble_predictive(stacked, vb, config)
+            err = np.asarray(mean) - vb["observations"]
+            w = vb["mask"][..., None] * np.ones_like(err)
+            se += float((err**2 * w).sum())
+            wsum += float(w.sum())
+        val_rmse = float(np.sqrt(se / max(wsum, 1.0)))
     logger.info("ensemble (K=%d) trained %d epochs; val RMSE (ens-mean, z) %.4f",
                 K, epochs, val_rmse)
-    save_checkpoint(str(Path(ckpt_dir) / "ensemble_model"), state.params,
-                    {"config": cfg, "n_members": K, "val_rmse_ensemble": val_rmse})
+    save_checkpoint(str(Path(ckpt_dir) / "ensemble_model"), stacked,
+                    {"config": cfg, "n_members": K, "val_rmse_ensemble": val_rmse,
+                     "best_val": [float(x) for x in best_val],
+                     "epoch": epochs, "val_loss": val_rmse})
 
 
 def _run_vi(cfg, args, train_ds, val_ds, ckpt_dir, seed):

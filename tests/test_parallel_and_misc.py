@@ -543,7 +543,10 @@ def test_ensemble_step_matches_single_member_and_shards():
 
 def test_ensemble_2d_mesh_ens_by_data():
     """2D (ens, data) mesh: member axis and batch axis shard simultaneously;
-    losses match the unsharded ensemble step."""
+    losses match the unsharded ensemble step. The batch carries the real
+    dataset layout including the UNBATCHED (6,) loss_weights leaf —
+    shard_batch must replicate it instead of rejecting it (regression:
+    a blanket P('data') in_sharding crashed on divisibility)."""
     from hybrid_ode_tpu.parallel.ensemble import (
         init_ensemble, init_ensemble_state, make_ensemble_train_step,
     )
@@ -551,6 +554,7 @@ def test_ensemble_2d_mesh_ens_by_data():
 
     K = 2
     batch = _tiny_batch(B=8)
+    batch["loss_weights"] = np.ones(6, np.float32)  # per-state, not per-sample
     from hybrid_ode_tpu.train.loop import make_optimizer
 
     opt = make_optimizer(1e-3, 1, 1, 5.0)
