@@ -65,6 +65,45 @@ def run(args):
     )
     print("hybrid:", out["hybrid_tuned"])
 
+    if args.ensemble > 1:
+        # K-member ensemble of the SAME recipe, trained on the same shipped
+        # cohort; the deployed estimator is the ensemble-mean rollout
+        import dataclasses as _dc
+        import time
+
+        import jax
+
+        from hybrid_ode_tpu.data.dataset import (
+            batch_iterator, pad_batch, split_dataset,
+        )
+        from hybrid_ode_tpu.parallel.ensemble import init_ensemble, train_ensemble
+        from hybrid_ode_tpu.train.loop import make_optimizer
+
+        ens_cfg = _dc.replace(config, use_pallas=False)  # vmaps member weights
+        train_all = create_data_arrays(args.data)
+        tr, va, _ = split_dataset(train_all, seed=42)
+        tcfg = meta.get("config", {}).get("training", {})
+        bs = 8
+        batches = [pad_batch(b, bs)[0] for b in batch_iterator(tr, bs, shuffle=False)]
+        val_b = [pad_batch(b, bs)[0] for b in batch_iterator(va, bs, shuffle=False)]
+        epochs = tcfg.get("epochs", 3000)
+        opt = make_optimizer(tcfg.get("learning_rate", 3e-3), epochs, len(batches),
+                             tcfg.get("gradient_clip", 5.0),
+                             train_ode_params=tcfg.get("train_ode_params", True))
+        t0 = time.time()
+        stacked, best_val, _ = train_ensemble(
+            init_ensemble(jax.random.PRNGKey(0), ens_cfg, args.ensemble),
+            opt, ens_cfg, batches, val_b, jax.random.PRNGKey(1), epochs,
+            lambda1=tcfg.get("lambda1", 0.0), lambda2=tcfg.get("lambda2", 0.01),
+            use_physics=False)
+        print(f"ensemble trained ({time.time()-t0:.0f}s), best val {best_val}")
+        out["hybrid_ensemble"] = robustness_report(
+            stacked, test_ds, ens_cfg, obs_sigma_z=sigma_z,
+            n_seeds=args.n_seeds, ensemble=True,
+        )
+        out["hybrid_ensemble"]["n_members"] = args.ensemble
+        print("ensemble:", out["hybrid_ensemble"])
+
     # mechanistic-only baseline (default Table-I parameters, no training —
     # matching the manuscript's flat "Mech." column)
     import jax
@@ -101,5 +140,7 @@ if __name__ == "__main__":
     ap.add_argument("--subjects", type=int, default=50)
     ap.add_argument("--n-seeds", type=int, default=8)
     ap.add_argument("--seed", type=int, default=777)
+    ap.add_argument("--ensemble", type=int, default=8,
+                    help="add a K-member ensemble-mean row (0/1 disables)")
     args = ap.parse_args()
     run(args)

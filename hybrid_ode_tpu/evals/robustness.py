@@ -46,8 +46,9 @@ import functools
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_rollout(config: HybridConfig):
+def _jitted_rollout(config: HybridConfig, ensemble: bool = False):
     import jax
+    import jax.numpy as jnp
 
     def roll(params, batch):
         controls = Controls(
@@ -59,10 +60,19 @@ def _jitted_rollout(config: HybridConfig):
             params, batch["initial_state"], batch["time_points"], controls, config,
         )
 
-    return jax.jit(roll)
+    if not ensemble:
+        return jax.jit(roll)
+
+    def roll_ens(stacked, batch):
+        # each member encodes the (corrupted) context itself; the deployed
+        # estimator is the ensemble-mean rollout
+        return jnp.mean(jax.vmap(lambda p: roll(p, batch))(stacked), axis=0)
+
+    return jax.jit(roll_ens)
 
 
-def _predict(params, batch: Dict, config: HybridConfig) -> np.ndarray:
+def _predict(params, batch: Dict, config: HybridConfig,
+             ensemble: bool = False) -> np.ndarray:
     """Full-horizon rollout conditioned on the (possibly corrupted) batch."""
     import jax.numpy as jnp
 
@@ -73,7 +83,7 @@ def _predict(params, batch: Dict, config: HybridConfig) -> np.ndarray:
         "external_inputs": {k: jnp.asarray(v)
                             for k, v in batch["external_inputs"].items()},
     }
-    return np.asarray(_jitted_rollout(config)(params, dev_batch))
+    return np.asarray(_jitted_rollout(config, ensemble)(params, dev_batch))
 
 
 def _clean_batch(ds: GlucoseDataset) -> Dict:
@@ -98,6 +108,7 @@ def missing_data_sweep(
     seed: int = 0,
     state_index: int = 0,
     n_seeds: int = 1,
+    ensemble: bool = False,
 ) -> Dict[float, float]:
     """RMSE when a fraction of the CONDITIONING observations is missing.
 
@@ -118,7 +129,8 @@ def missing_data_sweep(
                 batch = dict(batch, observations=obs_c.astype(np.float32),
                              initial_state=init_c.astype(np.float32),
                              mask=(batch["mask"] * keep).astype(np.float32))
-            vals.append(_score(_predict(params, batch, config), ds, state_index))
+            vals.append(_score(_predict(params, batch, config, ensemble),
+                               ds, state_index))
             if frac == 0:
                 break  # no randomness in the clean row
         out[frac] = float(np.mean(vals))
@@ -135,6 +147,7 @@ def noise_sweep(
     seed: int = 0,
     state_index: int = 0,
     n_seeds: int = 1,
+    ensemble: bool = False,
 ) -> Dict[float, float]:
     """RMSE when the conditioning observations carry k× the measurement noise.
 
@@ -160,7 +173,8 @@ def noise_sweep(
                 obs_c = batch["observations"] + noise * ds.mask[..., None]
                 batch = dict(batch, observations=obs_c,
                              initial_state=obs_c[:, 0].astype(np.float32))
-            vals.append(_score(_predict(params, batch, config), ds, state_index))
+            vals.append(_score(_predict(params, batch, config, ensemble),
+                               ds, state_index))
             if k <= 1.0:
                 break
         out[k] = float(np.mean(vals))
@@ -187,12 +201,16 @@ def estimate_obs_sigma_z(ds: GlucoseDataset, truth_df) -> np.ndarray:
 def robustness_report(
     params: Any, ds: GlucoseDataset, config: HybridConfig, out_path: str = None,
     obs_sigma_z: Optional[np.ndarray] = None, n_seeds: int = 1,
+    ensemble: bool = False,
 ) -> Dict[str, Dict[float, float]]:
+    """ensemble=True: `params` is member-stacked; scores the ensemble-MEAN
+    rollout (config must have use_pallas=False — member weights vmap)."""
     report = {
-        "missing_data": missing_data_sweep(params, ds, config, n_seeds=n_seeds),
+        "missing_data": missing_data_sweep(params, ds, config, n_seeds=n_seeds,
+                                           ensemble=ensemble),
         "conditioning_noise": noise_sweep(
             params, ds, config, noise_multipliers=(1.0, 2.0),
-            obs_sigma_z=obs_sigma_z, n_seeds=n_seeds,
+            obs_sigma_z=obs_sigma_z, n_seeds=n_seeds, ensemble=ensemble,
         ),
     }
     if out_path:
