@@ -77,7 +77,7 @@ def main(argv=None):
     config = config_from_dict(cfg)
 
     ds = create_data_arrays(data_path)
-    tr, va, _ = split_dataset(ds, seed=42)
+    tr, va, te = split_dataset(ds, seed=42)
     K = args.members
     batches = [pad_batch(b, args.batch_size)[0]
                for b in batch_iterator(tr, args.batch_size, shuffle=False)]
@@ -141,10 +141,36 @@ def main(argv=None):
                                  axis=(1, 2)))
     ens_rmse = float(np.sqrt(np.mean((phys_k[:, :, :, 0].mean(0) - tarr) ** 2)))
 
+    # test-split counterpart (2 held-out windows of the shipped cohort —
+    # the protocol the manuscript's 0.45 headline is closest to)
+    import pandas as pd
+
+    df_all = pd.read_csv(data_path)
+    te_truth = {sid: sub["glucose_true_mmol_L"].to_numpy()
+                for sid, sub in df_all.groupby("subject_id")}
+    te_tarr = np.stack([te_truth[te.subject_ids[w]] for w in range(len(te))])
+    te_batch = te.batch(np.arange(len(te)))
+    te_ctxs = jax.vmap(lambda p: identify_context(
+        p, te_batch, config, steps=args.id_steps, lr=0.02, prior_std=0.3,
+        points=args.points))(stacked)
+
+    def one_te(p, ctx):
+        controls = Controls(
+            ts=jnp.asarray(te.time_points),
+            signals={"meal": jnp.asarray(te.meal),
+                     "tVNS": jnp.asarray(te.tvns), "context": ctx})
+        return batched_forward(p, jnp.asarray(te.initial_state),
+                               jnp.asarray(te.time_points), controls, config)
+
+    te_preds = np.asarray(jax.vmap(one_te)(stacked, te_ctxs))
+    te_phys = te_preds * te.state_std + te.state_mean
+    te_rmse = float(np.sqrt(np.mean((te_phys[:, :, :, 0].mean(0) - te_tarr) ** 2)))
+
     results = {
         "n_members": K,
         "epochs": args.epochs,
         "train_wall_s": round(train_wall, 1),
+        "test_rmse_vs_truth_identified_ensemble": round(te_rmse, 4),
         "identify_wall_s": round(id_wall, 2),
         "id_steps": args.id_steps,
         "points": args.points,
