@@ -71,12 +71,16 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--scaling-steps", type=int, default=100,
                     help="steps timed for the K=1 vs K=N scaling measurement")
-    ap.add_argument("--recal-floor", type=float, default=0.98,
-                    help="val 95%%-coverage floor for per-state recalibration; "
-                         "the val split is ONE subject, so fitting at nominal "
-                         "generalizes short on test (same rationale as the VI "
-                         "arm's 0.96 in uq_calibration.py; the ensemble's "
-                         "sharper intervals need a larger margin, measured)")
+    ap.add_argument("--recal-floor", type=float, default=None,
+                    help="val 95%%-coverage floor for per-state recalibration. "
+                         "Default None = select it WITHOUT touching test: "
+                         "sweep candidate floors, fit the scale on val at "
+                         "each, and pick the smallest whose coverage on a "
+                         "fresh SIMULATED cohort (disjoint seed, zero test "
+                         "leakage) reaches nominal 95%%. The val split is ONE "
+                         "subject, so fitting at nominal generalizes short — "
+                         "the margin must come from held-out evidence, not "
+                         "from inspecting test (advisor r3 finding).")
     args = ap.parse_args(argv)
 
     import jax
@@ -204,8 +208,6 @@ def main(argv=None):
                                                  args.batch_size)
     np.savez(REPO / "results" / "uq_arrays_deep_ensemble.npz",
              pv=pv, uv=uv, tv=tv, mv=mv, pt=pt, ut=ut, tt=tt, mt=mt)
-    s_vec = fit_per_state_recalibration(pv, uv, tv, mask=mv,
-                                        min_coverage_95=args.recal_floor)
 
     # ---- in-silico recalibration cohort ------------------------------------
     # The shipped val split is ONE subject (61 points/channel), which is why
@@ -234,6 +236,25 @@ def main(argv=None):
     s_fresh = fit_per_state_recalibration(pf, uf, tf, mask=mf,
                                           min_coverage_95=0.95)
 
+    # ---- val-arm floor selection, leakage-free ----------------------------
+    # Fit the per-state scale on val at each candidate floor and score its
+    # 95% coverage on the FRESH simulated cohort (never on test): the
+    # smallest floor reaching nominal there is frozen before test is touched.
+    from hybrid_ode_tpu.evals.metrics import compute_coverage as _cov
+
+    if args.recal_floor is not None:
+        recal_floor = float(args.recal_floor)
+    else:
+        recal_floor = 0.99  # fallback: most conservative candidate
+        for cand in (0.95, 0.96, 0.97, 0.98, 0.99):
+            s_c = fit_per_state_recalibration(pv, uv, tv, mask=mv,
+                                              min_coverage_95=cand)
+            if float(_cov(pf, uf * s_c, tf, 0.95, mask=mf)) >= 0.95:
+                recal_floor = cand
+                break
+    s_vec = fit_per_state_recalibration(pv, uv, tv, mask=mv,
+                                        min_coverage_95=recal_floor)
+
     results = {
         "n_members": K,
         "epochs": args.epochs,
@@ -241,7 +262,9 @@ def main(argv=None):
         "member_scaling": scaling,
         "final_member_losses": [round(float(x), 3) for x in final_losses],
         "noise_sigma_per_state": [round(float(x), 4) for x in sigma],
-        "recal_floor_val": args.recal_floor,
+        "recal_floor_val": recal_floor,
+        "recal_floor_selection": ("cli" if args.recal_floor is not None
+                                  else "val-fit, fresh-cohort-validated sweep"),
         "recalibration_per_state_val": [round(float(x), 4) for x in s_vec],
         "recalibration_per_state_fresh_cohort": [round(float(x), 4) for x in s_fresh],
         "test_raw": metrics_at(pt, ut, tt, mt, 1.0),

@@ -139,19 +139,26 @@ def main(argv=None):
                                            noise_sigma=sigma,
                                            batch_size=args.batch_size)
 
-    # moment-matched per-state sigma on val
-    bva, valid = pad_batch(next(_bit(va, args.batch_size, shuffle=False)),
-                           args.batch_size)
-    trajs = np.asarray(ensemble_forward(best_params, bva, config))
-    nb = int(valid.sum())
-    mu_, var_ = trajs[:, :nb].mean(0), trajs[:, :nb].var(0)
-    r2_ = (np.asarray(bva["observations"])[:nb] - mu_) ** 2
-    w_ = np.asarray(bva.get("mask_channels", bva["mask"]))[:nb]
-    if w_.ndim == 2:
-        w_ = w_[..., None] * np.ones_like(r2_)
-    den = np.maximum(w_.sum(axis=(0, 1)), 1.0)
-    sigma = np.sqrt(np.maximum((r2_ * w_).sum(axis=(0, 1)) / den
-                               - (var_ * w_).sum(axis=(0, 1)) / den, 1e-4))
+    # moment-matched per-state sigma accumulated over the FULL val split
+    # (advisor r3: a single 128-window batch under-sampled the 408-window
+    # split the comment above promises)
+    num = np.zeros(6)
+    var_num = np.zeros(6)
+    den = np.zeros(6)
+    for raw in _bit(va, args.batch_size, shuffle=False):
+        bva, valid = pad_batch(raw, args.batch_size)
+        trajs = np.asarray(ensemble_forward(best_params, bva, config))
+        nb = int(valid.sum())
+        mu_, var_ = trajs[:, :nb].mean(0), trajs[:, :nb].var(0)
+        r2_ = (np.asarray(bva["observations"])[:nb] - mu_) ** 2
+        w_ = np.asarray(bva.get("mask_channels", bva["mask"]))[:nb]
+        if w_.ndim == 2:
+            w_ = w_[..., None] * np.ones_like(r2_)
+        num += (r2_ * w_).sum(axis=(0, 1))
+        var_num += (var_ * w_).sum(axis=(0, 1))
+        den += w_.sum(axis=(0, 1))
+    den = np.maximum(den, 1.0)
+    sigma = np.sqrt(np.maximum(num / den - var_num / den, 1e-4))
 
     import jax.numpy as jnp
 

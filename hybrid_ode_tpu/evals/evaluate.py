@@ -39,6 +39,36 @@ from hybrid_ode_tpu.models.hybrid import (
 logger = logging.getLogger("hybrid_ode_tpu.eval")
 
 
+def fit_observation_noise(
+    params: Any,
+    val_ds: GlucoseDataset,
+    config: HybridConfig,
+    batch_size: int = 32,
+) -> np.ndarray:
+    """Per-state predictive noise sigma (6,) moment-matched on a validation
+    split: sigma_s = masked RMS residual of the point forward pass on state
+    s. This is the meaningful replacement for the reference's fixed
+    sigma=0.1 placeholder (`evaluate.py:247`) in point-checkpoint
+    evaluation — same machinery as `benchmarks/uq_calibration.py`'s
+    moment-matched noise, minus the (zero) posterior-spread term."""
+    fwd = jax.jit(lambda p, y0, ts, c: batched_forward(p, y0, ts, c, config))
+    num = np.zeros(6)
+    den = np.zeros(6)
+    for batch in batch_iterator(val_ds, batch_size, shuffle=False):
+        b, valid = pad_batch(batch, batch_size)
+        controls = with_context(params, b, controls_from_batch(b), config)
+        nb = int(valid.sum())
+        preds = np.asarray(fwd(params, jnp.asarray(b["initial_state"]),
+                               jnp.asarray(b["time_points"]), controls))[:nb]
+        targ = np.asarray(b["observations"])[:nb]
+        w = np.asarray(b.get("mask_channels", b["mask"]))[:nb]
+        if w.ndim == 2:
+            w = w[..., None] * np.ones_like(preds)
+        num += ((preds - targ) ** 2 * w).sum(axis=(0, 1))
+        den += w.sum(axis=(0, 1))
+    return np.sqrt(np.maximum(num / np.maximum(den, 1.0), 1e-8))
+
+
 def evaluate_model(
     params: Any,
     test_ds: GlucoseDataset,
@@ -50,9 +80,16 @@ def evaluate_model(
     denormalize: bool = False,
     obs_sigma: float = 0.0,
     ensemble: bool = False,
+    val_ds: Optional[GlucoseDataset] = None,
 ) -> Dict[str, float]:
-    """Evaluate on a dataset; uncertainty from the posterior when available,
-    else the reference's fixed sigma=0.1 placeholder (`evaluate.py:247`).
+    """Evaluate on a dataset; uncertainty from the posterior when available.
+
+    Point checkpoints: when `val_ds` is given, the predictive noise is
+    moment-matched per state on it (`fit_observation_noise`) and the
+    calibration metrics become meaningful and are reported. DEVIATION from
+    the reference, which ships a fixed sigma=0.1 placeholder
+    (`evaluate.py:247`) — that placeholder is kept ONLY for the
+    val_ds=None fallback, where calibration columns are suppressed.
 
     ensemble: `params` is a member-stacked pytree (CLI --ensemble /
     parallel.ensemble checkpoints) — predictions are the ensemble mean,
@@ -66,6 +103,10 @@ def evaluate_model(
     )
     if ensemble:
         from hybrid_ode_tpu.parallel.ensemble import ensemble_predictive
+
+    point_sigma = None
+    if val_ds is not None and variational is None and not ensemble:
+        point_sigma = fit_observation_noise(params, val_ds, config, batch_size)
 
     for batch in batch_iterator(test_ds, batch_size, shuffle=False):
         b, valid = pad_batch(batch, batch_size)
@@ -93,7 +134,13 @@ def evaluate_model(
             preds, unc = mean, jnp.sqrt(std**2 + obs_sigma**2)
         else:
             preds = fwd(params, jnp.asarray(b["initial_state"]), jnp.asarray(b["time_points"]), controls)
-            unc = jnp.ones_like(preds) * 0.1
+            if point_sigma is not None:
+                unc = jnp.broadcast_to(jnp.asarray(point_sigma, preds.dtype),
+                                       preds.shape)
+            else:
+                # reference placeholder (evaluate.py:247); calibration
+                # columns are suppressed below when this branch is taken
+                unc = jnp.ones_like(preds) * 0.1
         preds_all.append(np.asarray(preds)[:nb])
         unc_all.append(np.asarray(unc)[:nb])
         targ_all.append(np.asarray(b["observations"])[:nb])
@@ -123,12 +170,15 @@ def evaluate_model(
         metrics[f"rmse_{name.lower()}"] = float(rmse_ps[i])
         metrics[f"mae_{name.lower()}"] = float(mae_ps[i])
 
-    if variational is not None or ensemble:
+    if variational is not None or ensemble or point_sigma is not None:
         metrics.update(compute_calibration_error(preds, unc, targets, mask=mask))
         metrics["coverage_80"] = compute_coverage(preds, unc, targets, 0.8, mask=mask)
         metrics["coverage_90"] = compute_coverage(preds, unc, targets, 0.9, mask=mask)
         metrics["nll"] = compute_nll(preds, unc, targets, mask=mask)
         metrics["crps"] = compute_crps(preds, unc, targets, mask=mask)
+    if point_sigma is not None:
+        for i, name in enumerate(STATE_NAMES):
+            metrics[f"noise_sigma_{name.lower()}"] = float(point_sigma[i])
 
     # normalized metrics (parity: evaluate.py:280-287)
     m = mask[..., None] if mask.ndim < targets.ndim else mask
@@ -147,9 +197,12 @@ def evaluate_checkpoint(
     test_ds: GlucoseDataset,
     config: Optional[HybridConfig] = None,
     batch_size: int = 32,
+    val_ds: Optional[GlucoseDataset] = None,
 ) -> Dict[str, float]:
     """Rebuild the model from a checkpoint's embedded config and evaluate
-    (parity: `evaluate.py:291-335`)."""
+    (parity: `evaluate.py:291-335`). Pass `val_ds` to get moment-matched
+    predictive noise (and meaningful calibration columns) for point
+    checkpoints."""
     from hybrid_ode_tpu.utils.checkpoint import load_checkpoint
 
     state, meta = load_checkpoint(checkpoint_path)
@@ -160,7 +213,7 @@ def evaluate_checkpoint(
         config = config_from_dict(meta.get("config", {}),
                                   **({"use_pallas": False} if is_ensemble else {}))
     metrics = evaluate_model(params, test_ds, config, batch_size,
-                             ensemble=is_ensemble)
+                             ensemble=is_ensemble, val_ds=val_ds)
     metrics["checkpoint_epoch"] = meta.get("epoch", -1)
     val_loss = meta.get("val_loss")
     if val_loss is None and meta.get("best_val"):
@@ -218,7 +271,7 @@ def main(argv=None) -> None:
     args = ap.parse_args(argv)
 
     ds = create_data_arrays(args.data, args.sequence_length, args.stride)
-    _, _, test_ds = split_dataset(ds, seed=42)
+    _, val_ds, test_ds = split_dataset(ds, seed=42)
     if args.vi_checkpoint:
         from hybrid_ode_tpu.inference.vi import VariationalInference
 
@@ -229,7 +282,7 @@ def main(argv=None) -> None:
             obs_sigma=vi.noise_sigma,
         )
     else:
-        metrics = evaluate_checkpoint(args.checkpoint, test_ds)
+        metrics = evaluate_checkpoint(args.checkpoint, test_ds, val_ds=val_ds)
     save_evaluation_results(metrics, args.output)
     print(f"RMSE: {metrics['rmse']:.4f}  MAE: {metrics['mae']:.4f}  NRMSE: {metrics['nrmse']:.4f}")
 

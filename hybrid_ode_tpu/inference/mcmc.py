@@ -325,6 +325,16 @@ def nuts_sample(
     chunk = max(1, int(dispatch_chunk))
 
     if mesh is not None:
+        axis_size = int(mesh.shape[mesh_axis])
+        if n_chains % axis_size != 0:
+            raise ValueError(
+                f"nuts_sample: n_chains={n_chains} must be a multiple of "
+                f"mesh axis {mesh_axis!r} (size {axis_size}) to shard the "
+                f"chain axis — pad the chain count or shrink the mesh. "
+                f"(A non-divisible count otherwise surfaces as an opaque "
+                f"GSPMD error deep in the first warmup chunk.)")
+
+    if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
         _chain_sh = NamedSharding(mesh, PartitionSpec(mesh_axis))

@@ -233,8 +233,11 @@ def train_ensemble(
 
     Mirrors `train.loop.train_model`'s protocol (each member keeps the
     parameters of its own best validation epoch) so single-model and
-    ensemble results stay comparable. Returns (best_params_stacked,
-    best_val_losses (K,), final_metrics)."""
+    ensemble results stay comparable. The batch ORDER is re-permuted every
+    epoch; DEVIATION: batch composition stays fixed across epochs (the
+    caller pre-builds the batch list once), whereas train_model redraws
+    window-to-batch assignment per epoch via batch_iterator(shuffle=True).
+    Returns (best_params_stacked, best_val_losses (K,), final_metrics)."""
     import numpy as np
 
     K = jax.tree.leaves(stacked_params)[0].shape[0]
@@ -252,8 +255,16 @@ def train_ensemble(
     best_params = jax.tree.map(jnp.copy, state.params)
     best_val = jnp.full((K,), jnp.inf)
     metrics = {}
+    train_batches = list(train_batches)
+    order_rng = np.random.default_rng(np.asarray(
+        jax.random.key_data(key)).ravel()[-1])
     for epoch in range(epochs):
-        for b in train_batches:
+        # reshuffle the (pre-built) batch list every epoch — train_model
+        # reshuffles via batch_iterator(shuffle=True) (loop.py), and the
+        # checkpoints are only comparable if the ensemble sees the same
+        # protocol (advisor r3 finding)
+        for bi in order_rng.permutation(len(train_batches)):
+            b = train_batches[int(bi)]
             key, sk = jax.random.split(key)
             state, metrics = step(state, b, jax.random.split(sk, K))
         if val_batches and (epoch % eval_every == 0 or epoch == epochs - 1):

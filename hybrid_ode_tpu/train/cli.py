@@ -156,8 +156,12 @@ def _run_ensemble(cfg, args, train_ds, val_ds, ckpt_dir, seed):
     tr_cfg = cfg["training"]
     batch_size = tr_cfg.get("batch_size", 32)
     epochs = tr_cfg.get("epochs", 100)
+    # train batches: one shuffled composition draw here; train_ensemble then
+    # re-permutes the batch ORDER every epoch (advisor r3 — composition
+    # staying fixed across epochs is a documented deviation from train_model)
     batches = [pad_batch(b, batch_size)[0]
-               for b in batch_iterator(train_ds, batch_size, shuffle=False)]
+               for b in batch_iterator(train_ds, batch_size, shuffle=True,
+                                       seed=seed)]
     val_batches = [pad_batch(b, batch_size)[0]
                    for b in batch_iterator(val_ds, batch_size, shuffle=False)]
     opt = make_optimizer(tr_cfg.get("learning_rate", 1e-3), epochs, len(batches),

@@ -63,6 +63,41 @@ def test_sharded_train_step_matches_single_device():
     np.testing.assert_allclose(float(m_single["loss"]), float(m_par["loss"]), rtol=1e-4)
 
 
+def test_shard_batch_dominant_dim_and_divisibility(caplog):
+    """shard_batch shards exactly the leaves carrying the inferred batch dim;
+    unbatched per-state leaves replicate even when the axis size divides
+    them, and a non-divisible batch replicates everything with a warning
+    (advisor r3 / VERDICT r3 item 8)."""
+    import logging
+
+    from hybrid_ode_tpu.parallel.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh(2)  # axis size 2 divides 6 — the trap case
+    batch = {
+        "initial_state": np.ones((8, 6), np.float32),
+        "observations": np.ones((8, 5, 6), np.float32),
+        "loss_weights": np.ones(6, np.float32),  # per-state, NOT per-sample
+    }
+    out = shard_batch(mesh, batch)
+    data_sharded = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data"))
+    repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    assert out["initial_state"].sharding.is_equivalent_to(data_sharded, 2)
+    assert out["observations"].sharding.is_equivalent_to(data_sharded, 3)
+    # (6,) divides the axis size but is NOT the batch dim -> replicated
+    assert out["loss_weights"].sharding.is_equivalent_to(repl, 1)
+
+    # non-divisible batch dim: everything replicates, warning fires
+    mesh3 = make_mesh(3) if jax.device_count() >= 3 else make_mesh(2)
+    odd = {"initial_state": np.ones((7, 6), np.float32),
+           "observations": np.ones((7, 5, 6), np.float32)}
+    with caplog.at_level(logging.WARNING, logger="hybrid_ode_tpu.parallel.mesh"):
+        out_odd = shard_batch(mesh3, odd)
+    assert any("not divisible" in r.message for r in caplog.records)
+    repl3 = jax.sharding.NamedSharding(mesh3, jax.sharding.PartitionSpec())
+    assert out_odd["initial_state"].sharding.is_equivalent_to(repl3, 2)
+
+
 def test_shard_map_cohort_sim():
     from hybrid_ode_tpu.parallel.mesh import make_mesh, replicate, shard_batch
     from hybrid_ode_tpu.parallel.train_parallel import parallel_cohort_sim
@@ -626,6 +661,21 @@ def test_nuts_chain_axis_shards_over_mesh():
     np.testing.assert_allclose(m_plain, m_sh, atol=0.35)
     assert np.isfinite(out_sharded["accept_stat"]).all()
     assert out_sharded["samples"].shape == (8, 150, 3)
+
+
+def test_nuts_rejects_non_divisible_chain_count():
+    """A chain count not divisible by the mesh axis raises a clear error up
+    front instead of an opaque GSPMD failure mid-warmup (advisor r3)."""
+    from hybrid_ode_tpu.inference.mcmc import nuts_sample
+    from hybrid_ode_tpu.parallel.mesh import make_mesh
+
+    def logp(q):
+        return -0.5 * jnp.sum(q ** 2)
+
+    q0 = jnp.zeros((6, 2))  # 6 chains on an 8-device mesh
+    with pytest.raises(ValueError, match="multiple of"):
+        nuts_sample(logp, q0, jax.random.PRNGKey(0), num_samples=2,
+                    num_warmup=2, mesh=make_mesh(8))
 
 
 def test_train_ensemble_best_val_selection():

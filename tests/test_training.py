@@ -177,6 +177,35 @@ def test_train_model_end_to_end(tmp_path, csv_path):
 
     metrics = evaluate_checkpoint(str(tmp_path / "ckpts" / "best_model"), va)
     assert np.isfinite(metrics["rmse"])
+    # without a val split the reference's 0.1 placeholder applies and the
+    # calibration columns are suppressed (they would be meaningless)
+    assert "ece" not in metrics
+
+
+def test_point_eval_moment_matched_noise(tmp_path, csv_path):
+    """Point-checkpoint eval with a val split reports moment-matched
+    per-state noise and meaningful calibration columns (VERDICT r3 item 6;
+    DEVIATION from reference evaluate.py:247's fixed sigma=0.1)."""
+    from hybrid_ode_tpu.evals.evaluate import evaluate_model, fit_observation_noise
+    from hybrid_ode_tpu.models.hybrid import HybridConfig, init_hybrid_params
+
+    cfg = HybridConfig(solver="rk4", substeps=2, nn_hidden=8, nn_layers=2,
+                       mode="scan")
+    ds = create_data_arrays(str(csv_path), 20, 10)
+    tr, va, te = split_dataset(ds, seed=42)
+    params = init_hybrid_params(jax.random.PRNGKey(0), cfg)
+
+    sigma = fit_observation_noise(params, va, cfg, batch_size=8)
+    assert sigma.shape == (6,)
+    assert np.all(sigma > 0) and np.all(np.isfinite(sigma))
+
+    m = evaluate_model(params, te, cfg, batch_size=8, val_ds=va)
+    for k in ("ece", "coverage_95", "nll", "crps", "noise_sigma_glucose"):
+        assert k in m and np.isfinite(m[k]), k
+    # the fitted sigma is the val RMS residual — an untrained model's
+    # residuals are O(1) in normalized units, nowhere near the 0.1
+    # placeholder; sanity-check the value actually reached the metrics
+    assert m["noise_sigma_glucose"] == pytest.approx(float(sigma[0]))
 
 
 @pytest.mark.slow
