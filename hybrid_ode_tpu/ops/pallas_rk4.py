@@ -20,15 +20,22 @@ training step. These kernels keep the ENTIRE integration resident in VMEM:
     as a (C, B_block) VMEM block appended to the MLP input.
 
 TRAINING PATH (`fused_rk4_hybrid`): a `jax.custom_vjp` pairs the forward
-kernel with a reverse-time discrete-RK4 adjoint kernel. The backward kernel
-walks the intervals in reverse; per interval it recomputes the `substeps`
-intermediate states from the saved observation-grid trajectory (O(T) memory,
-exactly the checkpointing granularity of the XLA path's per-interval
-`jax.checkpoint`, solvers/fixed.py:61), then back-propagates the cotangent
-through each RK4 substep via `jax.vjp` of the in-kernel step function —
-the transposed matmuls hit the MXU just like the forward ones. Weight /
-ODE-parameter cotangents accumulate in VMEM across the whole trajectory and
-across batch blocks (sequential TPU grid revisiting one output block), so
+kernel with a reverse-time discrete-RK4 adjoint kernel (`_bwd_kernel_hand`,
+the default). The backward kernel walks the intervals in reverse; per
+interval it runs ONE residual-saving forward pass from the saved
+observation-grid trajectory (O(T) memory, exactly the checkpointing
+granularity of the XLA path's per-interval `jax.checkpoint`,
+solvers/fixed.py:61), then back-propagates the cotangent through each RK4
+substep with a HAND-WRITTEN transpose: weight transposes hoisted once per
+block so every backward matmul is a standard MXU contraction, a
+hand-derived mechanistic Jacobian-transpose, and per-lane parameter
+cotangent rows (lane-reduced once, outside the kernel). The earlier
+jax.vjp-generated backward (`bwd_impl='recompute'|'chained'`, kept for
+A/B) spent ~27 of its 37 ms in Mosaic-materialized per-call operand
+transposes of the MLP vjp matmuls — the hand adjoint is 2.5x faster
+(41.3 -> 16.7 ms full train step at B=8192, T=61, H=64). Weight
+cotangents accumulate in VMEM across the whole trajectory and across
+batch blocks (sequential TPU grid revisiting one output block), so
 gradient traffic to HBM is one weight-sized write total.
 
 State layout parity: rows 0..5 = [G, I, Glu, GLP1, GE, FFA]; rows 6..7 pad.
@@ -54,13 +61,13 @@ PARAM_ORDER = (
 )
 
 BLOCK_B = 2048       # batch lanes per forward kernel instance
-BLOCK_B_BWD = 1024   # batch lanes per backward kernel instance. The vjp
-                     # residuals of 4 live RK4 stages cap the lane width
-                     # under Mosaic's default 16 MB scoped-VMEM limit at 256;
-                     # with the limit raised to 96 MB (v5e has 128 MB VMEM)
-                     # the sweep measures 80.0 / 65.6 / 41.2 ms full fwd+bwd
-                     # at Bb=256/512/1024 (B=8192, T=61, H=64) and OOM at
-                     # 2048 — 1024 is the knee
+BLOCK_B_BWD = 2048   # batch lanes per backward kernel instance. Round-4
+                     # sweep (hand-written adjoint, 110 MB scoped VMEM,
+                     # B=8192 T=61 H=64): 26.9 / 18.5 / 16.7 ms full fwd+bwd
+                     # at Bb=512/1024/2048. The r3 vjp-generated backward
+                     # measured 41.3 ms at its best (Bb=1024) — its MLP
+                     # transpose chain alone cost ~27 ms (see RESULTS.md
+                     # round-4 roofline).
 
 
 def pallas_available() -> bool:
@@ -119,7 +126,7 @@ def _pack_params(ode_params: Dict[str, jnp.ndarray], dtype=jnp.float32):
 
 def _hybrid_field_t(t_row, Y, meal_row, tvns_row, ws, bs, pv, ctx, n_layers,
                     ctx_param_idx=(), mlp_dtype=jnp.float32,
-                    ctx_param_mode="mul"):
+                    ctx_param_mode="mul", field_parts="both"):
     """Transposed-layout hybrid field: (8, Bb) states -> (8, Bb) derivative.
 
     Pure function of VALUES (not refs) so `jax.vjp` can transpose it inside
@@ -140,8 +147,16 @@ def _hybrid_field_t(t_row, Y, meal_row, tvns_row, ws, bs, pv, ctx, n_layers,
 
     mlp_dtype: jnp.bfloat16 runs the MLP matmuls as single-pass bf16 MXU
     ops with f32 accumulation (the v5e-native mode; f32 matmuls decompose
-    into multiple bf16 passes). Mechanistic math stays f32 on the VPU."""
-    P = {name: pv[0, i] for i, name in enumerate(PARAM_ORDER)}
+    into multiple bf16 passes). Mechanistic math stays f32 on the VPU.
+
+    pv may be either the packed (1, 32) parameter row (forward kernel) or a
+    TUPLE of 17 (1, Bb) broadcast rows (backward kernel 'chained' impl):
+    row-form params make the vjp's parameter cotangents per-lane elementwise
+    accumulations instead of a cross-lane reduction per scalar use."""
+    if isinstance(pv, (tuple, list)):
+        P = {name: pv[i] for i, name in enumerate(PARAM_ORDER)}
+    else:
+        P = {name: pv[0, i] for i, name in enumerate(PARAM_ORDER)}
     if ctx_param_idx:
         for row, pidx in enumerate(ctx_param_idx):
             name = PARAM_ORDER[pidx]
@@ -165,6 +180,8 @@ def _hybrid_field_t(t_row, Y, meal_row, tvns_row, ws, bs, pv, ctx, n_layers,
     dG = meal_row - 0.01 * (I - P["I_b"]) + 0.005 * (Glu - P["Glu_b"]) - P["k_GE0"] * G
     zero = jnp.zeros_like(G)
     dY = jnp.concatenate([dG, dI, dGlu, dGLP1, zero, dFFA, zero, zero], axis=0)
+    if field_parts == "mech":  # timing probe only
+        return dY
 
     # MLP residual: features (in_pad, Bb) = [t, y(6), glp1, tvns, ctx..., pad]
     in_pad = ws[0].shape[1]
@@ -189,17 +206,20 @@ def _hybrid_field_t(t_row, Y, meal_row, tvns_row, ws, bs, pv, ctx, n_layers,
         ws[n_layers].astype(mlp_dtype), H, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bs[n_layers]
+    if field_parts == "mlp":  # timing probe only
+        return R
     return dY + R
 
 
 def _rk4_substep_t(Y, t, h, ctrls, ws, bs, pv, ctx, n_layers, ctx_param_idx=(),
-                   mlp_dtype=jnp.float32, ctx_param_mode="mul"):
+                   mlp_dtype=jnp.float32, ctx_param_mode="mul",
+                   field_parts="both"):
     """One transposed-layout RK4 substep. ctrls = ((m0,v0),(m1,v1),(m2,v2))
     are the control rows at stage offsets 0, h/2, h (constants wrt the vjp)."""
     (m0, v0), (m1, v1), (m2, v2) = ctrls
     f = lambda tt, YY, m, v: _hybrid_field_t(tt, YY, m, v, ws, bs, pv, ctx,
                                              n_layers, ctx_param_idx, mlp_dtype,
-                                             ctx_param_mode)
+                                             ctx_param_mode, field_parts)
     k1 = f(t, Y, m0, v0)
     k2 = f(t + 0.5 * h, Y + 0.5 * h * k1, m1, v1)
     k3 = f(t + 0.5 * h, Y + 0.5 * h * k2, m1, v1)
@@ -391,8 +411,286 @@ def fused_rk4_trajectory(
 # recomputation from the saved observation-grid trajectory.
 # ---------------------------------------------------------------------------
 
+def _bwd_kernel_hand(substeps, n_layers, has_ctx, n_ctx, ctx_param_idx,
+                     mlp_dtype, ctx_param_mode,
+                     traj_ref, gbar_ref, ts_ref, meal_ref, tvns_ref, *rest):
+    """HAND-WRITTEN reverse-time RK4 adjoint (the default backward).
+
+    Measured motivation (round-4 roofline, B=8192 T=61 H=64, v5e): the
+    jax.vjp-generated backward spent ~27 ms of its 37 ms in the MLP's
+    transposed matmuls — Mosaic lowers the vjp's ((0,),(0,))-contraction
+    dot_generals by materializing an operand transpose per call, 80×/
+    interval inside the fori_loop. Here the weight transposes are hoisted
+    ONCE per block and every backward matmul is a standard ((1,),(0,)) or
+    lane-contraction form. Parameter cotangents accumulate as per-lane
+    (1, Bb) rows (one lane reduction per block, outside the kernel);
+    subject-context conditioning (feature or param mode) is closed-form
+    at the end of the block. Gradient parity with the XLA discrete
+    adjoint is asserted to ~1e-6 rel in tests/test_pallas_kernel.py."""
+    from jax.experimental import pallas as pl
+
+    k = 0
+    ctx = None
+    if has_ctx:
+        ctx = rest[0][:]
+        k = 1
+    w_refs = rest[k: k + n_layers + 1]
+    b_refs = rest[k + n_layers + 1: k + 2 * (n_layers + 1)]
+    param_ref = rest[k + 2 * (n_layers + 1)]
+    outs = rest[k + 2 * (n_layers + 1) + 1:]
+    ybar0_ref = outs[0]
+    dw_refs = outs[1: n_layers + 2]
+    db_refs = outs[n_layers + 2: 2 * (n_layers + 1) + 1]
+    dpv_ref = outs[2 * (n_layers + 1) + 1]
+    dctx_ref = outs[2 * (n_layers + 1) + 2] if has_ctx else None
+
+    pv = param_ref[:]
+    ws = [w_refs[i][:] for i in range(n_layers + 1)]
+    bs = [b_refs[i][:] for i in range(n_layers + 1)]
+    # hoisted once per block: all backward matmuls become standard forms
+    wsT = [w.T for w in ws]
+    T = traj_ref.shape[0]
+    Bb = traj_ref.shape[2]
+    inv_s = 1.0 / substeps
+    n_par = len(PARAM_ORDER)
+    L = n_layers
+    in_pad = ws[0].shape[1]
+    feature_ctx = has_ctx and not ctx_param_idx
+
+    ones_row = jnp.ones((1, Bb), jnp.float32)
+    # effective per-lane parameter rows (context conditioning folded in)
+    P_eff = [pv[0, i] * ones_row for i in range(n_par)]
+    if ctx_param_idx:
+        for row, pidx in enumerate(ctx_param_idx):
+            if ctx_param_mode == "abs":
+                P_eff[pidx] = ctx[row: row + 1]
+            else:
+                P_eff[pidx] = P_eff[pidx] * jnp.exp(ctx[row: row + 1])
+    idx = {name: i for i, name in enumerate(PARAM_ORDER)}
+    Pd = {name: P_eff[i] for i, name in enumerate(PARAM_ORDER)}
+
+    def mlp_fwd(X):
+        """Forward MLP on features (in_pad, Bb); returns (R, activations)."""
+        acts = []
+        H = X.astype(mlp_dtype)
+        for li in range(L):
+            H = jnp.maximum(
+                jax.lax.dot_general(
+                    ws[li].astype(mlp_dtype), H, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + bs[li],
+                0.0,
+            )
+            acts.append(H)
+            H = H.astype(mlp_dtype)
+        R = jax.lax.dot_general(
+            ws[L].astype(mlp_dtype), H, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bs[L]
+        return R, acts
+
+    def mech_fwd(X_rows):
+        """Mechanistic drift from the feature block's state rows."""
+        G, I, Glu, GLP1, FFA = X_rows
+        Pi = 1.0 + Pd["rho"] * GLP1
+        dI = Pi * Pd["a_GI"] * (G - Pd["G_b"]) - Pd["k_I"] * (I - Pd["I_b"])
+        glp1_eff = Pd["E_max"] * GLP1 / (Pd["EC_50"] + GLP1)
+        dGlu = -glp1_eff * (Glu - Pd["Glu_b"])
+        dGLP1 = Pd["V_max"] * G / (Pd["K_m"] + G) - Pd["k_L"] * GLP1
+        dFFA = -Pd["p_7"] * FFA - Pd["p_8"] * I * FFA + Pd["p_9"] * G * FFA
+        return dI, dGlu, dGLP1, dFFA
+
+    def stage_eval(tc, Yc, mc, vc):
+        """One field eval; returns (k, saved X, saved MLP activations)."""
+        feats = [tc, Yc[0:6], Yc[3:4], vc]
+        n_feat = 9
+        if feature_ctx:
+            feats.append(ctx)
+            n_feat += n_ctx
+        if in_pad > n_feat:
+            feats.append(jnp.zeros((in_pad - n_feat, Bb), jnp.float32))
+        X = jnp.concatenate(feats, axis=0)
+        G, I, Glu, GLP1, FFA = Yc[0:1], Yc[1:2], Yc[2:3], Yc[3:4], Yc[5:6]
+        dI, dGlu, dGLP1, dFFA = mech_fwd((G, I, Glu, GLP1, FFA))
+        dG = (mc - 0.01 * (I - Pd["I_b"]) + 0.005 * (Glu - Pd["Glu_b"])
+              - Pd["k_GE0"] * G)
+        zero = jnp.zeros_like(G)
+        dY = jnp.concatenate([dG, dI, dGlu, dGLP1, zero, dFFA, zero, zero], 0)
+        R, acts = mlp_fwd(X)
+        return dY + R, X, acts
+
+    def stage_bwd(gd, X, acts, accs):
+        """Transpose of stage_eval: cotangent gd (8, Bb) of the field output
+        -> cotangent of the stage state (8, Bb); accumulates weight / bias /
+        per-lane param / ctx cotangents into accs."""
+        dws, dbs, dprows, dctx = accs
+        # ---- MLP transpose: standard-contraction matmuls only ----
+        gL = gd
+        new_dws = list(dws)
+        new_dbs = list(dbs)
+        inp_L = acts[L - 1] if L > 0 else X
+        new_dws[L] = dws[L] + jax.lax.dot_general(
+            gL.astype(mlp_dtype), inp_L.astype(mlp_dtype),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        new_dbs[L] = dbs[L] + jnp.sum(gL, axis=1, keepdims=True)
+        u = jax.lax.dot_general(
+            wsT[L].astype(mlp_dtype), gL.astype(mlp_dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        for l in range(L - 1, -1, -1):
+            gz = u * (acts[l] > 0)
+            inp = acts[l - 1] if l > 0 else X
+            new_dws[l] = dws[l] + jax.lax.dot_general(
+                gz.astype(mlp_dtype), inp.astype(mlp_dtype),
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            new_dbs[l] = dbs[l] + jnp.sum(gz, axis=1, keepdims=True)
+            u = jax.lax.dot_general(
+                wsT[l].astype(mlp_dtype), gz.astype(mlp_dtype),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dX = u  # (in_pad, Bb)
+        if feature_ctx:
+            dctx = dctx + dX[9: 9 + n_ctx]
+
+        # ---- mechanistic transpose (hand-derived Jacobian rows) ----
+        G, I, Glu = X[1:2], X[2:3], X[3:4]
+        GLP1, FFA = X[4:5], X[6:7]
+        gG, gI, gGlu = gd[0:1], gd[1:2], gd[2:3]
+        gGLP, gFFA = gd[3:4], gd[5:6]
+        Pi = 1.0 + Pd["rho"] * GLP1
+        Gd = G - Pd["G_b"]
+        Glud = Glu - Pd["Glu_b"]
+        e_den = Pd["EC_50"] + GLP1
+        glp1_eff = Pd["E_max"] * GLP1 / e_den
+        km_den = Pd["K_m"] + G
+
+        mech_G = (gI * (Pi * Pd["a_GI"]) + gGLP * (Pd["V_max"] * Pd["K_m"] / (km_den * km_den))
+                  + gFFA * (Pd["p_9"] * FFA) - gG * Pd["k_GE0"])
+        mech_I = -gI * Pd["k_I"] - gFFA * (Pd["p_8"] * FFA) - 0.01 * gG
+        mech_Glu = -gGlu * glp1_eff + 0.005 * gG
+        mech_GLP = (gI * (Pd["rho"] * Pd["a_GI"] * Gd)
+                    - gGlu * (Glud * Pd["E_max"] * Pd["EC_50"] / (e_den * e_den))
+                    - gGLP * Pd["k_L"])
+        mech_FFA = gFFA * (-Pd["p_7"] - Pd["p_8"] * I + Pd["p_9"] * G)
+
+        dY = jnp.concatenate([
+            dX[1:2] + mech_G,
+            dX[2:3] + mech_I,
+            dX[3:4] + mech_Glu,
+            dX[4:5] + dX[7:8] + mech_GLP,
+            dX[5:6],
+            dX[6:7] + mech_FFA,
+            jnp.zeros((2, Bb), jnp.float32),
+        ], axis=0)
+
+        # ---- per-lane parameter cotangent rows (wrt EFFECTIVE params) ----
+        p = list(dprows)
+        p[idx["a_GI"]] = p[idx["a_GI"]] + gI * Pi * Gd
+        p[idx["k_I"]] = p[idx["k_I"]] - gI * (I - Pd["I_b"])
+        p[idx["rho"]] = p[idx["rho"]] + gI * Pd["a_GI"] * Gd * GLP1
+        p[idx["G_b"]] = p[idx["G_b"]] - gI * Pi * Pd["a_GI"]
+        p[idx["I_b"]] = p[idx["I_b"]] + gI * Pd["k_I"] + 0.01 * gG
+        p[idx["E_max"]] = p[idx["E_max"]] - gGlu * Glud * GLP1 / e_den
+        p[idx["EC_50"]] = (p[idx["EC_50"]]
+                           + gGlu * Glud * Pd["E_max"] * GLP1 / (e_den * e_den))
+        p[idx["Glu_b"]] = p[idx["Glu_b"]] + gGlu * glp1_eff - 0.005 * gG
+        p[idx["V_max"]] = p[idx["V_max"]] + gGLP * G / km_den
+        p[idx["K_m"]] = (p[idx["K_m"]]
+                         - gGLP * Pd["V_max"] * G / (km_den * km_den))
+        p[idx["k_L"]] = p[idx["k_L"]] - gGLP * GLP1
+        p[idx["k_GE0"]] = p[idx["k_GE0"]] - gG * G
+        p[idx["p_7"]] = p[idx["p_7"]] - gFFA * FFA
+        p[idx["p_8"]] = p[idx["p_8"]] - gFFA * I * FFA
+        p[idx["p_9"]] = p[idx["p_9"]] + gFFA * G * FFA
+
+        return dY, (tuple(new_dws), tuple(new_dbs), tuple(p), dctx)
+
+    def interval(kk, carry):
+        ybar, dws, dbs, dprows, dctx = carry
+        i = T - 2 - kk  # reverse interval walk
+
+        # ---- single forward pass, saving stage features + activations ----
+        Y = traj_ref[pl.ds(i, 1)][0]
+        saved = []  # per substep: (h, [(X, acts)] x 4)
+        for j in range(substeps):
+            t, h, ctrls = _interval_inputs(
+                pl, ts_ref, meal_ref, tvns_ref, i, jnp.float32(j), inv_s)
+            (m0, v0), (m1, v1), (m2, v2) = ctrls
+            k1, X1, a1 = stage_eval(t, Y, m0, v0)
+            k2, X2, a2 = stage_eval(t + 0.5 * h, Y + 0.5 * h * k1, m1, v1)
+            k3, X3, a3 = stage_eval(t + 0.5 * h, Y + 0.5 * h * k2, m1, v1)
+            k4, X4, a4 = stage_eval(t + h, Y + h * k3, m2, v2)
+            Y = Y + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+            saved.append((h, ((X1, a1), (X2, a2), (X3, a3), (X4, a4))))
+
+        # ---- reverse sweep through the substeps' stages ----
+        for j in range(substeps - 1, -1, -1):
+            h, stages = saved[j]
+            accs = (dws, dbs, dprows, dctx)
+            go = ybar
+            dk1 = (h / 6.0) * go
+            dk2 = (h / 3.0) * go
+            dk3 = (h / 3.0) * go
+            dk4 = (h / 6.0) * go
+            dY4, accs = stage_bwd(dk4, *stages[3], accs)
+            dk3 = dk3 + h * dY4
+            dY3, accs = stage_bwd(dk3, *stages[2], accs)
+            dk2 = dk2 + 0.5 * h * dY3
+            dY2, accs = stage_bwd(dk2, *stages[1], accs)
+            dk1 = dk1 + 0.5 * h * dY2
+            dY1, accs = stage_bwd(dk1, *stages[0], accs)
+            ybar = go + dY1 + dY2 + dY3 + dY4
+            dws, dbs, dprows, dctx = accs
+
+        ybar = ybar + gbar_ref[pl.ds(i, 1)][0]
+        return ybar, dws, dbs, dprows, dctx
+
+    init = (
+        gbar_ref[pl.ds(T - 1, 1)][0],
+        tuple(jnp.zeros_like(w) for w in ws),
+        tuple(jnp.zeros_like(b) for b in bs),
+        tuple(jnp.zeros((1, Bb), jnp.float32) for _ in range(n_par)),
+        jnp.zeros_like(ctx) if has_ctx else jnp.zeros((1, 1), jnp.float32),
+    )
+    ybar, dws, dbs, dprows, dctx = jax.lax.fori_loop(0, T - 1, interval, init)
+
+    # ---- context conditioning: closed-form fold of the effective-param
+    # cotangents (P_eff is constant over the trajectory, so the per-use
+    # chain factors commute with the accumulation) ----
+    dprows = list(dprows)
+    if ctx_param_idx:
+        dctx_rows = []
+        for row, pidx in enumerate(ctx_param_idx):
+            if ctx_param_mode == "abs":
+                dctx_rows.append(dprows[pidx])
+                dprows[pidx] = jnp.zeros((1, Bb), jnp.float32)
+            else:  # 'mul': P_eff = base * e^c
+                dctx_rows.append(dprows[pidx] * P_eff[pidx])
+                dprows[pidx] = dprows[pidx] * jnp.exp(ctx[row: row + 1])
+        dctx = jnp.concatenate(dctx_rows, axis=0)
+
+    ybar0_ref[:] = ybar
+    if has_ctx:
+        dctx_ref[:] = dctx
+    dpv_ref[:] = jnp.concatenate(
+        dprows + [jnp.zeros((32 - n_par, Bb), jnp.float32)], axis=0)
+
+    is_first = pl.program_id(0) == 0
+
+    @pl.when(is_first)
+    def _():
+        for r, g in zip(dw_refs, dws):
+            r[:] = g
+        for r, g in zip(db_refs, dbs):
+            r[:] = g
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        for r, g in zip(dw_refs, dws):
+            r[:] = r[:] + g
+        for r, g in zip(db_refs, dbs):
+            r[:] = r[:] + g
+
 def _bwd_kernel(substeps, n_layers, has_ctx, n_ctx, ctx_param_idx, mlp_dtype,
-                ctx_param_mode,
+                ctx_param_mode, bwd_impl,
                 traj_ref, gbar_ref, ts_ref, meal_ref, tvns_ref, *rest):
     from jax.experimental import pallas as pl
 
@@ -415,70 +713,195 @@ def _bwd_kernel(substeps, n_layers, has_ctx, n_ctx, ctx_param_idx, mlp_dtype,
     ws = tuple(w_refs[i][:] for i in range(n_layers + 1))
     bs = tuple(b_refs[i][:] for i in range(n_layers + 1))
     T = traj_ref.shape[0]
+    Bb = traj_ref.shape[2]
     inv_s = 1.0 / substeps
+    n_par = len(PARAM_ORDER)
+
+    field_parts = "both"
+    if bwd_impl in ("probe_y_mlp", "probe_y_mech"):
+        field_parts = bwd_impl.rsplit("_", 1)[-1]
 
     def substep_fn(Y, ws_, bs_, pv_, ctx_, t, h, ctrls):
         return _rk4_substep_t(Y, t, h, ctrls, list(ws_), list(bs_), pv_,
                               ctx_, n_layers, ctx_param_idx, mlp_dtype,
-                              ctx_param_mode)
+                              ctx_param_mode, field_parts)
 
     zero_ws = tuple(jnp.zeros_like(w) for w in ws)
     zero_bs = tuple(jnp.zeros_like(b) for b in bs)
     zero_ctx = jnp.zeros_like(ctx) if has_ctx else jnp.zeros((1, 1), jnp.float32)
 
-    def interval(kk, carry):
-        ybar, dws, dbs, dpv, dctx = carry
-        i = T - 2 - kk  # walk intervals in reverse
+    if bwd_impl.startswith("chained") or bwd_impl.startswith("probe"):
+        # Single forward pass per interval: jax.vjp's primal output advances
+        # the state, so the residual-saving forward IS the recompute (the
+        # 'recompute' impl runs every substep's forward twice). Parameters
+        # ride as 17 broadcast (1, Bb) rows so their cotangents accumulate
+        # per-lane elementwise; ONE cross-lane reduction per block at the
+        # end replaces a reduction per scalar use per stage eval. Costs
+        # `substeps` live vjp-residual sets of VMEM instead of one.
+        #
+        # probe_y / probe_yw are TIMING DECOMPOSITION variants (wrong
+        # grads by construction — zero dW/dpv resp. dpv): they measure the
+        # adjoint chain wrt Y alone / Y+weights for the roofline analysis.
+        probe = bwd_impl.startswith("probe")
+        diff_w = bwd_impl not in ("probe_y", "probe_y_mlp", "probe_y_mech",
+                                  "probe_fwd1", "probe_fwd2")
+        diff_p = not probe
+        fwd_only = bwd_impl in ("probe_fwd1", "probe_fwd2")
+        n_fwd_passes = 2 if bwd_impl == "probe_fwd2" else 1
+        ones_row = jnp.ones((1, Bb), jnp.float32)
+        pv_rows = tuple(pv[0, i] * ones_row for i in range(n_par))
 
-        # --- recompute the substep states from the saved left-edge state ---
-        y_states = [traj_ref[pl.ds(i, 1)][0]]  # (8, Bb)
-        step_inputs = []
-        for j in range(substeps):
-            t, h, ctrls = _interval_inputs(
-                pl, ts_ref, meal_ref, tvns_ref, i, jnp.float32(j), inv_s
-            )
-            step_inputs.append((t, h, ctrls))
-            y_states.append(
-                substep_fn(y_states[j], ws, bs, pv, ctx, t, h, ctrls)
-            )
+        def interval(kk, carry):
+            ybar, dws, dbs, dprows, dctx = carry
+            i = T - 2 - kk  # walk intervals in reverse
 
-        # --- reverse sweep: vjp of each substep, stage recomputation inside ---
-        for j in reversed(range(substeps)):
-            t, h, ctrls = step_inputs[j]
-            if has_ctx:
-                _, vjp = jax.vjp(
-                    lambda Y, w_, b_, p_, c_: substep_fn(Y, w_, b_, p_, c_, t, h, ctrls),
-                    y_states[j], ws, bs, pv, ctx,
+            Y = traj_ref[pl.ds(i, 1)][0]  # (8, Bb) saved left-edge state
+
+            if fwd_only:
+                # TIMING PROBES (wrong grads): n forward passes per interval
+                # in the backward-kernel structure, no vjp — isolates the
+                # transpose tax from the scaffolding + forward cost.
+                acc = Y
+                for _pass in range(n_fwd_passes):
+                    Yp = Y + 1e-30 * acc  # serialize the passes
+                    for j in range(substeps):
+                        t, h, ctrls = _interval_inputs(
+                            pl, ts_ref, meal_ref, tvns_ref, i,
+                            jnp.float32(j), inv_s)
+                        Yp = substep_fn(Yp, ws, bs, pv_rows,
+                                        ctx if has_ctx else None, t, h, ctrls)
+                    acc = Yp
+                ybar = ybar + 1e-30 * acc + gbar_ref[pl.ds(i, 1)][0]
+                return ybar, dws, dbs, dprows, dctx
+
+            vjps = []
+            for j in range(substeps):
+                t, h, ctrls = _interval_inputs(
+                    pl, ts_ref, meal_ref, tvns_ref, i, jnp.float32(j), inv_s
                 )
-                ybar, dws_j, dbs_j, dpv_j, dctx_j = vjp(ybar)
-                dctx = dctx + dctx_j
-            else:
-                _, vjp = jax.vjp(
-                    lambda Y, w_, b_, p_: substep_fn(Y, w_, b_, p_, None, t, h, ctrls),
-                    y_states[j], ws, bs, pv,
+                if has_ctx and diff_p:
+                    Y, vjp = jax.vjp(
+                        lambda Y_, w_, b_, p_, c_, t=t, h=h, ctrls=ctrls:
+                            substep_fn(Y_, w_, b_, p_, c_, t, h, ctrls),
+                        Y, ws, bs, pv_rows, ctx,
+                    )
+                elif diff_p:
+                    Y, vjp = jax.vjp(
+                        lambda Y_, w_, b_, p_, t=t, h=h, ctrls=ctrls:
+                            substep_fn(Y_, w_, b_, p_, None, t, h, ctrls),
+                        Y, ws, bs, pv_rows,
+                    )
+                elif diff_w:  # probe_yw
+                    Y, vjp = jax.vjp(
+                        lambda Y_, w_, b_, t=t, h=h, ctrls=ctrls:
+                            substep_fn(Y_, w_, b_, pv_rows,
+                                       ctx if has_ctx else None, t, h, ctrls),
+                        Y, ws, bs,
+                    )
+                else:  # probe_y
+                    Y, vjp = jax.vjp(
+                        lambda Y_, t=t, h=h, ctrls=ctrls:
+                            substep_fn(Y_, ws, bs, pv_rows,
+                                       ctx if has_ctx else None, t, h, ctrls),
+                        Y,
+                    )
+                vjps.append(vjp)
+
+            for j in reversed(range(substeps)):
+                if has_ctx and diff_p:
+                    ybar, dws_j, dbs_j, dpr_j, dctx_j = vjps[j](ybar)
+                    dctx = dctx + dctx_j
+                elif diff_p:
+                    ybar, dws_j, dbs_j, dpr_j = vjps[j](ybar)
+                elif diff_w:
+                    ybar, dws_j, dbs_j = vjps[j](ybar)
+                    dpr_j = None
+                else:
+                    (ybar,) = vjps[j](ybar)
+                    dws_j = dbs_j = dpr_j = None
+                if dws_j is not None:
+                    dws = tuple(a + g for a, g in zip(dws, dws_j))
+                    dbs = tuple(a + g for a, g in zip(dbs, dbs_j))
+                if dpr_j is not None:
+                    dprows = tuple(a + g for a, g in zip(dprows, dpr_j))
+
+            # cotangent injected at observation point i
+            ybar = ybar + gbar_ref[pl.ds(i, 1)][0]
+            return ybar, dws, dbs, dprows, dctx
+
+        init = (
+            gbar_ref[pl.ds(T - 1, 1)][0],
+            zero_ws, zero_bs,
+            tuple(jnp.zeros((1, Bb), jnp.float32) for _ in range(n_par)),
+            zero_ctx,
+        )
+        ybar, dws, dbs, dprows, dctx = jax.lax.fori_loop(0, T - 1, interval, init)
+        # per-lane parameter cotangents leave the kernel as a (32, Bb) block
+        # per grid step (blocks own disjoint lanes — no cross-block
+        # accumulation); the lane reduction happens in XLA outside (1 MB of
+        # HBM traffic, negligible). An in-kernel 17-scalar concatenate
+        # crashes the Mosaic backend (vector<1x1xf32> concat layouts).
+        dpv = jnp.concatenate(
+            list(dprows) + [jnp.zeros((32 - n_par, Bb), jnp.float32)], axis=0)
+    else:
+        def interval(kk, carry):
+            ybar, dws, dbs, dpv, dctx = carry
+            i = T - 2 - kk  # walk intervals in reverse
+
+            # --- recompute the substep states from the saved left-edge state ---
+            y_states = [traj_ref[pl.ds(i, 1)][0]]  # (8, Bb)
+            step_inputs = []
+            for j in range(substeps):
+                t, h, ctrls = _interval_inputs(
+                    pl, ts_ref, meal_ref, tvns_ref, i, jnp.float32(j), inv_s
                 )
-                ybar, dws_j, dbs_j, dpv_j = vjp(ybar)
-            dws = tuple(a + g for a, g in zip(dws, dws_j))
-            dbs = tuple(a + g for a, g in zip(dbs, dbs_j))
-            dpv = dpv + dpv_j
+                step_inputs.append((t, h, ctrls))
+                y_states.append(
+                    substep_fn(y_states[j], ws, bs, pv, ctx, t, h, ctrls)
+                )
 
-        # cotangent injected at observation point i
-        ybar = ybar + gbar_ref[pl.ds(i, 1)][0]
-        return ybar, dws, dbs, dpv, dctx
+            # --- reverse sweep: vjp of each substep, stage recomputation inside ---
+            for j in reversed(range(substeps)):
+                t, h, ctrls = step_inputs[j]
+                if has_ctx:
+                    _, vjp = jax.vjp(
+                        lambda Y, w_, b_, p_, c_: substep_fn(Y, w_, b_, p_, c_, t, h, ctrls),
+                        y_states[j], ws, bs, pv, ctx,
+                    )
+                    ybar, dws_j, dbs_j, dpv_j, dctx_j = vjp(ybar)
+                    dctx = dctx + dctx_j
+                else:
+                    _, vjp = jax.vjp(
+                        lambda Y, w_, b_, p_: substep_fn(Y, w_, b_, p_, None, t, h, ctrls),
+                        y_states[j], ws, bs, pv,
+                    )
+                    ybar, dws_j, dbs_j, dpv_j = vjp(ybar)
+                dws = tuple(a + g for a, g in zip(dws, dws_j))
+                dbs = tuple(a + g for a, g in zip(dbs, dbs_j))
+                dpv = dpv + dpv_j
 
-    init = (
-        gbar_ref[pl.ds(T - 1, 1)][0],
-        zero_ws, zero_bs, jnp.zeros_like(pv), zero_ctx,
-    )
-    ybar, dws, dbs, dpv, dctx = jax.lax.fori_loop(0, T - 1, interval, init)
+            # cotangent injected at observation point i
+            ybar = ybar + gbar_ref[pl.ds(i, 1)][0]
+            return ybar, dws, dbs, dpv, dctx
+
+        init = (
+            gbar_ref[pl.ds(T - 1, 1)][0],
+            zero_ws, zero_bs, jnp.zeros_like(pv), zero_ctx,
+        )
+        ybar, dws, dbs, dpv, dctx = jax.lax.fori_loop(0, T - 1, interval, init)
 
     ybar0_ref[:] = ybar
     if has_ctx:
         dctx_ref[:] = dctx
 
-    # weight/param cotangents accumulate ACROSS batch blocks: the TPU grid is
+    # weight cotangents accumulate ACROSS batch blocks: the TPU grid is
     # sequential and every block maps to the same output tile, which stays
-    # resident in VMEM between iterations.
+    # resident in VMEM between iterations. ('chained' param cotangents are
+    # per-lane (32, Bb) blocks on disjoint lanes — written directly.)
+    lanewise_dpv = bwd_impl != "recompute"
+    if lanewise_dpv:
+        dpv_ref[:] = dpv
+
     is_first = pl.program_id(0) == 0
 
     @pl.when(is_first)
@@ -487,7 +910,8 @@ def _bwd_kernel(substeps, n_layers, has_ctx, n_ctx, ctx_param_idx, mlp_dtype,
             r[:] = g
         for r, g in zip(db_refs, dbs):
             r[:] = g
-        dpv_ref[:] = dpv
+        if not lanewise_dpv:
+            dpv_ref[:] = dpv
 
     @pl.when(jnp.logical_not(is_first))
     def _():
@@ -495,12 +919,13 @@ def _bwd_kernel(substeps, n_layers, has_ctx, n_ctx, ctx_param_idx, mlp_dtype,
             r[:] = r[:] + g
         for r, g in zip(db_refs, dbs):
             r[:] = r[:] + g
-        dpv_ref[:] = dpv_ref[:] + dpv
+        if not lanewise_dpv:
+            dpv_ref[:] = dpv_ref[:] + dpv
 
 
 def _bwd_pallas(traj, gbar_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
                 substeps, n_layers, interpret, Bb, ctx_param_idx=(),
-                mlp_dtype="f32", ctx_param_mode="mul"):
+                mlp_dtype="f32", ctx_param_mode="mul", bwd_impl="hand"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -540,24 +965,39 @@ def _bwd_pallas(traj, gbar_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
     for b in bs:
         out_shapes.append(jax.ShapeDtypeStruct(b.shape, jnp.float32))
         out_specs.append(full(b))
-    out_shapes.append(jax.ShapeDtypeStruct((1, 32), jnp.float32))
-    out_specs.append(full(pvec))
+    if bwd_impl != "recompute":
+        # per-lane param cotangents: (32, Bb) block per grid step
+        out_shapes.append(jax.ShapeDtypeStruct((32, Bp), jnp.float32))
+        out_specs.append(bspec((32, Bb), lambda i: (0, i)))
+    else:
+        out_shapes.append(jax.ShapeDtypeStruct((1, 32), jnp.float32))
+        out_specs.append(full(pvec))
     if has_ctx:
         C = ctx_t.shape[0]
         out_shapes.append(jax.ShapeDtypeStruct((C, Bp), jnp.float32))
         out_specs.append(bspec((C, Bb), lambda i: (0, i)))
 
-    kernel = functools.partial(
-        _bwd_kernel, substeps, n_layers, has_ctx,
-        ctx_t.shape[0] if has_ctx else 0, ctx_param_idx,
-        _MLP_DTYPES[mlp_dtype], ctx_param_mode,
-    )
+    if bwd_impl == "hand":
+        kernel = functools.partial(
+            _bwd_kernel_hand, substeps, n_layers, has_ctx,
+            ctx_t.shape[0] if has_ctx else 0, ctx_param_idx,
+            _MLP_DTYPES[mlp_dtype], ctx_param_mode,
+        )
+    else:
+        kernel = functools.partial(
+            _bwd_kernel, substeps, n_layers, has_ctx,
+            ctx_t.shape[0] if has_ctx else 0, ctx_param_idx,
+            _MLP_DTYPES[mlp_dtype], ctx_param_mode, bwd_impl,
+        )
     # Raise Mosaic's scoped-VMEM allowance above the 16 MB default: v5e has
     # 128 MB of VMEM per core, and the backward residuals (4 live RK stages
     # of MLP activations per substep) are what capped the lane block at 256.
     # 96 MB admits Bb=1024 (measured: 80.2 -> 41.2 ms full fwd+bwd at
     # B=8192, T=61 — see RESULTS.md roofline section).
-    params = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+    import os
+
+    vmem_mb = int(os.environ.get("HYBRID_ODE_BWD_VMEM_MB", "110"))
+    params = pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 1024 * 1024)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -576,7 +1016,8 @@ def _bwd_pallas(traj, gbar_t, ts_t, meal_t, tvns_t, ctx_t, ws, bs, pvec,
 @functools.lru_cache(maxsize=None)
 def _make_fused_rk4(substeps: int, n_layers: int, interpret: bool,
                     block_b: int, block_b_bwd: int, ctx_param_idx: tuple = (),
-                    mlp_dtype: str = "f32", ctx_param_mode: str = "mul"):
+                    mlp_dtype: str = "f32", ctx_param_mode: str = "mul",
+                    bwd_impl: str = "hand"):
     """Build (and cache) the custom-VJP fused trajectory function for one
     static configuration."""
 
@@ -631,11 +1072,13 @@ def _make_fused_rk4(substeps: int, n_layers: int, interpret: bool,
         pvec = _pack_params(ode_params)
         outs = _bwd_pallas(traj, gbar_t, ts_t, meal_t, tvns_t, ctx_t,
                            ws, bs, pvec, substeps, n_layers, interpret, Bb,
-                           ctx_param_idx, mlp_dtype, ctx_param_mode)
+                           ctx_param_idx, mlp_dtype, ctx_param_mode, bwd_impl)
         ybar0 = outs[0]
         dws = outs[1: n_layers + 2]
         dbs = outs[n_layers + 2: 2 * (n_layers + 1) + 1]
         dpv = outs[2 * (n_layers + 1) + 1]
+        if bwd_impl != "recompute":
+            dpv = jnp.sum(dpv, axis=1)[None, :]  # (32, Bp) lanes -> (1, 32)
         d_nn = _unpack_weight_grads(dws, dbs, nn_params, n_layers)
         d_ode = {
             name: dpv[0, i].astype(ode_params[name].dtype).reshape(
@@ -670,6 +1113,7 @@ def fused_rk4_hybrid(
     context_param_idx: tuple = (),
     mlp_dtype: str = "f32",
     ctx_param_mode: str = "mul",
+    bwd_impl: str = "hand",
 ) -> jnp.ndarray:
     """Differentiable fused-RK4 trajectory: custom-VJP Pallas forward AND
     backward. Gradients flow to y0, context, ode_params and nn_params
@@ -682,7 +1126,13 @@ def fused_rk4_hybrid(
     the vjp's transposed matmuls — as single-pass bf16 MXU ops with f32
     accumulation; everything else (states, mechanistic drift, RK combine,
     cotangent accumulators) stays f32. DEVIATION from exact XLA-path
-    parity by design: trajectories/grads agree to ~bf16 resolution."""
+    parity by design: trajectories/grads agree to ~bf16 resolution.
+
+    bwd_impl: 'chained' (default) runs ONE residual-saving forward pass per
+    interval (the vjp primal advances the state) with per-lane parameter
+    cotangent rows; 'recompute' is the r3 kernel (forward runs twice per
+    interval, parameter grads lane-reduce per substep) kept for A/B."""
     fn = _make_fused_rk4(substeps, n_layers, interpret, block_b, block_b_bwd,
-                         tuple(context_param_idx), mlp_dtype, ctx_param_mode)
+                         tuple(context_param_idx), mlp_dtype, ctx_param_mode,
+                         bwd_impl)
     return fn(y0, ts, meal, tvns, context, ode_params, nn_params)

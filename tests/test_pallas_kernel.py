@@ -293,3 +293,51 @@ def test_fused_mcmc_engine_matches_xla():
     a = np.asarray(out["ode_a_GI"])
     assert np.all(np.isfinite(a)) and a.std() > 0
     assert float(np.mean(out["_accept_stat"])) > 0.2
+
+
+@pytest.mark.parametrize("mode", ["none", "feature", "params_mul", "params_abs"])
+def test_hand_bwd_matches_legacy_vjp_impls(mode):
+    """The hand-written reverse-RK4 adjoint (bwd_impl='hand', the default)
+    matches the legacy jax.vjp-generated backward ('recompute') on every
+    gradient path and context mode. Guards the round-4 kernel rewrite
+    (41.3 -> 16.7 ms train step) against silent drift."""
+    from hybrid_ode_tpu.ops.pallas_rk4 import fused_rk4_hybrid
+
+    cfg = HybridConfig(solver="rk4", substeps=2, mode="scan")
+    params = init_hybrid_params(jax.random.PRNGKey(0), cfg)
+    params["nn"]["w4"] = 0.01 * jax.random.normal(
+        jax.random.PRNGKey(2), params["nn"]["w4"].shape)
+
+    B, T, C = 4, 6, 3
+    y0 = jnp.abs(jnp.array([8.0, 100.0, 90.0, 20.0, 0.0, 1.2])[None, :]
+                 * (1 + 0.1 * jax.random.normal(jax.random.PRNGKey(1), (B, 6))))
+    ts = jnp.broadcast_to(jnp.linspace(0.0, 1.0, T), (B, T))
+    meal = jnp.zeros((B, T)).at[:, 2].set(1.5)
+    tvns = jnp.zeros((B, T))
+    ctx = 0.1 * jax.random.normal(jax.random.PRNGKey(3), (B, C))
+
+    kw = {}
+    c = None
+    if mode == "feature":
+        c = ctx
+    elif mode == "params_mul":
+        c, kw = ctx, dict(context_param_idx=(0, 2, 10))
+    elif mode == "params_abs":
+        c, kw = ctx, dict(context_param_idx=(0, 2, 10), ctx_param_mode="abs")
+
+    def loss(p, cc, impl):
+        pred = fused_rk4_hybrid(y0, ts, meal, tvns, p["ode"], p["nn"],
+                                substeps=2, interpret=True, context=cc,
+                                bwd_impl=impl, **kw)
+        return jnp.sum(pred ** 2)
+
+    if c is None:
+        gh = jax.grad(lambda p: loss(p, None, "hand"))(params)
+        gr = jax.grad(lambda p: loss(p, None, "recompute"))(params)
+    else:
+        gh, gch = jax.grad(lambda p, cc: loss(p, cc, "hand"), argnums=(0, 1))(params, c)
+        gr, gcr = jax.grad(lambda p, cc: loss(p, cc, "recompute"), argnums=(0, 1))(params, c)
+        assert _rel_err(gch, gcr) < 1e-5
+    for grp in ("nn", "ode"):
+        for k in gh[grp]:
+            assert _rel_err(gh[grp][k], gr[grp][k]) < 1e-5, (grp, k)
