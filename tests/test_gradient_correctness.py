@@ -103,3 +103,62 @@ def test_vi_gradients_flow():
     std_norm = sum(float(jnp.abs(v).sum()) for v in g.log_stds.values())
     assert np.isfinite(mean_norm) and mean_norm > 0
     assert np.isfinite(std_norm) and std_norm > 0
+
+
+@pytest.mark.parametrize("solver", ["radau", "bdf"])
+def test_implicit_solver_hybrid_gradients_match_fd(solver, x64):
+    """FD-vs-adjoint gradient checks for the IMPLICIT solvers on the 6-state
+    hybrid field (mechanistic + NN residual), f64 on CPU (VERDICT r3 #7:
+    radau/bdf scan-mode grads were exercised nowhere against finite
+    differences on the hybrid field)."""
+    from hybrid_ode_tpu.dynamics.ode_core import make_ode_params, steady_state
+    from hybrid_ode_tpu.models.hybrid import hybrid_field
+    from hybrid_ode_tpu.solvers.api import odeint
+
+    cfg = HybridConfig(solver=solver, nn_hidden=8, nn_layers=2, mode="scan")
+    params = init_hybrid_params(jax.random.PRNGKey(0), cfg)
+    # non-zero output layer so NN-weight grads are informative
+    params["nn"]["w2"] = 0.02 * jax.random.normal(
+        jax.random.PRNGKey(2), params["nn"]["w2"].shape)
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float64), params)
+    ode64 = make_ode_params(dtype=jnp.float64)
+    y0 = (steady_state(ode64) + 0.3).astype(jnp.float64)
+    ts = jnp.linspace(0.0, 1.5, 4, dtype=jnp.float64)
+
+    f = lambda t, y, p: hybrid_field(t, y, p, None, cfg)
+
+    def loss_of(p):
+        ys = odeint(f, y0, ts, p, solver=solver, rtol=1e-8, atol=1e-10,
+                    mode="scan", max_steps_per_interval=64)
+        return jnp.sum(ys[-1] ** 2)
+
+    g = jax.grad(loss_of)(params)
+
+    def fd(path_get, path_set, eps=1e-6):
+        p_plus = path_set(params, path_get(params) + eps)
+        p_minus = path_set(params, path_get(params) - eps)
+        return (loss_of(p_plus) - loss_of(p_minus)) / (2 * eps)
+
+    # scalar mechanistic parameter
+    g_fd = fd(lambda p: p["ode"]["a_GI"],
+              lambda p, v: {**p, "ode": {**p["ode"], "a_GI": v}})
+    np.testing.assert_allclose(float(g["ode"]["a_GI"]), float(g_fd), rtol=1e-4)
+
+    # one NN weight element (output layer, both grads nonzero at init)
+    def set_w(p, v):
+        return {**p, "nn": {**p["nn"], "w2": p["nn"]["w2"].at[0, 0].set(v)}}
+
+    g_fd_w = fd(lambda p: p["nn"]["w2"][0, 0], set_w)
+    np.testing.assert_allclose(float(g["nn"]["w2"][0, 0]), float(g_fd_w),
+                               rtol=1e-4, atol=1e-10)
+
+    # initial-state gradient
+    def loss_y0(y):
+        ys = odeint(f, y, ts, params, solver=solver, rtol=1e-8, atol=1e-10,
+                    mode="scan", max_steps_per_interval=64)
+        return jnp.sum(ys[-1] ** 2)
+
+    gy = jax.grad(loss_y0)(y0)
+    eps = 1e-6
+    gy_fd = (loss_y0(y0.at[0].add(eps)) - loss_y0(y0.at[0].add(-eps))) / (2 * eps)
+    np.testing.assert_allclose(float(gy[0]), float(gy_fd), rtol=1e-4)
