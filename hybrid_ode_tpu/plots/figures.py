@@ -94,6 +94,46 @@ def plot_fig1_predictions(
     return save_path
 
 
+def make_fig2_simulator(params: Any, config: HybridConfig,
+                        outputs: str = "scalars"):
+    """The fig2 GSA simulation protocol (`plot_all.py:163-196` parity):
+    initial state at basal values, 75 mmol meal bolus at t=30 min, 5 h
+    horizon, 61 points; fixed-grid rk4 for bounded uniform cost under vmap.
+
+    outputs='scalars' -> [glucose AUC, insulin peak, GLP-1 response] (the
+    reference's fig2 outputs); outputs='glucose_t' -> the full 61-point
+    glucose trajectory (the manuscript's time-resolved GSA,
+    `manuscript.tex:827-833`, whose time-aggregated total indices are the
+    published S-bar_T values)."""
+    ts = jnp.linspace(0.0, 5.0, 61)
+    meal = jnp.zeros(61).at[6].set(75.0)
+    controls = Controls(ts=ts, signals={"meal": meal, "tVNS": jnp.zeros(61)})
+    y0 = jnp.array([5.0, 60.0, 80.0, 0.0, 0.0, 1.0])
+    sweep_cfg = HybridConfig(
+        nn_hidden=config.nn_hidden, nn_layers=config.nn_layers,
+        activation=config.activation, use_nn=config.use_nn,
+        solver="rk4", substeps=6, mode="scan",
+        # context-conditioned models: keep the NN input width; the sweep has
+        # no observation window, so the neutral zero context applies
+        context_points=config.context_points, context_dim=config.context_dim,
+    )
+
+    def simulate(overrides: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        p = dict(params)
+        p["ode"] = dict(params["ode"])
+        for k, v in overrides.items():
+            p["ode"][k] = v
+        traj = forward(p, y0, ts, controls, sweep_cfg)
+        if outputs == "glucose_t":
+            return traj[:, 0]
+        auc = jnp.trapezoid(traj[:, 0], dx=5.0 / 60.0)
+        ipeak = jnp.max(traj[:, 1])
+        glp1_resp = jnp.mean(traj[6:, 3])
+        return jnp.stack([auc, ipeak, glp1_resp])
+
+    return simulate
+
+
 def plot_fig2_sensitivity(
     params: Any,
     config: HybridConfig,
@@ -107,30 +147,7 @@ def plot_fig2_sensitivity(
     basal values, 75 mmol meal bolus at t=30 min, 5 h horizon, 61 points.
     """
     plt = _plt()
-    ts = jnp.linspace(0.0, 5.0, 61)
-    meal = jnp.zeros(61).at[6].set(75.0)
-    controls = Controls(ts=ts, signals={"meal": meal, "tVNS": jnp.zeros(61)})
-    y0 = jnp.array([5.0, 60.0, 80.0, 0.0, 0.0, 1.0])
-    # fixed-grid solver for the sweep: bounded uniform cost under vmap
-    sweep_cfg = HybridConfig(
-        nn_hidden=config.nn_hidden, nn_layers=config.nn_layers,
-        activation=config.activation, use_nn=config.use_nn,
-        solver="rk4", substeps=6, mode="scan",
-        # context-conditioned models: keep the NN input width; the sweep has
-        # no observation window, so the neutral zero context applies
-        context_points=config.context_points, context_dim=config.context_dim,
-    )
-
-    def simulate(overrides: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-        p = {"ode": dict(params["ode"]), "nn": params["nn"]}
-        for k, v in overrides.items():
-            p["ode"][k] = v
-        traj = forward(p, y0, ts, controls, sweep_cfg)
-        auc = jnp.trapezoid(traj[:, 0], dx=5.0 / 60.0)
-        ipeak = jnp.max(traj[:, 1])
-        glp1_resp = jnp.mean(traj[6:, 3])
-        return jnp.stack([auc, ipeak, glp1_resp])
-
+    simulate = make_fig2_simulator(params, config)
     res = sobol_sensitivity(simulate, DEFAULT_PROBLEM, n=n_samples, seed=seed)
 
     output_names = ["Glucose AUC", "Insulin Peak", "GLP-1 Response"]

@@ -55,26 +55,47 @@ def saltelli_sample(
     return A, B, AB
 
 
-def sobol_analyze(f_A: np.ndarray, f_B: np.ndarray, f_AB: np.ndarray) -> Dict[str, np.ndarray]:
+def sobol_analyze(
+    f_A: np.ndarray,
+    f_B: np.ndarray,
+    f_AB: np.ndarray,
+    n_boot: int = 0,
+    seed: int = 0,
+) -> Dict[str, np.ndarray]:
     """First-order and total Sobol indices from model evaluations.
 
-    f_A, f_B: (n,); f_AB: (d, n). Returns {'S1': (d,), 'ST': (d,)}.
-    """
-    f_all = np.concatenate([f_A, f_B])
-    mu = float(f_all.mean())
-    V = float(np.var(f_all))
-    # Degenerate output: if the model output barely varies across the sweep,
-    # the 1/V-scaled estimators amplify pure Monte-Carlo noise into garbage
-    # (indices far outside [0,1]) — report zeros instead.
-    if V < 1e-10 * max(mu**2, 1e-12):
-        d = f_AB.shape[0]
-        return {"S1": np.zeros(d), "ST": np.zeros(d)}
-    f_A = f_A - mu
-    f_B = f_B - mu
-    f_AB = f_AB - mu
-    S1 = np.array([np.mean(f_B * (f_AB[i] - f_A)) / V for i in range(f_AB.shape[0])])
-    ST = np.array([0.5 * np.mean((f_A - f_AB[i]) ** 2) / V for i in range(f_AB.shape[0])])
-    return {"S1": S1, "ST": ST}
+    f_A, f_B: (n,); f_AB: (d, n). Returns {'S1': (d,), 'ST': (d,)}; with
+    n_boot > 0 also 'S1_conf'/'ST_conf' — 95% CI half-widths from n_boot
+    bootstrap resamples of the sample axis (parity: the reference's SALib
+    `sobol.analyze` returns S1_conf, `plots/plot_all.py:199`)."""
+    d, n = f_AB.shape
+
+    def _indices(a, b, ab):
+        f_all = np.concatenate([a, b])
+        mu = float(f_all.mean())
+        V = float(np.var(f_all))
+        # Degenerate output: if the model output barely varies across the
+        # sweep, the 1/V-scaled estimators amplify pure Monte-Carlo noise
+        # into garbage (indices far outside [0,1]) — report zeros instead.
+        if V < 1e-10 * max(mu**2, 1e-12):
+            return np.zeros(d), np.zeros(d)
+        a, b, ab = a - mu, b - mu, ab - mu
+        S1 = np.array([np.mean(b * (ab[i] - a)) / V for i in range(d)])
+        ST = np.array([0.5 * np.mean((a - ab[i]) ** 2) / V for i in range(d)])
+        return S1, ST
+
+    S1, ST = _indices(f_A, f_B, f_AB)
+    out = {"S1": S1, "ST": ST}
+    if n_boot > 0:
+        rng = np.random.default_rng(seed)
+        bs1 = np.empty((n_boot, d))
+        bst = np.empty((n_boot, d))
+        for r in range(n_boot):
+            idx = rng.integers(0, n, size=n)
+            bs1[r], bst[r] = _indices(f_A[idx], f_B[idx], f_AB[:, idx])
+        out["S1_conf"] = 1.96 * bs1.std(axis=0, ddof=1)
+        out["ST_conf"] = 1.96 * bst.std(axis=0, ddof=1)
+    return out
 
 
 def sobol_sensitivity(
@@ -83,13 +104,15 @@ def sobol_sensitivity(
     n: int = 1024,
     seed: int = 0,
     batch_size: int = 4096,
+    n_boot: int = 0,
 ) -> Dict[str, Dict[str, np.ndarray]]:
     """End-to-end GSA: vmap `simulate` over all n*(d+2) Saltelli rows.
 
     simulate: dict of scalar parameter overrides -> (n_outputs,) array of
     scalar model outputs (e.g. [glucose AUC, insulin peak, GLP-1 response]).
 
-    Returns {'S1': (d, n_outputs), 'ST': (d, n_outputs), 'names': [...]}.
+    Returns {'S1': (d, n_outputs), 'ST': (d, n_outputs), 'names': [...]};
+    with n_boot > 0 also 'S1_conf'/'ST_conf' bootstrap 95% half-widths.
     """
     problem = problem or DEFAULT_PROBLEM
     names: List[str] = list(problem)
@@ -118,8 +141,18 @@ def sobol_sensitivity(
     n_out = Y.shape[-1]
     S1 = np.zeros((d, n_out))
     ST = np.zeros((d, n_out))
+    S1c = np.zeros((d, n_out))
+    STc = np.zeros((d, n_out))
     for j in range(n_out):
-        res = sobol_analyze(f_A[:, j], f_B[:, j], f_AB[:, :, j])
+        res = sobol_analyze(f_A[:, j], f_B[:, j], f_AB[:, :, j],
+                            n_boot=n_boot, seed=seed + j)
         S1[:, j] = res["S1"]
         ST[:, j] = res["ST"]
-    return {"S1": S1, "ST": ST, "names": names}
+        if n_boot > 0:
+            S1c[:, j] = res["S1_conf"]
+            STc[:, j] = res["ST_conf"]
+    out = {"S1": S1, "ST": ST, "names": names}
+    if n_boot > 0:
+        out["S1_conf"] = S1c
+        out["ST_conf"] = STc
+    return out

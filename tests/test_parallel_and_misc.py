@@ -2,6 +2,7 @@
 metrics, and config coverage."""
 
 import math
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -131,6 +132,55 @@ def test_sobol_ishigami():
     res = sobol_sensitivity(sim, problem, n=2048, seed=0)
     np.testing.assert_allclose(res["S1"][:, 0], [0.3139, 0.4424, 0.0], atol=0.05)
     np.testing.assert_allclose(res["ST"][:, 0], [0.558, 0.442, 0.244], atol=0.05)
+
+
+def test_sobol_bootstrap_cis_calibrated():
+    """Bootstrap CIs (n_boot>0) must bracket the analytic Ishigami indices
+    (parity: SALib's S1_conf, reference plot_all.py:199)."""
+    from hybrid_ode_tpu.plots.sobol import sobol_sensitivity
+
+    a_, b_ = 7.0, 0.1
+    problem = {"x1": (-math.pi, math.pi), "x2": (-math.pi, math.pi),
+               "x3": (-math.pi, math.pi)}
+
+    def sim(ov):
+        x1, x2, x3 = ov["x1"], ov["x2"], ov["x3"]
+        return jnp.stack([jnp.sin(x1) + a_ * jnp.sin(x2) ** 2
+                          + b_ * x3**4 * jnp.sin(x1)])
+
+    res = sobol_sensitivity(sim, problem, n=2048, seed=0, n_boot=100)
+    assert res["S1_conf"].shape == res["S1"].shape
+    truth_s1 = np.array([0.3139, 0.4424, 0.0])
+    # 95% CIs: each true value inside estimate +/- ~1.5x half-width
+    assert np.all(np.abs(res["S1"][:, 0] - truth_s1)
+                  <= 1.5 * res["S1_conf"][:, 0] + 0.02)
+    assert np.all(res["ST_conf"][:, 0] > 0)
+
+
+def test_sobol_gsa_artifact_ordering():
+    """The shipped results/sobol_gsa.json (VERDICT r3 #2) ranks a_GI then
+    rho at the head of the manuscript arm — the manuscript's published
+    dominant-parameter ordering (`manuscript.tex:833`) — and carries
+    bootstrap CIs."""
+    import json
+
+    path = Path(__file__).resolve().parents[1] / "results" / "sobol_gsa.json"
+    if not path.exists():
+        pytest.skip("run benchmarks/sobol_gsa.py first")
+    r = json.loads(path.read_text())
+    arm = r["manuscript_arm"]
+    assert arm["ranking_by_ST_bar"][:2] == ["a_GI", "rho"]
+    assert r["n_boot"] >= 100
+    st = arm["ST_bar_weighted"]
+    conf = arm["ST_bar_weighted_conf95"]
+    assert st["a_GI"] > st["rho"] >= 0.0
+    assert set(conf) == set(st)
+    # the hybrid arm is finite and carries CIs for every output x param
+    h = r["fig2_hybrid_arm"]
+    for o in h["outputs"]:
+        for n, v in h["S1"][o].items():
+            assert np.isfinite(v), (o, n)
+            assert np.isfinite(h["S1_conf95"][o][n])
 
 
 def test_sobol_degenerate_output_guarded():
