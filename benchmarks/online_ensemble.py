@@ -56,6 +56,16 @@ def main(argv=None):
                          "(blend_mode='per_member') selected on the "
                          "selection half against the frozen v1 choice, "
                          "composed row reported on the report half")
+    ap.add_argument("--steps-sweep-24h", action="store_true",
+                    help="v3 policy at 24 h only: sweep adapt_steps "
+                         "{100, 150} for the per-member guard on the "
+                         "selection half (a 24 h reveal supports deeper "
+                         "fitting; every candidate stays fit-adapted "
+                         "through the holdout UCB) — pre-registered rule: "
+                         "candidate replaces the 50-step incumbent iff "
+                         "paired t >= 2 against it AND lower val mean; "
+                         "frozen report-half row goes to "
+                         "ens_policy_composed_v3")
     ap.add_argument("--policy-select", action="store_true",
                     help="select a per-horizon policy among "
                          "{no-adapt, always-on, UCB guard} on the selection "
@@ -320,6 +330,71 @@ def main(argv=None):
             composed2["_24h_report_wall_s"] = round(time.time() - t0, 1)
         rows["ens_policy_composed_v2"] = composed2
         print("ens_policy_composed_v2", composed2, flush=True)
+
+    if args.steps_sweep_24h:
+        from hybrid_ode_tpu.train.online import (
+            adapt_subject_guarded_ensemble,
+            ensemble_forecast_remainder_rmse,
+        )
+
+        h = 24.0
+        val_idx = list(range(0, n // 2))
+        g_std = float(ds.state_std[0])
+        cand_steps = (args.steps, 100, 150)  # incumbent first (paired ref)
+        per = {s: [] for s in cand_steps}
+        t0 = time.time()
+        for w in val_idx:
+            window = {
+                "observations": ds.observations[w],
+                "time_points": ds.time_points[w],
+                "external_inputs": {"meal": ds.meal[w], "tVNS": ds.tvns[w]},
+                "mask": ds.mask[w],
+            }
+            tw0 = float(ds.time_points[w, 0])
+            reveal = int(np.searchsorted(ds.time_points[w], tw0 + h))
+            reveal = int(np.clip(reveal, 4, len(ds.time_points[w]) - 4))
+            for s in cand_steps:
+                g = adapt_subject_guarded_ensemble(
+                    stacked, window, config, reveal, s, args.lr,
+                    anchor_weight=args.anchor, ucb_k=0.5,
+                    blend_mode="per_member")
+                per[s].append(g_std * ensemble_forecast_remainder_rmse(
+                    g, ds, w, reveal, config))
+        base = np.asarray(per[args.steps])
+        sel = {"incumbent_steps": args.steps,
+               "incumbent_val_rmse": round(float(base.mean()), 4),
+               "candidates": {}, "n": len(val_idx)}
+        best_steps, best_mean = args.steps, float(base.mean())
+        for s in cand_steps[1:]:
+            arr = np.asarray(per[s])
+            d = base - arr
+            t_stat = float(d.mean() / (d.std(ddof=1) / np.sqrt(len(d)) + 1e-12))
+            sel["candidates"][str(s)] = {
+                "val_rmse": round(float(arr.mean()), 4),
+                "paired_improvement_vs_incumbent": round(float(d.mean()), 4),
+                "t": round(t_stat, 2)}
+            if t_stat >= 2.0 and float(arr.mean()) < best_mean:
+                best_steps, best_mean = s, float(arr.mean())
+        sel["selected_steps"] = best_steps
+        sel["wall_s"] = round(time.time() - t0, 1)
+        rows["_steps_sweep_selection_val_24h"] = sel
+        print("24h steps-sweep selection:", json.dumps(sel), flush=True)
+
+        composed3 = dict(rows.get("ens_policy_composed_v2",
+                                  rows.get("ens_policy_composed", {})))
+        composed3.pop("_24h_report_wall_s", None)
+        if best_steps != args.steps:
+            t0 = time.time()
+            res_s = ensemble_online_adaptation_eval(
+                stacked, ds, config, horizons_hours=[h],
+                adapt_steps=best_steps, learning_rate=args.lr,
+                anchor_weight=args.anchor, guard=True, ucb_k=0.5,
+                blend_mode="per_member", window_indices=test_idx)
+            composed3[str(h)] = round(res_s[h], 4)
+            composed3["_24h_report_wall_s"] = round(time.time() - t0, 1)
+            composed3["_24h_steps"] = best_steps
+        rows["ens_policy_composed_v3"] = composed3
+        print("ens_policy_composed_v3", composed3, flush=True)
 
     single = REPO / "results" / "online_adaptation.json"
     if single.exists():
