@@ -44,7 +44,7 @@ def main(argv=None):
     ap.add_argument("--checkpoint",
                     default=str(REPO / "checkpoints" / "accuracy_benchmark_r2" / "best_model"))
     ap.add_argument("--chains", type=int, default=16)
-    ap.add_argument("--warmup", type=int, default=300)
+    ap.add_argument("--warmup", type=int, default=500)
     ap.add_argument("--samples", type=int, default=300)
     ap.add_argument("--max-depth", type=int, default=6)
     ap.add_argument("--predictive-samples", type=int, default=100)
@@ -78,9 +78,15 @@ def main(argv=None):
           flush=True)
 
     # per-state moment-matched observation noise from the MAP point
-    # estimate on val — the likelihood temperature AND the predictive floor
+    # estimate on val — the likelihood temperature AND the predictive floor.
+    # FLOORED at 0.1 z-units: the placeholder-ish GE/FFA channels fit to
+    # ~0.004-0.008 RMS, which would weight them 60,000:1 in the likelihood
+    # and freeze the chains on razor ridges (measured: R-hat up to 1e16 at
+    # the raw sigmas; accept 0.85 but ESS == n_chains). 0.1 = 1/10 of the
+    # z-scored state scale, the minimum credible measurement noise.
     sigma = fit_observation_noise(params, va, config, batch_size=8)
-    print("noise sigma per state:", np.round(sigma, 4), flush=True)
+    sigma = np.maximum(sigma, 0.1)
+    print("noise sigma per state (floored):", np.round(sigma, 4), flush=True)
 
     # ---- sample: condition on the full train split ----
     train_batch = tr.batch(np.arange(len(tr)))
