@@ -40,6 +40,16 @@ OUT = REPO / "results" / "aot_coldstart.json"
 B, T, SUB = 8192, 61, 4
 
 
+def _force_host(tree):
+    """Materialise one leaf on the host — the axon remote-execution layer's
+    block_until_ready returns early on queued work (CLAUDE.md), so a
+    device->host transfer is the only honest completion barrier."""
+    import jax
+    import numpy as np
+
+    return float(np.asarray(jax.tree.leaves(tree)[0]).ravel()[0])
+
+
 def _inputs():
     import jax
     import jax.numpy as jnp
@@ -88,7 +98,7 @@ def build():
     compile_s = time.time() - t0
     t0 = time.time()
     g = compiled(params, y0)
-    jax.block_until_ready(g)
+    _force_host(g)  # axon block_until_ready returns early on queued work
     first_exec_s = time.time() - t0
 
     ART.mkdir(parents=True, exist_ok=True)
@@ -143,7 +153,7 @@ def load():
     deser_s = time.time() - t0
     t0 = time.time()
     g = compiled(params, y0)
-    jax.block_until_ready(g)
+    _force_host(g)
     first_s = time.time() - t0
     results["load_serialized_executable"] = {
         "deserialize_s": round(deser_s, 2),
@@ -158,7 +168,7 @@ def load():
         exp = jexport.deserialize(blob_path.read_bytes())
         fn = jax.jit(exp.call)
         g = fn(params, y0)
-        jax.block_until_ready(g)
+        _force_host(g)
         results["load_jax_export"] = {
             "first_step_s_incl_xla_compile": round(time.time() - t0, 2)}
 
