@@ -865,6 +865,31 @@ def test_ensemble_semi_id_artifact_meets_target():
     assert arms["amortized_only"]["wall_s"] < arms["semi_amortized"]["wall_s"]
 
 
+def test_ensemble_online_adaptation_beats_single_guard_all_horizons():
+    """VERDICT r3 #4 gate: the frozen-policy composed ensemble row
+    (results/online_adaptation_ensemble.json, ens_policy_composed_v3 —
+    per-member UCB guard + val-selected 150-step 24 h arm) must be <= the
+    single guarded model at EVERY horizon, and its 24 h steps selection
+    must carry the pre-registered paired-t >= 2 evidence."""
+    import json
+
+    path = (Path(__file__).resolve().parents[1] / "results"
+            / "online_adaptation_ensemble.json")
+    if not path.exists():
+        pytest.skip("run benchmarks/online_ensemble.py first")
+    r = json.loads(path.read_text())
+    if "ens_policy_composed_v3" not in r:
+        pytest.skip("steps-sweep arm not yet measured")
+    ens = r["ens_policy_composed_v3"]
+    single = r["_single_model_reference"]["online_guarded"]
+    for h in ("6.0", "12.0", "24.0"):
+        assert ens[h] <= single[h] + 1e-9, (h, ens[h], single[h])
+    sel = r["_steps_sweep_selection_val_24h"]
+    chosen = sel["selected_steps"]
+    if chosen != sel["incumbent_steps"]:
+        assert sel["candidates"][str(chosen)]["t"] >= 2.0
+
+
 def test_aot_export_round_trip():
     """The AOT cold-start path (benchmarks/aot_coldstart.py, VERDICT r3 #9)
     rests on serialized ahead-of-time artifacts surviving a round trip. The
