@@ -44,6 +44,10 @@ def main(argv=None):
     ap.add_argument("--fresh-subjects", type=int, default=50)
     ap.add_argument("--amortize-subjects", type=int, default=200)
     ap.add_argument("--enc-epochs", type=int, default=3000)
+    ap.add_argument("--sweep", action="store_true",
+                    help="refinement-depth sweep: select steps on a DISJOINT "
+                         "selection cohort (seed 555), report the frozen "
+                         "choice (and the whole curve) on the fresh cohort")
     args = ap.parse_args(argv)
 
     import jax
@@ -133,21 +137,21 @@ def main(argv=None):
     batch = fresh.batch(np.arange(len(fresh)))
     D = len(config.context_params)
 
-    def member_preds(ctxs):
+    def ens_rmse_on(cohort, truth, ctxs):
         def one(p, ctx):
             controls = Controls(
-                ts=jnp.asarray(fresh.time_points),
-                signals={"meal": jnp.asarray(fresh.meal),
-                         "tVNS": jnp.asarray(fresh.tvns), "context": ctx})
+                ts=jnp.asarray(cohort.time_points),
+                signals={"meal": jnp.asarray(cohort.meal),
+                         "tVNS": jnp.asarray(cohort.tvns), "context": ctx})
             return batched_forward(
-                p, jnp.asarray(fresh.initial_state),
-                jnp.asarray(fresh.time_points), controls, config)
-        return np.asarray(jax.vmap(one)(stacked, ctxs))
+                p, jnp.asarray(cohort.initial_state),
+                jnp.asarray(cohort.time_points), controls, config)
+        preds = np.asarray(jax.vmap(one)(stacked, ctxs))
+        phys_k = preds * cohort.state_std + cohort.state_mean
+        return float(np.sqrt(np.mean((phys_k[:, :, :, 0].mean(0) - truth) ** 2)))
 
     def ens_rmse(ctxs):
-        preds = member_preds(ctxs)
-        phys_k = preds * fresh.state_std + fresh.state_mean
-        return float(np.sqrt(np.mean((phys_k[:, :, :, 0].mean(0) - tarr) ** 2)))
+        return ens_rmse_on(fresh, tarr, ctxs)
 
     arms = {}
 
@@ -193,6 +197,54 @@ def main(argv=None):
         "steps": args.semi_steps, "wall_s": round(time.time() - t0, 3),
         "fresh_rmse": round(ens_rmse(ctxs_semi), 4)}
 
+    sweep = None
+    if args.sweep:
+        # Refinement-depth sweep with leakage-free selection: steps chosen on
+        # a DISJOINT simulated selection cohort (seed 555 — distinct from the
+        # amortization cohort 777 and the fresh report cohort 123), then the
+        # frozen choice reported on the fresh cohort. The full fresh curve is
+        # published as a measurement; the headline is the SELECTED arm only.
+        sel_cohort, sel_truth = renorm_cohort(
+            "/tmp/4gi_cohort_semi_sel.csv", 555, args.fresh_subjects)
+        sel_batch = sel_cohort.batch(np.arange(len(sel_cohort)))
+        sel_ctx0 = jax.jit(lambda: encode_ensemble_context(
+            enc, jnp.asarray(sel_cohort.observations),
+            jnp.asarray(sel_cohort.time_points), args.points, K, D))()
+
+        depths = (5, 15, 30, 50, 100)
+        sel_curve, fresh_curve, wall_curve = {}, {}, {}
+        for s in depths:
+            ident_s = jax.jit(jax.vmap(
+                lambda p, c0, s=s: identify_context(
+                    p, sel_batch, config, steps=s, lr=0.02, prior_std=0.3,
+                    points=args.points, init=c0)))
+            sel_curve[str(s)] = round(
+                ens_rmse_on(sel_cohort, sel_truth, ident_s(stacked, sel_ctx0)),
+                4)
+            ident_f = jax.jit(jax.vmap(
+                lambda p, c0, s=s: identify_context(
+                    p, batch, config, steps=s, lr=0.02, prior_std=0.3,
+                    points=args.points, init=c0)))
+            cf = ident_f(stacked, ctx0)
+            cf.block_until_ready()
+            t0 = time.time()
+            cf = ident_f(stacked, enc_fn())
+            cf.block_until_ready()
+            wall_curve[str(s)] = round(time.time() - t0, 3)
+            fresh_curve[str(s)] = round(ens_rmse(cf), 4)
+            print(f"depth {s}: selection {sel_curve[str(s)]}, "
+                  f"fresh {fresh_curve[str(s)]}", flush=True)
+        chosen = min(depths, key=lambda s: sel_curve[str(s)])
+        sweep = {
+            "depths": list(depths),
+            "selection_cohort_seed": 555,
+            "selection_rmse": sel_curve,
+            "fresh_rmse_curve": fresh_curve,
+            "fresh_wall_s_curve": wall_curve,
+            "selected_steps": chosen,
+            "fresh_rmse_at_selected": fresh_curve[str(chosen)],
+        }
+
     full = arms["full_identification"]
     semi = arms["semi_amortized"]
     results = {
@@ -205,6 +257,8 @@ def main(argv=None):
         "semi_wall_vs_full": round(semi["wall_s"] / full["wall_s"], 3),
         "_target": "semi within +2% RMSE of full at <=1/3 wall (VERDICT r3 #5)",
     }
+    if sweep is not None:
+        results["depth_sweep"] = sweep
     out = REPO / "results" / "ensemble_semi_id.json"
     out.write_text(json.dumps(results, indent=2))
     print(json.dumps(results, indent=1))
