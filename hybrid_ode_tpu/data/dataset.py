@@ -123,6 +123,7 @@ def create_data_arrays(
     dtype=np.float32,
     use_native: bool = True,
     per_channel_mask: bool = False,
+    norm_stats=None,
 ) -> GlucoseDataset:
     """Load CSV/Parquet and build the window arrays.
 
@@ -131,8 +132,16 @@ def create_data_arrays(
     it is built and the file is subject-grouped (consecutive rows per
     subject — true for all cohort files this framework and the reference
     write); otherwise falls back to pandas.
+
+    `norm_stats=(mean, std)` normalizes with EXTERNAL stats (e.g. the
+    training cohort's) instead of this file's own — the deployment-time
+    convention for fresh/counterfactual cohorts, so z-space predictions
+    stay in the trained model's coordinates.
     """
-    if use_native and not per_channel_mask and str(data_path).endswith(".csv"):
+    if norm_stats is not None and not normalize:
+        raise ValueError("norm_stats requires normalize=True")
+    if (use_native and not per_channel_mask and norm_stats is None
+            and str(data_path).endswith(".csv")):
         try:
             return _create_data_arrays_native(
                 data_path, sequence_length, stride, normalize, dtype
@@ -212,7 +221,10 @@ def create_data_arrays(
         flat_mask = mask.reshape(-1) > 0
         data_mean = flat[flat_mask].mean(axis=0)
         data_std = flat[flat_mask].std(axis=0) + 1e-6
-    if normalize:
+    if norm_stats is not None:
+        mean = np.asarray(norm_stats[0], dtype=np.float64)
+        std = np.asarray(norm_stats[1], dtype=np.float64)
+    elif normalize:
         mean, std = data_mean, data_std
     else:
         mean = np.zeros(len(state_cols))

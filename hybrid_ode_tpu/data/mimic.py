@@ -183,6 +183,7 @@ def generate_icu_cohort(
     t2dm_fraction: float = 0.7,
     output_dir: str = "data",
     per_channel_charting: bool = False,
+    dose_scale: float = 1.0,
 ):
     """Synthetic ICU glucose-management cohort with REAL dynamics.
 
@@ -203,7 +204,10 @@ def generate_icu_cohort(
       * exogenous IV insulin under a sliding-scale protocol: the infusion
         rate is recomputed at hourly "nurse checks" from the currently
         charted glucose — a closed feedback loop, simulated in hourly
-        chunks exactly as an ICU runs it;
+        chunks exactly as an ICU runs it. `dose_scale` multiplies the
+        protocol gain (0 = withhold insulin), enabling paired
+        counterfactual cohorts at a fixed seed for in-silico
+        intervention studies (benchmarks/intervention.py);
       * UNMODELED physiology both model families must learn from data:
         circadian modulation of endogenous glucose production and random
         stress (cortisol-like) excursion episodes;
@@ -336,7 +340,14 @@ def generate_icu_cohort(
         # nurse check: charted glucose (with meter noise) -> new rate
         G = traj[:, i1, 0] / np.asarray(params["VCglc"])
         G_meter = G * (1.0 + 0.03 * rng.standard_normal(N))
-        new_rate = np.clip(900.0 * (G_meter - glucose_target), 0.0, 7000.0)
+        # `dose_scale` multiplies the sliding-scale gain — the hook for
+        # in-silico intervention studies (benchmarks/intervention.py).
+        # Every rng draw is identical across dose_scale values, so cohorts
+        # generated at the same seed are exactly paired counterfactuals:
+        # same patients, carb schedules, stress episodes, charting events
+        # and assay noise; only the insulin pathway differs.
+        new_rate = np.clip(
+            dose_scale * 900.0 * (G_meter - glucose_target), 0.0, 7000.0)
         ins_rate = jnp.asarray(new_rate, jnp.float32)
 
     conc = {
@@ -391,7 +402,8 @@ def generate_icu_cohort(
         df, Path(path).name,
         metadata={"generator": "hybrid_ode_tpu ICU cohort (4GI + exogenous "
                   "insulin + circadian/stress)", "n_patients": N,
-                  "hours": hours, "seed": seed, "obs_gap_min": obs_gap_min},
+                  "hours": hours, "seed": seed, "obs_gap_min": obs_gap_min,
+                  "dose_scale": dose_scale},
     )
     return df
 

@@ -511,6 +511,45 @@ def test_icu_cohort_generator(tmp_path):
     assert 0.0 < float(ds.mask.mean()) < 0.6
 
 
+def test_paired_counterfactual_cohorts_and_norm_stats(tmp_path):
+    """Round-4 intervention-study plumbing: `dose_scale` consumes the rng
+    identically (paired counterfactuals — same meals/charting/noise, only
+    the insulin pathway differs) and `norm_stats` normalizes a fresh file
+    with external (training) statistics."""
+    import pandas as pd
+
+    from hybrid_ode_tpu.data.dataset import create_data_arrays
+    from hybrid_ode_tpu.data.mimic import generate_icu_cohort
+
+    lo = generate_icu_cohort(path=str(tmp_path / "lo.parquet"),
+                             n_patients=3, hours=6.0, seed=7, dose_scale=0.0)
+    hi = generate_icu_cohort(path=str(tmp_path / "hi.parquet"),
+                             n_patients=3, hours=6.0, seed=7, dose_scale=2.0)
+    # identical rng consumption: meals and charting events match exactly
+    np.testing.assert_array_equal(lo["meal_indicator"], hi["meal_indicator"])
+    np.testing.assert_array_equal(np.isfinite(lo["glucose_mmol_L"]),
+                                  np.isfinite(hi["glucose_mmol_L"]))
+    # only the insulin pathway differs: withheld arm has zero infusion and
+    # (causally) no lower glucose than the double-dose arm
+    assert float(lo["tvns"].max()) == 0.0
+    assert float(hi["tvns"].max()) > 0.0
+    assert (lo["glucose_true_mmol_L"].mean()
+            >= hi["glucose_true_mmol_L"].mean() - 1e-9)
+
+    # norm_stats: z-space coordinates come from the EXTERNAL stats
+    ds_own = create_data_arrays(str(tmp_path / "hi.parquet"),
+                                sequence_length=12, stride=12)
+    mean, std = ds_own.state_mean, ds_own.state_std
+    ds_ext = create_data_arrays(str(tmp_path / "lo.parquet"),
+                                sequence_length=12, stride=12,
+                                norm_stats=(mean, std))
+    np.testing.assert_allclose(ds_ext.state_mean, mean)
+    np.testing.assert_allclose(ds_ext.state_std, std)
+    with pytest.raises(ValueError):
+        create_data_arrays(str(tmp_path / "lo.parquet"), sequence_length=12,
+                           stride=12, normalize=False, norm_stats=(mean, std))
+
+
 def test_per_channel_masks_end_to_end(tmp_path):
     """Round-3 per-channel observation masks: independent channel
     missingness loads, trains (loss uses per-channel bits) and evaluates."""
