@@ -35,6 +35,11 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--reuse", action="store_true",
                     help="load checkpoints/icu_ensemble instead of retraining")
+    ap.add_argument("--exog-insulin", default="nn", choices=["nn", "mech", "both"],
+                    help="insulin-rate routing (HybridConfig.exog_insulin): "
+                    "'nn' = reference-parity NN feature (the confounded arm, "
+                    "see RESULTS.md intervention study); 'mech' = causal "
+                    "mechanistic routing via learnable k_ex, NN blinded")
     args = ap.parse_args(argv)
 
     import jax
@@ -56,7 +61,8 @@ def main(argv=None):
     cfg = {
         "model": {"nn_hidden": 128, "nn_layers": 4, "solver": "rk4",
                   "substeps": 4, "mode": "scan", "context_points": 12,
-                  "context_dim": 16, "use_pallas": False},  # ensemble vmaps weights
+                  "context_dim": 16, "use_pallas": False,  # ensemble vmaps weights
+                  "exog_insulin": args.exog_insulin},
         "training": {"epochs": args.epochs, "batch_size": args.batch_size,
                      "learning_rate": 3.0e-3, "lambda1": 0.0, "lambda2": 0.01,
                      "gradient_clip": 5.0, "train_ode_params": True},
@@ -86,7 +92,8 @@ def main(argv=None):
 
     from hybrid_ode_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
-    ckpt = REPO / "checkpoints" / "icu_ensemble" / "ensemble_model"
+    tag = "" if args.exog_insulin == "nn" else f"_{args.exog_insulin}"
+    ckpt = REPO / "checkpoints" / f"icu_ensemble{tag}" / "ensemble_model"
     t0 = time.time()
     if args.reuse and ckpt.exists():
         best_params, meta = load_checkpoint(str(ckpt))
@@ -183,6 +190,7 @@ def main(argv=None):
 
     results = {
         "n_members": K,
+        "exog_insulin": args.exog_insulin,
         "epochs": args.epochs,
         "train_wall_s": round(wall, 1),
         "clinical_uq": uq,
@@ -198,7 +206,7 @@ def main(argv=None):
         },
         "_manuscript_claim_hybrid": 0.72,
     }
-    out = REPO / "results" / "icu_ensemble.json"
+    out = REPO / "results" / f"icu_ensemble{tag}.json"
     out.write_text(json.dumps(results, indent=2))
     print(json.dumps(results, indent=1))
     print(f"wrote {out}")

@@ -62,6 +62,12 @@ def main(argv=None):
     ap.add_argument("--hours", type=float, default=72.0)
     ap.add_argument("--scales", default="0.0,0.5,1.0,1.5,2.0")
     ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--exog-insulin", default="nn", choices=["nn", "mech", "both"],
+                    help="which ICU-ensemble arm to evaluate: 'nn' = the "
+                    "reference-parity NN-feature routing (measured to be "
+                    "confounded), 'mech' = causal mechanistic routing "
+                    "(train it first: benchmarks/icu_ensemble.py "
+                    "--exog-insulin mech)")
     args = ap.parse_args(argv)
     scales = [float(s) for s in args.scales.split(",")]
     assert float(FACTUAL) in scales, "the factual arm (1.0) must be included"
@@ -85,7 +91,8 @@ def main(argv=None):
     cfg = {
         "model": {"nn_hidden": 128, "nn_layers": 4, "solver": "rk4",
                   "substeps": 4, "mode": "scan", "context_points": 12,
-                  "context_dim": 16, "use_pallas": False},
+                  "context_dim": 16, "use_pallas": False,
+                  "exog_insulin": args.exog_insulin},
         "training": {"epochs": 400, "batch_size": args.batch_size,
                      "learning_rate": 3.0e-3, "lambda1": 0.0, "lambda2": 0.01,
                      "gradient_clip": 5.0, "train_ode_params": True},
@@ -93,9 +100,11 @@ def main(argv=None):
     }
     config = config_from_dict(cfg)
 
-    ckpt = REPO / "checkpoints" / "icu_ensemble" / "ensemble_model"
+    tag = "" if args.exog_insulin == "nn" else f"_{args.exog_insulin}"
+    ckpt = REPO / "checkpoints" / f"icu_ensemble{tag}" / "ensemble_model"
     if not ckpt.exists():
-        sys.exit("checkpoint missing - run `python benchmarks/icu_ensemble.py` first")
+        sys.exit(f"checkpoint missing - run `python benchmarks/icu_ensemble.py "
+                 f"--exog-insulin {args.exog_insulin}` first")
     stacked, meta = load_checkpoint(str(ckpt))
     K = int(meta["n_members"])
     print(f"loaded ICU ensemble (K={K})")
@@ -189,20 +198,25 @@ def main(argv=None):
             "n_patients": args.patients, "hours": args.hours,
             "seed": args.seed, "dose_scales": scales,
             "ensemble_members": K,
-            "checkpoint": "checkpoints/icu_ensemble (seed-0 cohort, 400 epochs)",
+            "exog_insulin": args.exog_insulin,
+            "checkpoint": f"checkpoints/icu_ensemble{tag} (seed-0 cohort, "
+                          "400 epochs)",
         },
         "arms": arms,
         "policy_effects_vs_factual": effects,
         "_notes": [
             "paired counterfactual cohorts: identical rng consumption across "
             "dose_scale, asserted identical window sets",
-            "insulin channel is NN-visible only (mechanistic core has no "
-            "exogenous-insulin term): any dose response is learned",
+            ("insulin channel is NN-visible only (confounded routing, "
+             "HybridConfig.exog_insulin='nn')" if args.exog_insulin == "nn"
+             else f"exog_insulin={args.exog_insulin!r}: rate routed into the "
+             "mechanistic insulin compartment via learnable k_ex"
+             + (", NN blinded" if args.exog_insulin == "mech" else "")),
             "reference parity: capability described at manuscript.tex:52,284 "
             "but not runnable from the reference code",
         ],
     }
-    path = REPO / "results" / "intervention_dose_response.json"
+    path = REPO / "results" / f"intervention_dose_response{tag}.json"
     path.write_text(json.dumps(out, indent=2))
     print(json.dumps(out, indent=1))
 

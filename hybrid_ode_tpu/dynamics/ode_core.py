@@ -122,6 +122,15 @@ def mechanistic_field(
     # Insulin with GLP-1 potentiation
     Pi = 1.0 + p["rho"] * GLP1
     dI = Pi * p["a_GI"] * (G - p["G_b"]) - p["k_I"] * (I - p["I_b"])
+    if "k_ex" in p:
+        # Exogenous insulin appearance (IV infusion): known causal route into
+        # the insulin compartment, learnable gain k_ex absorbing the unit
+        # conversion of the O(1) rate signal. Identified directly from the
+        # OBSERVED insulin channel, which is what breaks the closed-loop
+        # confounding measured in benchmarks/intervention.py. DEVIATION: the
+        # reference has no exogenous-insulin pathway anywhere (its controls
+        # reach only the NN residual, `models/hybrid_ode_nn.py:126-129`).
+        dI = dI + p["k_ex"] * inputs.get("I_ex", zeros)
     # Glucagon suppression by GLP-1 (Hill with n=1)
     glp1_effect = p["E_max"] * GLP1 / (p["EC_50"] + GLP1)
     dGlu = -glp1_effect * (Glu - p["Glu_b"])

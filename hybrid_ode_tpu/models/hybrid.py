@@ -83,6 +83,20 @@ class HybridConfig:
     context_dim: int = 8
     context_mode: str = "features"
     context_params: tuple = ("G_b", "I_b", "Glu_b")
+    # exogenous-insulin routing of the 'tVNS' control channel (which carries
+    # the IV insulin rate for ICU cohorts, data/mimic.py:394):
+    #   'nn'   — reference parity: the rate is an NN input feature only.
+    #            MEASURED to be causally confounded under the closed-loop
+    #            sliding-scale protocol (RESULTS.md intervention study:
+    #            predicted dose effects anti-correlate with truth, r ~ -0.78).
+    #   'mech' — causal routing: the rate enters the mechanistic insulin
+    #            compartment via the learnable gain k_ex and the NN is
+    #            BLINDED to it (sees a zero tVNS feature), so the model
+    #            cannot learn the protocol's insulin<->high-glucose
+    #            association; counterfactual dose response flows through
+    #            insulin-state physiology the NN observes causally.
+    #   'both' — mechanistic routing + NN still sees the raw rate.
+    exog_insulin: str = "nn"
     # fused Pallas trajectory kernel (forward + custom-VJP backward) for the
     # rk4 solver: the whole integration (and its reverse-time adjoint) runs
     # in VMEM — see ops/pallas_rk4.py. Requires solver='rk4', relu, no
@@ -120,6 +134,7 @@ def config_from_dict(cfg: Mapping[str, Any], use_nn: Optional[bool] = None,
         context_dim=m.get("context_dim", 8),
         context_mode=m.get("context_mode", "features"),
         context_params=tuple(m.get("context_params", ("G_b", "I_b", "Glu_b"))),
+        exog_insulin=m.get("exog_insulin", "nn"),
         use_pallas=m.get("use_pallas", False),
     )
     kw.update(overrides)
@@ -154,6 +169,11 @@ def init_hybrid_params(
         dtype=dtype,
     )
     params = {"ode": make_ode_params(ode_params, dtype=dtype), "nn": nn}
+    if config.exog_insulin != "nn" and "k_ex" not in params["ode"]:
+        # learnable exogenous-insulin gain (units: insulin-state change per
+        # unit of the O(1) rate signal); identified from the observed insulin
+        # channel. Init 1.0: positive causal prior, data sets the scale.
+        params["ode"]["k_ex"] = jnp.asarray(1.0, dtype)
     if config.context_points > 0:
         # context encoder: flattened first-k observations (+ their times,
         # relative to window start) -> latent subject code
@@ -210,6 +230,10 @@ def hybrid_field(
             signals={k: v for k, v in controls.signals.items() if k != "context"},
         )
     inputs = eval_controls(controls, t)
+    if config.exog_insulin != "nn" and "tVNS" in inputs:
+        # causal routing: the tVNS channel (IV insulin rate on ICU cohorts)
+        # becomes the mechanistic exogenous-insulin input (see HybridConfig)
+        inputs = dict(inputs, I_ex=inputs["tVNS"])
     ode_p = params["ode"]
     if config.context_points > 0 and config.context_mode == "params":
         # subject-conditioned mechanistic parameters: p_i <- p_i * e^{delta_i}
@@ -233,6 +257,10 @@ def hybrid_field(
         # feature and tVNS from the inputs (`models/hybrid_ode_nn.py:125-129`).
         glp1 = y[..., 3]
         tvns = inputs.get("tVNS", jnp.zeros_like(glp1))
+        if config.exog_insulin == "mech":
+            # NN blinded to the raw rate — counterfactual response must flow
+            # through the (observed, causal) insulin state
+            tvns = jnp.zeros_like(glp1)
         if (config.context_points > 0 and config.context_mode == "features"
                 and context is None):
             # unconditioned call sites: neutral (zero) context
@@ -322,6 +350,10 @@ def _pallas_forward(
         raise ValueError("use_pallas requires use_nn=True (kernel fuses the MLP)")
     if not config.use_mech:
         raise ValueError("use_pallas requires use_mech=True (kernel fuses the mechanistic drift)")
+    if config.exog_insulin != "nn":
+        raise ValueError("use_pallas does not implement mechanistic "
+                         "exogenous-insulin routing (exog_insulin="
+                         f"{config.exog_insulin!r}); use the scan path")
     ctx_param_idx = ()
     if config.context_points > 0 and config.context_mode == "params":
         from hybrid_ode_tpu.ops.pallas_rk4 import PARAM_ORDER

@@ -170,3 +170,64 @@ def test_hybrid_loss_dense_mode():
     assert np.isfinite(float(l))
     assert float(comps["solver_success"]) == 1.0
     assert all(bool(jnp.all(jnp.isfinite(x))) for x in jax.tree.leaves(g))
+
+
+def test_exog_insulin_mechanistic_routing():
+    """Round-4 causal routing: with exog_insulin='mech' the tVNS channel (IV
+    insulin rate) drives the mechanistic insulin compartment via the
+    learnable gain k_ex, the NN is blinded to the raw rate, and the induced
+    glucose response has the causal sign (insulin up -> glucose down)."""
+    cfg = HybridConfig(solver="rk4", substeps=2, nn_hidden=8, nn_layers=2,
+                       mode="scan", exog_insulin="mech")
+    params = init_hybrid_params(jax.random.PRNGKey(0), cfg)
+    assert "k_ex" in params["ode"]
+    params["ode"]["k_ex"] = jnp.asarray(20.0)
+
+    B, T = 3, 13
+    y0 = jnp.broadcast_to(PHYS, (B, 6))
+    ts = jnp.broadcast_to(jnp.linspace(0.0, 3.0, T), (B, T))
+    dosed = Controls(ts=ts, signals={"tVNS": jnp.ones((B, T))})
+    undosed = Controls(ts=ts, signals={"tVNS": jnp.zeros((B, T))})
+
+    tr_dose = batched_forward(params, y0, ts, dosed, cfg)
+    tr_none = batched_forward(params, y0, ts, undosed, cfg)
+    # insulin (state 1) rises under infusion; glucose (state 0) ends lower
+    assert float(tr_dose[:, -1, 1].mean()) > float(tr_none[:, -1, 1].mean())
+    assert float(tr_dose[:, -1, 0].mean()) < float(tr_none[:, -1, 0].mean())
+
+    # NN blinding: with k_ex zeroed, 'mech' mode is invariant to the rate
+    p0 = dict(params, ode=dict(params["ode"], k_ex=jnp.asarray(0.0)))
+    np.testing.assert_allclose(
+        np.asarray(batched_forward(p0, y0, ts, dosed, cfg)),
+        np.asarray(batched_forward(p0, y0, ts, undosed, cfg)), atol=1e-6)
+    # ...whereas 'both' mode still feeds the NN the raw rate
+    cfg_both = HybridConfig(solver="rk4", substeps=2, nn_hidden=8,
+                            nn_layers=2, mode="scan", exog_insulin="both")
+    pb = dict(p0)
+    pb["nn"] = dict(pb["nn"],
+                    w0=pb["nn"]["w0"] + 0.01,
+                    w2=0.01 * jnp.ones_like(pb["nn"]["w2"]))
+    d = batched_forward(pb, y0, ts, dosed, cfg_both)
+    u = batched_forward(pb, y0, ts, undosed, cfg_both)
+    assert float(jnp.abs(d - u).max()) > 1e-5
+
+    # reference-parity default: no k_ex in the pytree, rate is NN-only
+    p_ref = init_hybrid_params(jax.random.PRNGKey(0), FAST)
+    assert "k_ex" not in p_ref["ode"]
+
+
+def test_exog_insulin_k_ex_gradient_flows():
+    """k_ex is identified through the loss: gradient is nonzero when the
+    insulin channel is observed under a nonzero rate signal."""
+    cfg = HybridConfig(solver="rk4", substeps=2, nn_hidden=8, nn_layers=2,
+                       mode="scan", exog_insulin="mech")
+    params = init_hybrid_params(jax.random.PRNGKey(0), cfg)
+    batch = _batch()
+    batch["external_inputs"]["tVNS"] = jnp.ones_like(batch["time_points"])
+
+    def loss(p):
+        return hybrid_loss(p, batch, jax.random.PRNGKey(1), cfg,
+                           lambda1=0.0, lambda2=0.0)[0]
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g["ode"]["k_ex"])) > 1e-8
