@@ -184,6 +184,8 @@ def generate_icu_cohort(
     output_dir: str = "data",
     per_channel_charting: bool = False,
     dose_scale: float = 1.0,
+    protocol_gain: float = 900.0,
+    protocol_target: float = 7.0,
 ):
     """Synthetic ICU glucose-management cohort with REAL dynamics.
 
@@ -220,7 +222,10 @@ def generate_icu_cohort(
     and insulin infusion rates are exported as the `meal_indicator` and
     `tvns` control columns (scaled to O(1)), so trained models condition
     on what the care team actually did — the mechanistic core sees the
-    carb input in its dG term; the insulin input is NN-visible.
+    carb input in its dG term; the insulin input's routing is set by
+    HybridConfig.exog_insulin ('nn' = NN feature only, measured to be
+    confounded under this closed loop; 'mech' = causal mechanistic
+    routing via k_ex).
 
     Noiseless truth columns ride along for truth-referenced evaluation.
     """
@@ -329,7 +334,12 @@ def generate_icu_cohort(
     traj = np.zeros((N, T, 8), np.float32)
     traj[:, 0] = np.asarray(y0)
     ins_rate_grid = np.zeros((N, T), np.float32)
-    glucose_target = 7.0
+    # sliding-scale protocol parameters. `protocol_gain`/`protocol_target`
+    # (and the `dose_scale` multiplier) change NO rng consumption, so any
+    # protocol variant at a fixed seed is an exactly paired counterfactual —
+    # the ground-truth validation hook for model-based protocol optimization
+    # (models/protocol.py, benchmarks/dose_optimize.py).
+    glucose_target = protocol_target
     for c in range(n_chunks):
         i0 = c * steps_per_hour
         i1 = min(i0 + steps_per_hour, T - 1)
@@ -347,7 +357,8 @@ def generate_icu_cohort(
         # same patients, carb schedules, stress episodes, charting events
         # and assay noise; only the insulin pathway differs.
         new_rate = np.clip(
-            dose_scale * 900.0 * (G_meter - glucose_target), 0.0, 7000.0)
+            dose_scale * protocol_gain * (G_meter - glucose_target),
+            0.0, 7000.0)
         ins_rate = jnp.asarray(new_rate, jnp.float32)
 
     conc = {
@@ -403,7 +414,8 @@ def generate_icu_cohort(
         metadata={"generator": "hybrid_ode_tpu ICU cohort (4GI + exogenous "
                   "insulin + circadian/stress)", "n_patients": N,
                   "hours": hours, "seed": seed, "obs_gap_min": obs_gap_min,
-                  "dose_scale": dose_scale},
+                  "dose_scale": dose_scale, "protocol_gain": protocol_gain,
+                  "protocol_target": protocol_target},
     )
     return df
 

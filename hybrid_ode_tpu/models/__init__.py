@@ -9,6 +9,13 @@ from hybrid_ode_tpu.models.hybrid import (
     flat_to_params,
     forward_with_params,
 )
+from hybrid_ode_tpu.models.protocol import (
+    closed_loop_rollout,
+    ensemble_closed_loop,
+    glycemic_risk,
+    optimize_protocol,
+    time_in_range,
+)
 from hybrid_ode_tpu.models.bayes import (
     VariationalState,
     init_variational,
@@ -28,6 +35,11 @@ __all__ = [
     "params_to_flat",
     "flat_to_params",
     "forward_with_params",
+    "closed_loop_rollout",
+    "ensemble_closed_loop",
+    "glycemic_risk",
+    "optimize_protocol",
+    "time_in_range",
     "VariationalState",
     "init_variational",
     "sample_variational",

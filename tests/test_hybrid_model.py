@@ -231,3 +231,85 @@ def test_exog_insulin_k_ex_gradient_flows():
 
     g = jax.grad(loss)(params)
     assert float(jnp.abs(g["ode"]["k_ex"])) > 1e-8
+
+
+def _protocol_batch(B=3, hours=2, steps_per_h=4):
+    T = hours * steps_per_h + 1
+    ts = jnp.broadcast_to(jnp.linspace(0.0, float(hours), T), (B, T))
+    y0 = jnp.broadcast_to(PHYS, (B, 6)) * (1 + 0.1 * jnp.arange(B)[:, None])
+    return {
+        "initial_state": y0,
+        "observations": jnp.broadcast_to(y0[:, None], (B, T, 6)),
+        "time_points": ts,
+        "external_inputs": {"meal": jnp.zeros((B, T)).at[:, 1].set(0.5)},
+        "mask": jnp.ones((B, T)),
+    }
+
+
+def test_closed_loop_rollout_protocol_law():
+    """The rollout's rate sequence obeys the sliding-scale law on the
+    model's own predicted glucose, and dosing responds causally."""
+    from hybrid_ode_tpu.models.protocol import closed_loop_rollout
+
+    cfg = HybridConfig(solver="rk4", substeps=2, nn_hidden=8, nn_layers=2,
+                       mode="scan", exog_insulin="mech")
+    params = init_hybrid_params(jax.random.PRNGKey(0), cfg)
+    params["ode"]["k_ex"] = jnp.asarray(10.0)
+    batch = _protocol_batch()
+    norm = (np.zeros(6), np.ones(6))  # physical == z here
+
+    out = closed_loop_rollout(params, batch, cfg, gain=900.0, target=7.0,
+                              norm=norm, check_every=4)
+    B, T = batch["time_points"].shape
+    assert out["trajectory"].shape == (B, T, 6)
+    assert out["rates"].shape == (B, 2)
+    # protocol law at t=0: rate = clip(900*(G0-7), 0, 7000)
+    expect0 = np.clip(900.0 * (np.asarray(batch["initial_state"][:, 0]) - 7.0),
+                      0.0, 7000.0)
+    np.testing.assert_allclose(np.asarray(out["rates"][:, 0]), expect0,
+                               rtol=1e-5)
+    # rate at the second check comes from the model's predicted glucose
+    g_check = np.asarray(out["glucose"][:, 4])
+    expect1 = np.clip(900.0 * (g_check - 7.0), 0.0, 7000.0)
+    np.testing.assert_allclose(np.asarray(out["rates"][:, 1]), expect1,
+                               rtol=1e-5)
+    # a higher target withholds insulin (causal direction through k_ex)
+    out_hi = closed_loop_rollout(params, batch, cfg, gain=900.0, target=20.0,
+                                 norm=norm, check_every=4)
+    assert float(out_hi["insulin_total"].sum()) == 0.0
+    assert (float(out_hi["glucose"][:, -1].mean())
+            > float(out["glucose"][:, -1].mean()))
+
+
+def test_optimize_protocol_descends_and_is_differentiable():
+    """optimize_protocol reduces the glycemic risk through the rollout and
+    respects the target box."""
+    from hybrid_ode_tpu.models.protocol import (
+        closed_loop_rollout,
+        glycemic_risk,
+        optimize_protocol,
+        time_in_range,
+    )
+
+    cfg = HybridConfig(solver="rk4", substeps=2, nn_hidden=8, nn_layers=2,
+                       mode="scan", exog_insulin="mech")
+    params = init_hybrid_params(jax.random.PRNGKey(0), cfg)
+    params["ode"]["k_ex"] = jnp.asarray(10.0)
+    batch = _protocol_batch()
+    # start hyperglycemic so there is risk to remove
+    batch["initial_state"] = batch["initial_state"].at[:, 0].add(6.0)
+    norm = (np.zeros(6), np.ones(6))
+
+    def rollout(gain, target):
+        return closed_loop_rollout(params, batch, cfg, gain, target,
+                                   norm=norm, check_every=4)["glucose"]
+
+    res = optimize_protocol(rollout, init_gain=100.0, init_target=8.5,
+                            steps=30, lr=0.1)
+    assert res["final_risk"] < res["init_risk"]
+    assert 4.5 <= res["target"] <= 9.0
+    assert res["gain"] > 0.0
+    # sanity: the metric helpers
+    g = rollout(res["gain"], res["target"])
+    assert 0.0 <= float(time_in_range(g)) <= 1.0
+    assert float(glycemic_risk(jnp.full((4, 5), 6.0))) == 0.0
