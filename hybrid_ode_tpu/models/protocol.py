@@ -32,6 +32,7 @@ from typing import Any, Callable, Dict, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from hybrid_ode_tpu.dynamics.controls import Controls
@@ -79,8 +80,8 @@ def closed_loop_rollout(
         'rates' (B, C) pmol/h (C = number of nurse-check intervals),
         'insulin_total' (B,) pmol (cap-clipped rate integrated over time).
     """
-    y0 = batch["initial_state"]
-    ts = batch["time_points"]
+    y0 = jnp.asarray(batch["initial_state"])
+    ts = jnp.asarray(batch["time_points"])
     B, T = ts.shape
     C = (T - 1) // check_every
     if C * check_every != T - 1:
@@ -100,9 +101,11 @@ def closed_loop_rollout(
         ctx = ctrl.signals["context"]  # (B, d)
 
     def chunk_slices(x):  # (B, T) -> (C, B, check_every+1), chunks share edges
-        idx = (jnp.arange(C)[:, None] * check_every
-               + jnp.arange(check_every + 1)[None, :])  # (C, ce+1)
-        return jnp.moveaxis(x[:, idx], 1, 0)
+        # numpy index: static gather even under jit (a jnp.arange here would
+        # trace, and numpy batch arrays can't be indexed by tracers)
+        idx = (np.arange(C)[:, None] * check_every
+               + np.arange(check_every + 1)[None, :])  # (C, ce+1)
+        return jnp.moveaxis(jnp.asarray(x)[:, idx], 1, 0)
 
     ts_c = chunk_slices(ts)
     meal_c = chunk_slices(meal)
