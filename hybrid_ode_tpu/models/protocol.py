@@ -199,7 +199,10 @@ def optimize_protocol(
         rollout: (gain, target) -> predicted glucose (any shape, mmol/L).
             Typically a closure over `closed_loop_rollout` /
             `ensemble_closed_loop` returning ['glucose'].
-        init_gain/init_target: start at the deployed protocol.
+        init_gain/init_target: start at the deployed protocol. Scalars
+            optimize one population protocol; (B,) arrays optimize a
+            PER-PATIENT personalized protocol (the rollout broadcasts
+            per-patient gain/target over its batch axis).
         objective: risk functional on the predicted glucose (minimized).
         steps/lr: Adam schedule on (log gain, target).
         target_bounds: box for the target via a sigmoid reparameterization
@@ -216,9 +219,10 @@ def optimize_protocol(
         target = lo + (hi - lo) * jax.nn.sigmoid(z["logit_target"])
         return gain, target
 
-    t0 = jnp.clip((init_target - lo) / (hi - lo), 1e-3, 1 - 1e-3)
+    t0 = jnp.clip((jnp.asarray(init_target, jnp.float32) - lo) / (hi - lo),
+                  1e-3, 1 - 1e-3)
     z = {"log_gain": jnp.log(jnp.asarray(init_gain, jnp.float32)),
-         "logit_target": jnp.log(t0 / (1 - t0)).astype(jnp.float32)}
+         "logit_target": jnp.log(t0 / (1 - t0))}
 
     def loss(z):
         gain, target = unpack(z)
@@ -239,9 +243,10 @@ def optimize_protocol(
         trace.append(float(val))  # risk at the pre-update parameters
     trace.append(float(jax.jit(loss)(z)))  # risk at the final parameters
     gain, target = unpack(z)
+    scalar = jnp.ndim(gain) == 0 and jnp.ndim(target) == 0
     return {
-        "gain": float(gain),
-        "target": float(target),
+        "gain": float(gain) if scalar else np.asarray(gain),
+        "target": float(target) if scalar else np.asarray(target),
         "risk": trace,
         "init_risk": trace[0],
         "final_risk": trace[-1],

@@ -957,3 +957,71 @@ def test_aot_export_round_trip():
     g_rt = reloaded(params)
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_rt)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_intervention_artifact_documents_confounding():
+    """The shipped results/intervention_dose_response.json (round 4) is the
+    measured confounding finding: the reference-parity NN-routing arm
+    transports in RMSE but gets the policy-effect DIRECTION wrong. The gate
+    pins both halves so the finding can't silently drift."""
+    import json
+
+    path = (Path(__file__).resolve().parents[1] / "results"
+            / "intervention_dose_response.json")
+    if not path.exists():
+        pytest.skip("run benchmarks/intervention.py first")
+    r = json.loads(path.read_text())
+    assert r["protocol"].get("exog_insulin", "nn") == "nn"
+    for arm in r["arms"].values():
+        assert arm["cf_rmse"] < 0.8  # off-policy transport holds in RMSE
+    for eff in r["policy_effects_vs_factual"].values():
+        assert eff["sign_agreement_pct"] < 50.0  # ...but direction is wrong
+        assert eff["pearson_r"] < 0.0
+
+
+def test_intervention_mech_arm_beats_confounded_routing():
+    """Causal-routing gate: the exog_insulin='mech' intervention artifact
+    must beat the confounded NN arm on policy-effect direction (that is the
+    entire point of the mechanistic routing)."""
+    import json
+
+    base = Path(__file__).resolve().parents[1] / "results"
+    p_mech = base / "intervention_dose_response_mech.json"
+    p_nn = base / "intervention_dose_response.json"
+    if not (p_mech.exists() and p_nn.exists()):
+        pytest.skip("run benchmarks/intervention.py [--exog-insulin mech] first")
+    mech = json.loads(p_mech.read_text())
+    nn = json.loads(p_nn.read_text())
+    assert mech["protocol"]["exog_insulin"] == "mech"
+    for k, eff in mech["policy_effects_vs_factual"].items():
+        ref = nn["policy_effects_vs_factual"][k]
+        assert eff["sign_agreement_pct"] > ref["sign_agreement_pct"], k
+        assert eff["pearson_r"] > ref["pearson_r"], k
+    # direction is actually RIGHT, not just less wrong
+    sa = [e["sign_agreement_pct"]
+          for e in mech["policy_effects_vs_factual"].values()]
+    assert float(np.mean(sa)) > 50.0
+
+
+def test_dose_optimization_artifact_ranks_and_deploys():
+    """Dosing-optimization gate (results/dose_optimization.json): the causal
+    ensemble's model-predicted protocol risks rank the TRUE risks (Spearman
+    > 0.5 across the 5x5 grid), the causal arm out-ranks the confounded arm,
+    and the gradient-optimized protocol does not worsen true outcomes on the
+    fresh validation patients."""
+    import json
+
+    path = (Path(__file__).resolve().parents[1] / "results"
+            / "dose_optimization.json")
+    if not path.exists():
+        pytest.skip("run benchmarks/dose_optimize.py first")
+    r = json.loads(path.read_text())
+    mech = r["ranking_validation"]["mech"]
+    assert mech["spearman_risk"] > 0.5
+    if "nn" in r["ranking_validation"]:
+        assert mech["spearman_risk"] > r["ranking_validation"]["nn"]["spearman_risk"]
+    opt = r["optimized"]
+    assert opt["final_risk"] <= opt["init_risk"] + 1e-9
+    dep = r["deployment_validation"]
+    assert (dep["optimized_protocol"]["risk"]
+            <= dep["default_protocol"]["risk"] * 1.05)
