@@ -162,3 +162,47 @@ def test_implicit_solver_hybrid_gradients_match_fd(solver, x64):
     eps = 1e-6
     gy_fd = (loss_y0(y0.at[0].add(eps)) - loss_y0(y0.at[0].add(-eps))) / (2 * eps)
     np.testing.assert_allclose(float(gy[0]), float(gy_fd), rtol=1e-4)
+
+
+def test_protocol_rollout_gradient_matches_fd():
+    """The dosing optimizer's gradient through the closed-loop rollout
+    (scan of solves + the sliding-scale law) matches central differences in
+    (gain, target) — f64 CPU, away from the clip boundaries."""
+    from hybrid_ode_tpu.models.protocol import closed_loop_rollout, glycemic_risk
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        cfg = HybridConfig(solver="rk4", substeps=2, nn_hidden=8, nn_layers=2,
+                           mode="scan", exog_insulin="mech")
+        params = init_hybrid_params(jax.random.PRNGKey(0), cfg,
+                                    dtype=jnp.float64)
+        params["ode"]["k_ex"] = jnp.asarray(10.0, jnp.float64)
+        B, T = 2, 9
+        base = jnp.array([14.0, 100.0, 90.0, 20.0, 0.0, 1.2], jnp.float64)
+        batch = {
+            "initial_state": jnp.broadcast_to(base, (B, 6))
+            * (1 + 0.05 * jnp.arange(B, dtype=jnp.float64)[:, None]),
+            "time_points": jnp.broadcast_to(
+                jnp.linspace(0.0, 2.0, T, dtype=jnp.float64), (B, T)),
+            "external_inputs": {"meal": jnp.zeros((B, T), jnp.float64)},
+            "mask": jnp.ones((B, T), jnp.float64),
+            "observations": jnp.zeros((B, T, 6), jnp.float64),
+        }
+        norm = (np.zeros(6), np.ones(6))
+
+        def risk(gain, target):
+            g = closed_loop_rollout(params, batch, cfg, gain, target,
+                                    norm=norm, check_every=4)["glucose"]
+            return glycemic_risk(g)
+
+        gain0, target0 = jnp.asarray(200.0), jnp.asarray(6.0)
+        dg, dt = jax.grad(risk, argnums=(0, 1))(gain0, target0)
+        eps = 1e-4
+        fd_g = (risk(gain0 + eps, target0) - risk(gain0 - eps, target0)) / (2 * eps)
+        eps_t = 1e-5
+        fd_t = (risk(gain0, target0 + eps_t) - risk(gain0, target0 - eps_t)) / (2 * eps_t)
+        assert float(jnp.abs(dg)) > 0 and float(jnp.abs(dt)) > 0
+        np.testing.assert_allclose(float(dg), float(fd_g), rtol=1e-4)
+        np.testing.assert_allclose(float(dt), float(fd_t), rtol=1e-4)
+    finally:
+        jax.config.update("jax_enable_x64", False)
