@@ -69,6 +69,7 @@ def main(argv=None):
     from hybrid_ode_tpu.data.mimic import generate_icu_cohort
     from hybrid_ode_tpu.models.hybrid import config_from_dict
     from hybrid_ode_tpu.models.protocol import (
+        cvar_glycemic_risk,
         ensemble_closed_loop,
         glycemic_risk,
         optimize_protocol,
@@ -201,11 +202,22 @@ def main(argv=None):
           f"{opt['target']:.2f} (risk {opt['init_risk']:.4f} -> "
           f"{opt['final_risk']:.4f}, {opt_wall:.0f}s)")
 
+    # risk-averse arm: hedge against the worst quartile of ensemble members
+    opt_cvar = optimize_protocol(
+        rollout, init_gain=DEFAULT_GAIN, init_target=DEFAULT_TARGET,
+        steps=args.steps, lr=args.lr,
+        objective=lambda g: cvar_glycemic_risk(g, alpha=0.25))
+    print(f"CVaR-optimized protocol: gain {opt_cvar['gain']:.0f} target "
+          f"{opt_cvar['target']:.2f}")
+
     # deployment validation on the FRESH validation patients (paired seeds)
     _, val_default = cohort_batch(VAL_SEED, tag="val")
     _, val_opt = cohort_batch(VAL_SEED, opt["gain"], opt["target"], tag="val")
+    _, val_cvar = cohort_batch(VAL_SEED, opt_cvar["gain"], opt_cvar["target"],
+                               tag="val")
     deploy = {"default_protocol": true_risk(val_default),
-              "optimized_protocol": true_risk(val_opt)}
+              "optimized_protocol": true_risk(val_opt),
+              "cvar_optimized_protocol": true_risk(val_cvar)}
     print("deployment validation:", json.dumps(deploy, indent=1))
 
     out = {
@@ -220,6 +232,7 @@ def main(argv=None):
         "optimized": {**{k: v for k, v in opt.items() if k != "risk"},
                       "risk_trace_head": [round(x, 5) for x in opt["risk"][:5]],
                       "wall_s": round(opt_wall, 1), "adam_steps": args.steps},
+        "cvar_optimized": {k: v for k, v in opt_cvar.items() if k != "risk"},
         "deployment_validation": deploy,
     }
     path = REPO / "results" / "dose_optimization.json"

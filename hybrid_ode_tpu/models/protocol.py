@@ -177,6 +177,26 @@ def glycemic_risk(
     return jnp.mean(hypo_weight * low**2 + high**2)
 
 
+def cvar_glycemic_risk(
+    glucose_mmol: jnp.ndarray,
+    alpha: float = 0.25,
+    **risk_kw,
+) -> jnp.ndarray:
+    """Risk-averse objective: CVaR_alpha of the PER-MEMBER glycemic risk.
+
+    glucose_mmol must carry a leading ensemble-member axis (K, ...). Each
+    member's rollout is one sample of the policy's outcome under model
+    uncertainty; CVaR averages the worst ceil(alpha*K) member risks, so the
+    optimizer hedges against the members that predict the policy going
+    badly instead of optimizing the average-case story. Differentiable
+    (sort has a well-defined subgradient)."""
+    K = glucose_mmol.shape[0]
+    per_member = jax.vmap(lambda g: glycemic_risk(g, **risk_kw))(glucose_mmol)
+    k_tail = max(1, int(np.ceil(alpha * K)))
+    worst = jnp.sort(per_member)[K - k_tail:]
+    return worst.mean()
+
+
 def time_in_range(
     glucose_mmol: jnp.ndarray, lo: float = 3.9, hi: float = 10.0
 ) -> jnp.ndarray:

@@ -313,3 +313,19 @@ def test_optimize_protocol_descends_and_is_differentiable():
     g = rollout(res["gain"], res["target"])
     assert 0.0 <= float(time_in_range(g)) <= 1.0
     assert float(glycemic_risk(jnp.full((4, 5), 6.0))) == 0.0
+
+
+def test_cvar_risk_upper_bounds_mean_risk():
+    """CVaR of per-member risks >= mean risk, equals it at alpha=1, and is
+    differentiable (the risk-averse dosing objective)."""
+    from hybrid_ode_tpu.models.protocol import cvar_glycemic_risk, glycemic_risk
+
+    key = jax.random.PRNGKey(0)
+    g = 7.0 + 3.0 * jax.random.normal(key, (8, 4, 10))  # (K, B, T)
+    mean_risk = float(jnp.mean(jax.vmap(glycemic_risk)(g)))
+    cvar25 = float(cvar_glycemic_risk(g, alpha=0.25))
+    cvar_all = float(cvar_glycemic_risk(g, alpha=1.0))
+    assert cvar25 >= mean_risk - 1e-6
+    np.testing.assert_allclose(cvar_all, mean_risk, rtol=1e-6)
+    grad = jax.grad(lambda x: cvar_glycemic_risk(x, alpha=0.25))(g)
+    assert float(jnp.abs(grad).sum()) > 0
