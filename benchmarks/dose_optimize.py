@@ -89,9 +89,11 @@ def main(argv=None):
             ds_tr.state_std.astype(np.float64))
 
     def cohort_batch(seed, gain=DEFAULT_GAIN, target=DEFAULT_TARGET,
-                     tag="design"):
+                     tag="design", fname=None):
         """One full-horizon window per patient, z-scored with train stats."""
-        path = f"/tmp/icu_proto_{tag}_{seed}_{gain:g}_{target:g}.parquet"
+        if fname is None:
+            fname = f"icu_proto_{tag}_{seed}_{gain:g}_{target:g}"
+        path = f"/tmp/{fname}.parquet"
         if not Path(path).exists():
             generate_icu_cohort(path=path, n_patients=args.patients,
                                 hours=args.hours, seed=seed,
@@ -210,14 +212,36 @@ def main(argv=None):
     print(f"CVaR-optimized protocol: gain {opt_cvar['gain']:.0f} target "
           f"{opt_cvar['target']:.2f}")
 
+    # personalized arm: per-patient (gain_i, target_i) optimized on the
+    # VALIDATION patients' own factual charted data (deployment-realistic —
+    # the model never trained on these patients; their history conditions
+    # the subject context), validated with per-patient protocol arrays.
+    def val_rollout(gain, target):
+        return ensemble_closed_loop(stacked, val_batch, config,
+                                    gain, target, norm)["glucose"]
+
+    opt_pp = optimize_protocol(
+        val_rollout,
+        init_gain=np.full(args.patients, DEFAULT_GAIN, np.float32),
+        init_target=np.full(args.patients, DEFAULT_TARGET, np.float32),
+        steps=args.steps, lr=args.lr)
+    print(f"personalized protocols: gain [{opt_pp['gain'].min():.0f}, "
+          f"{opt_pp['gain'].max():.0f}] target [{opt_pp['target'].min():.2f},"
+          f" {opt_pp['target'].max():.2f}]")
+
     # deployment validation on the FRESH validation patients (paired seeds)
     _, val_default = cohort_batch(VAL_SEED, tag="val")
     _, val_opt = cohort_batch(VAL_SEED, opt["gain"], opt["target"], tag="val")
     _, val_cvar = cohort_batch(VAL_SEED, opt_cvar["gain"], opt_cvar["target"],
                                tag="val")
+    # never reuse a stale personalized cohort (its protocol vector changes)
+    Path("/tmp/icu_proto_val_personalized.parquet").unlink(missing_ok=True)
+    _, val_pp = cohort_batch(VAL_SEED, opt_pp["gain"], opt_pp["target"],
+                             tag="val", fname="icu_proto_val_personalized")
     deploy = {"default_protocol": true_risk(val_default),
               "optimized_protocol": true_risk(val_opt),
-              "cvar_optimized_protocol": true_risk(val_cvar)}
+              "cvar_optimized_protocol": true_risk(val_cvar),
+              "personalized_protocol": true_risk(val_pp)}
     print("deployment validation:", json.dumps(deploy, indent=1))
 
     out = {
@@ -233,6 +257,12 @@ def main(argv=None):
                       "risk_trace_head": [round(x, 5) for x in opt["risk"][:5]],
                       "wall_s": round(opt_wall, 1), "adam_steps": args.steps},
         "cvar_optimized": {k: v for k, v in opt_cvar.items() if k != "risk"},
+        "personalized": {
+            "gain": [round(float(x), 1) for x in opt_pp["gain"]],
+            "target": [round(float(x), 3) for x in opt_pp["target"]],
+            "init_risk": opt_pp["init_risk"],
+            "final_risk": opt_pp["final_risk"],
+        },
         "deployment_validation": deploy,
     }
     path = REPO / "results" / "dose_optimization.json"

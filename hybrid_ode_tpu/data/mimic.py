@@ -184,8 +184,8 @@ def generate_icu_cohort(
     output_dir: str = "data",
     per_channel_charting: bool = False,
     dose_scale: float = 1.0,
-    protocol_gain: float = 900.0,
-    protocol_target: float = 7.0,
+    protocol_gain=900.0,       # float or (n_patients,) per-patient gains
+    protocol_target=7.0,       # float or (n_patients,) per-patient targets
 ):
     """Synthetic ICU glucose-management cohort with REAL dynamics.
 
@@ -338,8 +338,11 @@ def generate_icu_cohort(
     # (and the `dose_scale` multiplier) change NO rng consumption, so any
     # protocol variant at a fixed seed is an exactly paired counterfactual —
     # the ground-truth validation hook for model-based protocol optimization
-    # (models/protocol.py, benchmarks/dose_optimize.py).
-    glucose_target = protocol_target
+    # (models/protocol.py, benchmarks/dose_optimize.py). Scalars apply one
+    # population protocol; (n_patients,) arrays personalize it per patient.
+    protocol_gain = np.broadcast_to(np.asarray(protocol_gain, np.float64), (N,))
+    glucose_target = np.broadcast_to(
+        np.asarray(protocol_target, np.float64), (N,))
     for c in range(n_chunks):
         i0 = c * steps_per_hour
         i1 = min(i0 + steps_per_hour, T - 1)
@@ -414,8 +417,9 @@ def generate_icu_cohort(
         metadata={"generator": "hybrid_ode_tpu ICU cohort (4GI + exogenous "
                   "insulin + circadian/stress)", "n_patients": N,
                   "hours": hours, "seed": seed, "obs_gap_min": obs_gap_min,
-                  "dose_scale": dose_scale, "protocol_gain": protocol_gain,
-                  "protocol_target": protocol_target},
+                  "dose_scale": dose_scale,
+                  "protocol_gain": np.asarray(protocol_gain).tolist(),
+                  "protocol_target": np.asarray(glucose_target).tolist()},
     )
     return df
 

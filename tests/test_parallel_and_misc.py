@@ -1025,3 +1025,33 @@ def test_dose_optimization_artifact_ranks_and_deploys():
     dep = r["deployment_validation"]
     assert (dep["optimized_protocol"]["risk"]
             <= dep["default_protocol"]["risk"] * 1.05)
+
+
+def test_per_patient_protocol_arrays(tmp_path):
+    """Per-patient protocol_gain/protocol_target arrays personalize the ICU
+    generator's sliding scale (rng-paired with the scalar case), and
+    optimize_protocol handles vector (per-patient) parameters."""
+    import pandas as pd
+
+    from hybrid_ode_tpu.data.mimic import generate_icu_cohort
+    from hybrid_ode_tpu.models.protocol import optimize_protocol
+
+    tgts = np.array([4.5, 9.5, 7.0])
+    pp = generate_icu_cohort(path=str(tmp_path / "pp.parquet"), n_patients=3,
+                             hours=6.0, seed=7, protocol_target=tgts)
+    sc = generate_icu_cohort(path=str(tmp_path / "sc.parquet"), n_patients=3,
+                             hours=6.0, seed=7)
+    np.testing.assert_array_equal(pp["meal_indicator"], sc["meal_indicator"])
+    dose = pp.groupby("subject_id")["tvns"].mean()
+    assert dose[0] > dose[1]  # tighter target -> more insulin
+
+    # vector-mode optimizer on a stub rollout: each patient's predicted
+    # glucose equals their target, so risk pulls targets into [3.9, 10]
+    def rollout(gain, target):
+        return jnp.broadcast_to(target[:, None], (3, 8))
+
+    res = optimize_protocol(rollout, init_gain=np.full(3, 900.0, np.float32),
+                            init_target=np.array([4.6, 8.9, 7.0], np.float32),
+                            steps=5, lr=0.05)
+    assert res["gain"].shape == (3,) and res["target"].shape == (3,)
+    assert res["final_risk"] <= res["init_risk"] + 1e-9
