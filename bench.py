@@ -35,19 +35,57 @@ import time
 REFERENCE_SUBJECTS_PER_SEC = 19.2  # measured: /root/reference HybridODENN.forward, CPU
 
 
+def _tpu_reachable(timeout_s: float = 240.0) -> bool:
+    """Probe the axon TPU tunnel in a SUBPROCESS with a hard timeout.
+
+    The tunnel occasionally wedges (jax.devices() blocks forever in-process,
+    observed 2026-08-18); a probe child can be killed, the parent cannot."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); import sys; "
+             "sys.exit(0 if d and d[0].platform != 'cpu' else 1)"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    tpu_ok = _tpu_reachable()
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    if not tpu_ok:
+        # fallback: produce an honest (flagged) CPU measurement instead of
+        # hanging the driver; XLA:CPU rk4 scan replaces the Pallas kernels
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     import hybrid_ode_tpu as ht
     from hybrid_ode_tpu.dynamics.controls import Controls
-    from hybrid_ode_tpu.ops.pallas_rk4 import fused_rk4_hybrid, fused_rk4_trajectory
     from hybrid_ode_tpu.solvers.api import odeint
 
-    N, T, SUB = 8192, 61, 4
-    N_INNER = 20
+    if tpu_ok:
+        from hybrid_ode_tpu.ops.pallas_rk4 import fused_rk4_hybrid, fused_rk4_trajectory
+
+        N, T, SUB = 8192, 61, 4
+        N_INNER, N_GRAD, N_ADAPT = 20, 8, 5
+    else:
+        N, T, SUB = 256, 61, 4
+        N_INNER, N_GRAD, N_ADAPT = 2, 1, 1
+        _cfg_rk4 = ht.HybridConfig(solver="rk4", substeps=SUB, mode="scan")
+
+        def fused_rk4_trajectory(y, ts, meal, tvns, ode, nn, substeps=SUB):
+            ctrl = Controls(ts=ts, signals={"meal": meal, "tVNS": tvns})
+            return ht.batched_forward({"ode": ode, "nn": nn}, y, ts, ctrl,
+                                      _cfg_rk4)
+
+        fused_rk4_hybrid = fused_rk4_trajectory
     config = ht.HybridConfig(solver="dopri5", rtol=1e-5, atol=1e-7)
     params = ht.init_hybrid_params(jax.random.PRNGKey(0), config)
     params["nn"]["w4"] = 0.01 * jax.random.normal(jax.random.PRNGKey(2), params["nn"]["w4"].shape)
@@ -126,13 +164,13 @@ def main():
             y = y0s * (1.0 + 1e-6 * (seed + i))
             g = jax.grad(loss)(params, y)
             return c + g["nn"]["w2"].sum(), None
-        out, _ = jax.lax.scan(body, 0.0, jnp.arange(8, dtype=jnp.float32))
+        out, _ = jax.lax.scan(body, 0.0, jnp.arange(N_GRAD, dtype=jnp.float32))
         return out
 
     float(many_grad(jnp.float32(0)))
     t0 = time.time()
     float(many_grad(jnp.float32(1)))
-    dt_grad = (time.time() - t0) / 8
+    dt_grad = (time.time() - t0) / N_GRAD
 
     # ---- secondary: adaptive dopri5 through the generic stack -------------
     controls = Controls(ts=ts1, signals={"meal": meal1, "tVNS": jnp.zeros(T)})
@@ -153,7 +191,7 @@ def main():
             y = y0s * (1.0 + 1e-6 * (seed + i))
             out, stats = sim(y)
             return c + out[:, -1, 0].sum(), jnp.sum(stats.n_accepted + stats.n_rejected)
-        out, steps = jax.lax.scan(body, 0.0, jnp.arange(5, dtype=jnp.float32))
+        out, steps = jax.lax.scan(body, 0.0, jnp.arange(N_ADAPT, dtype=jnp.float32))
         return out, steps[0]
 
     _, adapt_steps = many_adapt(jnp.float32(0))
@@ -161,7 +199,7 @@ def main():
     t0 = time.time()
     out, adapt_steps = many_adapt(jnp.float32(1))
     float(out)
-    dt_adapt = (time.time() - t0) / 5
+    dt_adapt = (time.time() - t0) / N_ADAPT
     adapt_steps = int(adapt_steps)
 
     print(
@@ -184,6 +222,7 @@ def main():
                 "dispatch_overhead_ms": round(dispatch_ms, 1),
                 "n_inner_amortized": N_INNER,
                 "device": str(jax.devices()[0]),
+                "platform": "tpu" if tpu_ok else "cpu_fallback_tunnel_down",
             }
         )
     )
