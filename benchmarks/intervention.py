@@ -190,6 +190,10 @@ def main(argv=None):
             "ensemble90_covers_true_pct": round(
                 100.0 * float(np.mean((e_true >= lo) & (e_true <= hi))), 1),
             "n_windows": int(e_true.shape[0]),
+            # per-window effects (mmol/L) for downstream figures
+            # (plots/intervention.py scatter panel)
+            "e_true": [round(float(x), 5) for x in e_true],
+            "e_model": [round(float(x), 5) for x in e_model],
         }
         print(f"effect {key} vs {FACTUAL}: {effects[key]}")
 
