@@ -40,6 +40,11 @@ def main(argv=None):
                     "'nn' = reference-parity NN feature (the confounded arm, "
                     "see RESULTS.md intervention study); 'mech' = causal "
                     "mechanistic routing via learnable k_ex, NN blinded")
+    ap.add_argument("--train-cohort", default="factual",
+                    choices=["factual", "varied"],
+                    help="'varied' trains on the protocol-varied cohort "
+                    "(per-patient gains/targets; identifies the dose "
+                    "response — see generate_icu_cohort_varied)")
     args = ap.parse_args(argv)
 
     import jax
@@ -70,12 +75,18 @@ def main(argv=None):
     }
     config = config_from_dict(cfg)
 
-    data_path = REPO / "data" / "icu_cohort.parquet"
+    varied = args.train_cohort == "varied"
+    data_path = REPO / "data" / ("icu_cohort_varied.parquet" if varied
+                                 else "icu_cohort.parquet")
     if not data_path.exists():
-        from hybrid_ode_tpu.data.mimic import generate_icu_cohort
+        from hybrid_ode_tpu.data.mimic import (
+            generate_icu_cohort,
+            generate_icu_cohort_varied,
+        )
 
-        print("generating ICU cohort (80 patients x 72 h)...")
-        generate_icu_cohort(path=str(data_path), n_patients=80, hours=72.0, seed=0)
+        print(f"generating {args.train_cohort} ICU cohort (80 x 72 h)...")
+        gen = generate_icu_cohort_varied if varied else generate_icu_cohort
+        gen(path=str(data_path), n_patients=80, hours=72.0, seed=0)
     ds = create_data_arrays(str(data_path), sequence_length=61, stride=24)
     tr, va, te = split_dataset(ds, seed=42, level="subject")
     print(f"windows: train {len(tr)} / val {len(va)} / test {len(te)}")
@@ -92,7 +103,8 @@ def main(argv=None):
 
     from hybrid_ode_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
-    tag = "" if args.exog_insulin == "nn" else f"_{args.exog_insulin}"
+    tag = ("" if args.exog_insulin == "nn" else f"_{args.exog_insulin}") \
+        + ("_varied" if varied else "")
     ckpt = REPO / "checkpoints" / f"icu_ensemble{tag}" / "ensemble_model"
     t0 = time.time()
     if args.reuse and ckpt.exists():
@@ -191,6 +203,7 @@ def main(argv=None):
     results = {
         "n_members": K,
         "exog_insulin": args.exog_insulin,
+        "train_cohort": args.train_cohort,
         "epochs": args.epochs,
         "train_wall_s": round(wall, 1),
         "clinical_uq": uq,

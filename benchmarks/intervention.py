@@ -24,10 +24,13 @@ Protocol (policy-level counterfactual, fresh patients):
   1. Generate paired cohorts at dose_scale s in {0, 0.5, 1, 1.5, 2} with a
      FRESH seed (909; training used seed 0 — zero patient overlap).
   2. For each arm, condition the trained K=8 ICU deep ensemble
-     (checkpoints/icu_ensemble) on that arm's charted initial states and
-     control channels (carb + insulin-rate; the insulin channel is
-     NN-visible only — the mechanistic core has no exogenous-insulin term,
-     so any learned dose response is the residual's).
+     (checkpoints/icu_ensemble{_mech,_both}, per --exog-insulin) on that
+     arm's charted initial states and control channels (carb +
+     insulin-rate). The insulin routing is the experiment's variable:
+     'nn' (reference parity) feeds the rate to the NN residual only —
+     MEASURED to be confounded under the closed-loop protocol; 'mech'
+     routes it through the mechanistic insulin compartment (learnable
+     k_ex, NN blinded) for causal transport.
   3. Score the ensemble against each arm's NOISELESS simulated truth:
      (a) counterfactual glucose RMSE per arm (off-policy transport), and
      (b) the policy effect: per window, the time-mean glucose shift vs the
@@ -68,6 +71,10 @@ def main(argv=None):
                     "confounded), 'mech' = causal mechanistic routing "
                     "(train it first: benchmarks/icu_ensemble.py "
                     "--exog-insulin mech)")
+    ap.add_argument("--train-cohort", default="factual",
+                    choices=["factual", "varied"],
+                    help="which training cohort the checkpoint used "
+                    "('varied' = protocol-varied, dose-response identified)")
     args = ap.parse_args(argv)
     scales = [float(s) for s in args.scales.split(",")]
     assert float(FACTUAL) in scales, "the factual arm (1.0) must be included"
@@ -100,20 +107,29 @@ def main(argv=None):
     }
     config = config_from_dict(cfg)
 
-    tag = "" if args.exog_insulin == "nn" else f"_{args.exog_insulin}"
+    tag = ("" if args.exog_insulin == "nn" else f"_{args.exog_insulin}") \
+        + ("_varied" if varied else "")
     ckpt = REPO / "checkpoints" / f"icu_ensemble{tag}" / "ensemble_model"
     if not ckpt.exists():
         sys.exit(f"checkpoint missing - run `python benchmarks/icu_ensemble.py "
-                 f"--exog-insulin {args.exog_insulin}` first")
+                 f"--exog-insulin {args.exog_insulin} "
+                 f"--train-cohort {args.train_cohort}` first")
     stacked, meta = load_checkpoint(str(ckpt))
     K = int(meta["n_members"])
     print(f"loaded ICU ensemble (K={K})")
 
     # training-cohort normalization stats (deployment convention)
-    train_path = REPO / "data" / "icu_cohort.parquet"
+    varied = args.train_cohort == "varied"
+    train_path = REPO / "data" / ("icu_cohort_varied.parquet" if varied
+                                  else "icu_cohort.parquet")
     if not train_path.exists():
-        generate_icu_cohort(path=str(train_path), n_patients=80,
-                            hours=72.0, seed=0)
+        if varied:
+            from hybrid_ode_tpu.data.mimic import generate_icu_cohort_varied
+            generate_icu_cohort_varied(path=str(train_path), n_patients=80,
+                                       hours=72.0, seed=0)
+        else:
+            generate_icu_cohort(path=str(train_path), n_patients=80,
+                                hours=72.0, seed=0)
     ds = create_data_arrays(str(train_path), sequence_length=61, stride=24)
     mean, std = ds.state_mean.astype(np.float64), ds.state_std.astype(np.float64)
 
@@ -203,6 +219,7 @@ def main(argv=None):
             "seed": args.seed, "dose_scales": scales,
             "ensemble_members": K,
             "exog_insulin": args.exog_insulin,
+            "train_cohort": args.train_cohort,
             "checkpoint": f"checkpoints/icu_ensemble{tag} (seed-0 cohort, "
                           "400 epochs)",
         },

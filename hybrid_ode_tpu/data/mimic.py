@@ -183,7 +183,7 @@ def generate_icu_cohort(
     t2dm_fraction: float = 0.7,
     output_dir: str = "data",
     per_channel_charting: bool = False,
-    dose_scale: float = 1.0,
+    dose_scale=1.0,            # float or (n_patients,) protocol-gain multiplier
     protocol_gain=900.0,       # float or (n_patients,) per-patient gains
     protocol_target=7.0,       # float or (n_patients,) per-patient targets
 ):
@@ -343,6 +343,7 @@ def generate_icu_cohort(
     protocol_gain = np.broadcast_to(np.asarray(protocol_gain, np.float64), (N,))
     glucose_target = np.broadcast_to(
         np.asarray(protocol_target, np.float64), (N,))
+    dose_scale = np.broadcast_to(np.asarray(dose_scale, np.float64), (N,))
     for c in range(n_chunks):
         i0 = c * steps_per_hour
         i1 = min(i0 + steps_per_hour, T - 1)
@@ -417,7 +418,7 @@ def generate_icu_cohort(
         metadata={"generator": "hybrid_ode_tpu ICU cohort (4GI + exogenous "
                   "insulin + circadian/stress)", "n_patients": N,
                   "hours": hours, "seed": seed, "obs_gap_min": obs_gap_min,
-                  "dose_scale": dose_scale,
+                  "dose_scale": np.asarray(dose_scale).tolist(),
                   "protocol_gain": np.asarray(protocol_gain).tolist(),
                   "protocol_target": np.asarray(glucose_target).tolist()},
     )
@@ -444,3 +445,35 @@ if __name__ == "__main__":
         n_patients=a.patients, grid_minutes=a.grid_minutes,
         interpolate=a.interpolate, seed=a.seed,
     )
+
+
+def generate_icu_cohort_varied(
+    path: Optional[str] = None,
+    n_patients: int = 80,
+    hours: float = 72.0,
+    seed: int = 0,
+    **kw,
+):
+    """ICU cohort with per-patient PROTOCOL VARIATION — the
+    identification-friendly training regime.
+
+    Measured motivation (RESULTS.md causal-routing study): under the single
+    factual protocol (gain 900, target 7) these ~5.6-6.1 mmol/L patients are
+    almost never dosed (mean 45 pmol/h), so the exogenous-insulin gain k_ex
+    is under-identified and the learned dose response is ~6x attenuated even
+    with causal routing. Real ICUs vary sliding scales across units and
+    physicians; sampling per-patient targets U(5, 9) and gains
+    900 x U(0.25, 3) reproduces that practice variation, generates actual
+    dosing in the training data, and de-confounds the insulin channel the
+    standard observational-causal way (policy variation).
+
+    The protocol draws use an rng stream derived from (but independent of)
+    `seed`, so the physiology/charting randomness stays paired with the
+    factual cohort at the same seed.
+    """
+    prng = np.random.default_rng(seed + 10_000)
+    gains = 900.0 * prng.uniform(0.25, 3.0, n_patients)
+    targets = prng.uniform(5.0, 9.0, n_patients)
+    return generate_icu_cohort(path=path, n_patients=n_patients, hours=hours,
+                               seed=seed, protocol_gain=gains,
+                               protocol_target=targets, **kw)
