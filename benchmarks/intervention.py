@@ -107,6 +107,7 @@ def main(argv=None):
     }
     config = config_from_dict(cfg)
 
+    varied = args.train_cohort == "varied"
     tag = ("" if args.exog_insulin == "nn" else f"_{args.exog_insulin}") \
         + ("_varied" if varied else "")
     ckpt = REPO / "checkpoints" / f"icu_ensemble{tag}" / "ensemble_model"
@@ -119,7 +120,6 @@ def main(argv=None):
     print(f"loaded ICU ensemble (K={K})")
 
     # training-cohort normalization stats (deployment convention)
-    varied = args.train_cohort == "varied"
     train_path = REPO / "data" / ("icu_cohort_varied.parquet" if varied
                                   else "icu_cohort.parquet")
     if not train_path.exists():
