@@ -315,6 +315,81 @@ def test_optimize_protocol_descends_and_is_differentiable():
     assert float(glycemic_risk(jnp.full((4, 5), 6.0))) == 0.0
 
 
+def test_optimize_protocol_gain_bounds_and_delta_correction():
+    """Round-4 dosing-study fixes: gain_bounds boxes the gain inside the
+    clinically admissible range (the unbounded log-gain measurably ran away
+    to 35k, RESULTS.md), and counterfactual_delta_correction anchors the
+    corrected trajectory to the observation at the factual protocol."""
+    from hybrid_ode_tpu.models.protocol import (
+        closed_loop_rollout,
+        counterfactual_delta_correction,
+        optimize_protocol,
+    )
+
+    cfg = HybridConfig(solver="rk4", substeps=2, nn_hidden=8, nn_layers=2,
+                       mode="scan", exog_insulin="mech")
+    params = init_hybrid_params(jax.random.PRNGKey(0), cfg)
+    params["ode"]["k_ex"] = jnp.asarray(10.0)
+    batch = _protocol_batch()
+    batch["initial_state"] = batch["initial_state"].at[:, 0].add(6.0)
+    norm = (np.zeros(6), np.ones(6))
+
+    def rollout(gain, target):
+        return closed_loop_rollout(params, batch, cfg, gain, target,
+                                   norm=norm, check_every=4)["glucose"]
+
+    res = optimize_protocol(rollout, init_gain=900.0, init_target=7.0,
+                            steps=20, lr=0.3, gain_bounds=(0.0, 3600.0))
+    assert 0.0 <= res["gain"] <= 3600.0
+    assert res["final_risk"] <= res["init_risk"] + 1e-9
+    # vector (per-patient) parameters respect the box too
+    res_pp = optimize_protocol(
+        lambda g, t: rollout(g, t),
+        init_gain=np.full(3, 900.0, np.float32),
+        init_target=np.full(3, 7.0, np.float32),
+        steps=5, lr=0.3, gain_bounds=(0.0, 3600.0))
+    assert np.all(res_pp["gain"] >= 0.0) and np.all(res_pp["gain"] <= 3600.0)
+
+    # delta correction: equals the observation exactly at the factual arm,
+    # and shifts it by exactly the model's predicted delta elsewhere
+    g_fact_model = rollout(900.0, 7.0)
+    obs = g_fact_model + 0.37  # synthetic "observed" factual trajectory
+    corr_fact = counterfactual_delta_correction(g_fact_model, g_fact_model,
+                                                obs)
+    np.testing.assert_allclose(np.asarray(corr_fact), np.asarray(obs),
+                               rtol=1e-6)
+    g_arm = rollout(1800.0, 5.5)
+    corr_arm = counterfactual_delta_correction(g_arm, g_fact_model, obs)
+    np.testing.assert_allclose(np.asarray(corr_arm - obs),
+                               np.asarray(g_arm - g_fact_model), atol=1e-5)
+
+
+def test_robust_delta_risk_worst_case_properties():
+    """robust_delta_risk upper-bounds the plain corrected risk, reduces to
+    it when the delta is zero, and is differentiable (the dosing study's
+    attenuation-robust objective)."""
+    from hybrid_ode_tpu.models.protocol import (
+        counterfactual_delta_correction,
+        glycemic_risk,
+        robust_delta_risk,
+    )
+
+    key = jax.random.PRNGKey(3)
+    obs = 6.0 + 1.5 * jax.random.normal(key, (4, 12))          # (N, T)
+    fact = obs + 0.3 * jax.random.normal(jax.random.PRNGKey(4), (4, 12))
+    arm = fact - 0.8                                            # dosing arm
+    plain = float(glycemic_risk(
+        counterfactual_delta_correction(arm, fact, obs)))
+    robust = float(robust_delta_risk(arm, fact, obs))
+    assert robust >= plain - 1e-7   # worst case dominates lambda=1
+    # zero delta: every lambda gives the observed trajectory's risk
+    np.testing.assert_allclose(
+        float(robust_delta_risk(fact, fact, obs)),
+        float(glycemic_risk(obs)), rtol=1e-6)
+    grad = jax.grad(lambda a: robust_delta_risk(a, fact, obs))(arm)
+    assert float(jnp.abs(grad).sum()) > 0
+
+
 def test_cvar_risk_upper_bounds_mean_risk():
     """CVaR of per-member risks >= mean risk, equals it at alpha=1, and is
     differentiable (the risk-averse dosing objective)."""
