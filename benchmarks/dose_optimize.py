@@ -1,40 +1,39 @@
 """Model-based insulin-protocol evaluation and optimization, ground-truth
-validated (MPC-style receding horizon).
+validated (MPC-style receding horizon) on the DYSGLYCEMIC ICU subpopulation.
 
 The reference promises "prospective prototyping for future downstream
 tasks like clinical dosing or therapeutic guidance"
 (/root/reference/manuscript.tex:52) with nothing runnable behind it. This
 benchmark runs the loop the promise implies:
 
-  1. RANKING: across a 12-arm sliding-scale protocol grid (including
-     aggressive low-target arms that genuinely cause hypoglycemia and
-     withhold arms that let hyperglycemia ride), roll the trained ICU
-     ensemble forward in closed loop over 6-hour horizons — the model's
-     VALIDATED regime; its training windows are 5 h, and a first-cut 24 h
-     design measurably diverged (see RESULTS.md) — and compare the model's
-     predicted glycemic risk ranking to the TRUE ranking from re-simulating
-     the same patients under each protocol (paired counterfactual cohorts).
-     Both insulin routings are scored: causal 'mech' vs the confounded
-     reference-parity 'nn' (RESULTS.md intervention study).
+  1. RANKING: across a 15-arm protocol grid over (gain, target, basal) —
+     withhold arms that let hyperglycemia ride, proportional sliding
+     scales, and basal-heavy arms that genuinely cause hypoglycemia
+     (basal insulin continues below target: the classic ICU
+     over-insulinization mechanism) — roll the trained ensemble forward
+     in closed loop over 6-hour horizons and compare the model's
+     predicted glycemic-risk ranking to the TRUE ranking from
+     re-simulating the same patients under each protocol (paired
+     counterfactual cohorts). Both insulin routings are scored: causal
+     'mech' vs the confounded reference-parity 'nn'.
 
-     Risk is scored ROBUSTLY on delta-corrected trajectories
-     (`robust_delta_risk`: worst case over de-attenuation factors
-     lambda in {1,2,4} applied to the model's counterfactual delta on the
-     observed factual glucose). Measured motivations, kept on the record
-     in the artifact: the RAW model risk is flat across the grid
-     (0.261-0.262 while true risk spans 0.031-0.080, `model_risk_raw`) —
-     absolute risk is dominated by the model's own prediction error; and
-     PLAIN delta correction (`model_risk_corrected`) cancels that error
-     but still understates aggressive arms' hypoglycemia tail through the
-     ~2.2x identified-dose-response attenuation (spearman 0.27, picked a
-     truly-harmful optimum).
-  2. OPTIMIZATION: gradient-optimize (gain, target) THROUGH the rollout
-     under the same robust objective (population, risk-averse CVaR, and
-     per-patient personalized arms), with the gain boxed to the
-     clinically admissible [0, 3600] (unbounded log-gain measurably runs
-     away to 35k and deploys at 5.6x the default protocol's true risk),
-     then validate each optimized protocol on the fresh validation
-     patients' simulator truth.
+     WHY the dysglycemic subpopulation: on the standard ICU cohort the
+     patients' intact endogenous secretion closed-loop compensates every
+     protocol — true risk across the round-4 12-arm grid was flat to ~4
+     significant figures (0.0314 +- 0.00002, results/dose_optimization.json
+     r4), so protocol ranking was statistically meaningless. The
+     dysglycemic cohort (beta-cell failure, wide insulin-sensitivity
+     spread, heavy feeding — `generate_icu_cohort_dysglycemic`) has true
+     risks spanning ~an order of magnitude with a real interior optimum.
+
+     Metric hygiene (advisor r4): the factual arm's delta-corrected risk
+     equals simulator truth by construction, so ranking metrics are
+     reported both with and without it; the GATE metric excludes it.
+     Spearman comes with a patient-resampling bootstrap CI.
+  2. OPTIMIZATION: gradient-optimize (gain, target, basal) THROUGH the
+     rollout (population, risk-averse CVaR, and per-patient personalized
+     arms), boxed to the clinically admissible ranges, then validate each
+     optimized protocol on the simulator truth of the same patients.
 
 Writes results/dose_optimization.json.
 
@@ -56,21 +55,47 @@ sys.path.insert(0, str(REPO))
 
 DESIGN_SEED = 1313
 VAL_SEED = 2024
-DEFAULT_GAIN, DEFAULT_TARGET = 900.0, 7.0
+DEFAULT = (900.0, 7.0, 0.0)       # deployed factual protocol (gain, target, basal)
+MAX_RATE = 20000.0                # infusion cap, pmol/h (dysglycemic regime)
 HORIZON_H = 6.0          # rollout/scoring horizon (within the trained regime)
 COHORT_H = 30.0          # simulated cohort length (several windows each)
 
-# protocol grid with REAL outcome spread: the deployed scale's neighbors
-# plus hypo-aggressive (low target x high gain) and withhold arms
-GRID = [(0.0, 7.0), (225.0, 7.0), (450.0, 9.0),
-        (900.0, 4.5), (900.0, 5.5), (900.0, 7.0), (900.0, 9.0), (900.0, 11.0),
-        (1800.0, 5.5), (3600.0, 4.5), (3600.0, 7.0), (3600.0, 11.0)]
+# (gain, target, basal) grid with REAL outcome spread on the dysglycemic
+# cohort: withhold/weak arms ride hyperglycemic, proportional scales are
+# safe-but-incomplete, basal-heavy arms overshoot into hypoglycemia
+GRID = [
+    (0.0, 7.0, 0.0), (225.0, 7.0, 0.0), (900.0, 9.0, 0.0),
+    (900.0, 7.0, 0.0), (900.0, 5.5, 0.0), (1800.0, 5.5, 0.0),
+    (3600.0, 7.0, 0.0), (3600.0, 4.5, 0.0),
+    (900.0, 7.0, 3000.0), (900.0, 5.5, 6000.0), (1800.0, 7.0, 6000.0),
+    (900.0, 4.5, 10000.0), (0.0, 7.0, 12000.0), (900.0, 4.5, 15000.0),
+    (3600.0, 4.5, 15000.0),
+]
 
 
 def spearman(a, b):
     ra = np.argsort(np.argsort(a)).astype(np.float64)
     rb = np.argsort(np.argsort(b)).astype(np.float64)
     return float(np.corrcoef(ra, rb)[0, 1])
+
+
+def bootstrap_spearman(true_pp, model_pp, n_boot=2000, seed=0):
+    """Patient-resampling bootstrap CI for the arm-ranking Spearman.
+
+    true_pp/model_pp: (A, P) per-arm, per-patient risks. Each draw
+    resamples patients with replacement (the same resample on both sides —
+    paired counterfactual cohorts share patients), averages over patients,
+    and ranks the A arms."""
+    rng = np.random.default_rng(seed)
+    A, P = true_pp.shape
+    vals = np.empty(n_boot)
+    for i in range(n_boot):
+        idx = rng.integers(0, P, P)
+        vals[i] = spearman(true_pp[:, idx].mean(1), model_pp[:, idx].mean(1))
+    return {"point": spearman(true_pp.mean(1), model_pp.mean(1)),
+            "ci95": [round(float(np.percentile(vals, 2.5)), 4),
+                     round(float(np.percentile(vals, 97.5)), 4)],
+            "n_boot": n_boot}
 
 
 def main(argv=None):
@@ -80,13 +105,6 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=0.05)
     ap.add_argument("--skip-nn-arm", action="store_true",
                     help="skip the confounded-routing comparison grid")
-    ap.add_argument("--train-cohort", default="varied",
-                    choices=["factual", "varied"],
-                    help="which training cohort the checkpoints used. "
-                    "Default 'varied': the factual single-protocol cohort "
-                    "leaves the dose response under-identified (measured — "
-                    "RESULTS.md causal-routing study), so protocol "
-                    "optimization should use dose-identified models")
     args = ap.parse_args(argv)
 
     import jax
@@ -96,7 +114,7 @@ def main(argv=None):
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 
     from hybrid_ode_tpu.data.dataset import create_data_arrays
-    from hybrid_ode_tpu.data.mimic import generate_icu_cohort
+    from hybrid_ode_tpu.data.mimic import generate_icu_cohort_dysglycemic
     from hybrid_ode_tpu.models.hybrid import config_from_dict
     from hybrid_ode_tpu.models.protocol import (
         counterfactual_delta_correction,
@@ -113,31 +131,26 @@ def main(argv=None):
     STRIDE = T - 1                    # non-overlapping receding horizons
 
     # training-cohort stats (deployment convention, as in intervention.py)
-    varied = args.train_cohort == "varied"
-    train_path = REPO / "data" / ("icu_cohort_varied.parquet" if varied
-                                  else "icu_cohort.parquet")
+    train_path = REPO / "data" / "icu_cohort_dysglycemic.parquet"
     if not train_path.exists():
-        if varied:
-            from hybrid_ode_tpu.data.mimic import generate_icu_cohort_varied
-            generate_icu_cohort_varied(path=str(train_path), n_patients=80,
-                                       hours=72.0, seed=0)
-        else:
-            generate_icu_cohort(path=str(train_path), n_patients=80,
-                                hours=72.0, seed=0)
+        generate_icu_cohort_dysglycemic(path=str(train_path), n_patients=80,
+                                        hours=72.0, seed=0,
+                                        varied_protocol=True)
     ds_tr = create_data_arrays(str(train_path), sequence_length=61, stride=24)
     norm = (ds_tr.state_mean.astype(np.float64),
             ds_tr.state_std.astype(np.float64))
 
-    def cohort_batch(seed, gain=DEFAULT_GAIN, target=DEFAULT_TARGET,
-                     tag="design", fname=None):
+    def cohort_batch(seed, protocol=DEFAULT, tag="design", fname=None):
         """6-h receding-horizon windows + per-window noiseless truth."""
+        g, t, b = protocol
         if fname is None:
-            fname = f"icu_dose_{tag}_{seed}_{gain:g}_{target:g}"
+            fname = f"icu_dysg_{tag}_{seed}_{g:g}_{t:g}_{b:g}"
         path = f"/tmp/{fname}.parquet"
         if not Path(path).exists():
-            generate_icu_cohort(path=path, n_patients=args.patients,
-                                hours=COHORT_H, seed=seed,
-                                protocol_gain=gain, protocol_target=target)
+            generate_icu_cohort_dysglycemic(
+                path=path, n_patients=args.patients, hours=COHORT_H,
+                seed=seed, protocol_gain=g, protocol_target=t,
+                protocol_basal=b, protocol_max_rate=MAX_RATE)
         ds = create_data_arrays(path, sequence_length=T, stride=STRIDE,
                                 norm_stats=norm)
         batch = ds.batch(np.arange(len(ds)))
@@ -151,19 +164,28 @@ def main(argv=None):
 
     def true_risk(truth):
         g = np.asarray(truth)
-        return {"risk": float(glycemic_risk(g)),
-                "tir": float(time_in_range(g)),
-                "hypo_frac": float((g < 3.9).mean()),
+        return {"risk": round(float(glycemic_risk(g)), 5),
+                "tir": round(float(time_in_range(g)), 4),
+                "hypo_frac": round(float((g < 3.9).mean()), 5),
                 "mean_glucose": round(float(g.mean()), 3)}
 
+    def per_patient_risk(glucose, sid, uniq):
+        """(..., N, T) glucose -> (P,) risk averaged over each patient's
+        windows (and any leading ensemble axis)."""
+        g = np.asarray(glucose)
+        flat = g.reshape(-1, g.shape[-2], g.shape[-1])      # (K*, N, T)
+        out = np.empty(len(uniq))
+        for j, u in enumerate(uniq):
+            out[j] = float(glycemic_risk(jnp.asarray(flat[:, sid == u])))
+        return out
+
     def load_arm(routing):
-        tag = ("" if routing == "nn" else f"_{routing}") \
-            + ("_varied" if varied else "")
+        tag = ("" if routing == "nn" else f"_{routing}") + "_dysglycemic"
         ckpt = REPO / "checkpoints" / f"icu_ensemble{tag}" / "ensemble_model"
         if not ckpt.exists():
             sys.exit(f"checkpoint missing - run `python benchmarks/"
                      f"icu_ensemble.py --exog-insulin {routing} "
-                     f"--train-cohort {args.train_cohort}` first")
+                     f"--train-cohort dysglycemic` first")
         stacked, meta = load_checkpoint(str(ckpt))
         cfg = {
             "model": {"nn_hidden": 128, "nn_layers": 4, "solver": "rk4",
@@ -175,15 +197,21 @@ def main(argv=None):
         return stacked, config_from_dict(cfg), int(meta["n_members"])
 
     # ---- 1. protocol grid: model-predicted vs true risk ranking -----------
-    val_truths = {}
-    for g, t in GRID:
-        _, truth, _ = cohort_batch(VAL_SEED, g, t, tag="val")
-        val_truths[(g, t)] = true_risk(truth)
+    val_truths, val_truth_traj = {}, {}
+    for arm in GRID:
+        _, truth, _ = cohort_batch(VAL_SEED, arm, tag="val")
+        val_truths[arm] = true_risk(truth)
+        val_truth_traj[arm] = truth
+    tr_all = np.array([val_truths[k]["risk"] for k in GRID])
+    spread = {"min": float(tr_all.min()), "max": float(tr_all.max()),
+              "ratio": round(float(tr_all.max() / max(tr_all.min(), 1e-9)), 2)}
     print(f"simulated {len(GRID)} ground-truth protocol arms "
-          f"(true risk spread {min(v['risk'] for v in val_truths.values()):.4f}"
-          f" .. {max(v['risk'] for v in val_truths.values()):.4f})")
+          f"(true risk spread {spread['min']:.4f}..{spread['max']:.4f}, "
+          f"ratio {spread['ratio']}x)")
 
     val_batch, val_fact_truth, val_sid = cohort_batch(VAL_SEED, tag="val")
+    uniq_val = np.unique(val_sid)
+    nonfactual = [i for i, k in enumerate(GRID) if k != DEFAULT]
 
     arms = {}
     routings = ["mech"] + ([] if args.skip_nn_arm else ["nn"])
@@ -192,57 +220,70 @@ def main(argv=None):
         print(f"[{routing}] loaded K={K} ensemble")
 
         @jax.jit
-        def model_glucose(gain, target, s=stacked, c=config):
-            return ensemble_closed_loop(s, val_batch, c, gain, target,
-                                        norm)["glucose"]  # (K, N, T)
+        def model_glucose(gain, target, basal, s=stacked, c=config):
+            return ensemble_closed_loop(s, val_batch, c, gain, target, norm,
+                                        basal=basal,
+                                        rate_cap=MAX_RATE)["glucose"]
 
         t0 = time.time()
         # factual-protocol rollout anchors the delta correction: each arm's
         # predicted counterfactual delta rides on the OBSERVED factual
         # trajectory (model prediction error cancels pairwise)
-        g_fact = np.asarray(model_glucose(jnp.asarray(DEFAULT_GAIN),
-                                          jnp.asarray(DEFAULT_TARGET)))
-        pred = {}
-        for g, t in GRID:
-            gl = np.asarray(model_glucose(jnp.asarray(g), jnp.asarray(t)))
+        g_fact = np.asarray(model_glucose(*map(jnp.asarray, DEFAULT)))
+        pred, model_pp = {}, {}
+        for arm in GRID:
+            gl = np.asarray(model_glucose(*map(jnp.asarray, arm)))
             corr = counterfactual_delta_correction(gl, g_fact,
                                                    val_fact_truth[None])
-            pred[(g, t)] = {
+            pred[arm] = {
                 "risk": float(robust_delta_risk(gl, g_fact,
                                                 val_fact_truth[None])),
                 "risk_corrected": float(glycemic_risk(corr)),
                 "risk_raw": float(glycemic_risk(gl)),
                 "tir": float(time_in_range(corr)),
                 "finite": bool(np.isfinite(gl).all())}
+            model_pp[arm] = per_patient_risk(np.asarray(corr), val_sid,
+                                             uniq_val)
         wall = time.time() - t0
-        tr = np.array([val_truths[k]["risk"] for k in GRID])
+        true_pp = np.stack([per_patient_risk(val_truth_traj[k], val_sid,
+                                             uniq_val) for k in GRID])
+        mod_pp = np.stack([model_pp[k] for k in GRID])
         pr = np.array([pred[k]["risk"] for k in GRID])
         pr_corr = np.array([pred[k]["risk_corrected"] for k in GRID])
         pr_raw = np.array([pred[k]["risk_raw"] for k in GRID])
+        nf = nonfactual
+        boot = bootstrap_spearman(true_pp[nf], mod_pp[nf])
         arms[routing] = {
-            "spearman_risk": spearman(tr, pr),
-            "spearman_risk_corrected": spearman(tr, pr_corr),
-            "spearman_risk_raw": spearman(tr, pr_raw),
+            # GATE metrics: factual arm EXCLUDED (its delta-corrected risk
+            # equals truth by construction — advisor r4 circularity finding)
+            "spearman_risk": spearman(tr_all[nf], pr[nf]),
+            "spearman_risk_corrected": spearman(tr_all[nf], pr_corr[nf]),
+            "spearman_risk_raw": spearman(tr_all[nf], pr_raw[nf]),
+            "spearman_corrected_bootstrap": boot,
+            # full-grid variants kept on the record
+            "spearman_risk_incl_factual": spearman(tr_all, pr),
             "pearson_log_risk": float(np.corrcoef(
-                np.log10(tr + 1e-6), np.log10(pr + 1e-6))[0, 1]),
+                np.log10(tr_all[nf] + 1e-6), np.log10(pr[nf] + 1e-6))[0, 1]),
             "all_rollouts_finite": all(p["finite"] for p in pred.values()),
-            "true_best_protocol": list(GRID[int(np.argmin(tr))]),
-            "model_best_protocol": list(GRID[int(np.argmin(pr))]),
+            "true_best_protocol": list(GRID[int(np.argmin(tr_all))]),
+            "model_best_protocol":
+                list(GRID[nf[int(np.argmin(pr[nf]))]]),
             "grid_wall_s": round(wall, 1),
-            "grid": [{"gain": g, "target": t,
-                      "true_risk": round(val_truths[(g, t)]["risk"], 5),
-                      "model_risk_robust": round(pred[(g, t)]["risk"], 5),
+            "grid": [{"gain": g, "target": t, "basal": b,
+                      "factual": (g, t, b) == DEFAULT,
+                      "true_risk": val_truths[(g, t, b)]["risk"],
+                      "model_risk_robust": round(pred[(g, t, b)]["risk"], 5),
                       "model_risk_corrected":
-                          round(pred[(g, t)]["risk_corrected"], 5),
-                      "model_risk_raw": round(pred[(g, t)]["risk_raw"], 5),
-                      "true_hypo_frac": val_truths[(g, t)]["hypo_frac"],
-                      "true_tir": round(val_truths[(g, t)]["tir"], 4)}
-                     for g, t in GRID],
+                          round(pred[(g, t, b)]["risk_corrected"], 5),
+                      "model_risk_raw": round(pred[(g, t, b)]["risk_raw"], 5),
+                      "true_hypo_frac": val_truths[(g, t, b)]["hypo_frac"],
+                      "true_tir": val_truths[(g, t, b)]["tir"]}
+                     for g, t, b in GRID],
         }
-        print(f"[{routing}] spearman robust "
-              f"{arms[routing]['spearman_risk']:.3f} (corrected "
-              f"{arms[routing]['spearman_risk_corrected']:.3f}, raw "
-              f"{arms[routing]['spearman_risk_raw']:.3f}) | "
+        print(f"[{routing}] spearman robust {arms[routing]['spearman_risk']:.3f}"
+              f" corrected {arms[routing]['spearman_risk_corrected']:.3f} "
+              f"(CI {boot['ci95']}) raw "
+              f"{arms[routing]['spearman_risk_raw']:.3f} | "
               f"model best {arms[routing]['model_best_protocol']} "
               f"true best {arms[routing]['true_best_protocol']}")
 
@@ -251,97 +292,109 @@ def main(argv=None):
     design_batch, design_truth, design_sid = cohort_batch(DESIGN_SEED)
     print("design cohort factual:", true_risk(design_truth))
 
-    def rollout(gain, target):
+    def rollout(gain, target, basal):
         return ensemble_closed_loop(stacked, design_batch, config,
-                                    gain, target, norm)["glucose"]
+                                    gain, target, norm, basal=basal,
+                                    rate_cap=MAX_RATE)["glucose"]
 
     # delta-corrected objective: the factual rollout is a constant anchor
     # (gradient flows only through the candidate protocol's delta), so the
     # optimizer starts at EXACTLY the design cohort's true factual risk
     fact_design = jax.lax.stop_gradient(
-        jax.jit(rollout)(jnp.asarray(DEFAULT_GAIN),
-                         jnp.asarray(DEFAULT_TARGET)))
+        jax.jit(rollout)(*map(jnp.asarray, DEFAULT)))
     truth_design = jnp.asarray(design_truth)[None]
 
     def robust_obj(g):
         return robust_delta_risk(g, fact_design, truth_design)
 
     GAIN_BOUNDS = (0.0, 3600.0)   # clinically admissible sliding scales
+    BASAL_BOUNDS = (0.0, 15000.0)
     t0 = time.time()
-    opt = optimize_protocol(rollout, init_gain=DEFAULT_GAIN,
-                            init_target=DEFAULT_TARGET, steps=args.steps,
+    opt = optimize_protocol(rollout, init_gain=DEFAULT[0],
+                            init_target=DEFAULT[1], init_basal=DEFAULT[2],
+                            steps=args.steps,
                             lr=args.lr, gain_bounds=GAIN_BOUNDS,
+                            basal_bounds=BASAL_BOUNDS,
                             objective=robust_obj)
     opt_wall = time.time() - t0
     print(f"optimized protocol: gain {opt['gain']:.0f} target "
-          f"{opt['target']:.2f} (risk {opt['init_risk']:.5f} -> "
-          f"{opt['final_risk']:.5f}, {opt_wall:.0f}s)")
+          f"{opt['target']:.2f} basal {opt['basal']:.0f} "
+          f"(risk {opt['init_risk']:.5f} -> {opt['final_risk']:.5f}, "
+          f"{opt_wall:.0f}s)")
 
     opt_cvar = optimize_protocol(
-        rollout, init_gain=DEFAULT_GAIN, init_target=DEFAULT_TARGET,
-        steps=args.steps, lr=args.lr, gain_bounds=GAIN_BOUNDS,
+        rollout, init_gain=DEFAULT[0], init_target=DEFAULT[1],
+        init_basal=DEFAULT[2], steps=args.steps, lr=args.lr,
+        gain_bounds=GAIN_BOUNDS, basal_bounds=BASAL_BOUNDS,
         objective=lambda g: robust_delta_risk(
             g, fact_design, truth_design,
             objective=lambda gc: cvar_glycemic_risk(gc, alpha=0.25)))
     print(f"CVaR-optimized protocol: gain {opt_cvar['gain']:.0f} target "
-          f"{opt_cvar['target']:.2f}")
+          f"{opt_cvar['target']:.2f} basal {opt_cvar['basal']:.0f}")
 
-    # personalized arm: per-PATIENT (gain_i, target_i). Each design window
-    # belongs to a patient; optimize patient vectors gathered per window.
+    # personalized arm: per-PATIENT (gain_i, target_i, basal_i). Each design
+    # window belongs to a patient; optimize patient vectors gathered per window.
     uniq = np.unique(design_sid)
     w2p = np.searchsorted(uniq, design_sid)          # window -> patient index
     P = len(uniq)
 
-    def pp_rollout(gain_p, target_p):
+    def pp_rollout(gain_p, target_p, basal_p):
         return ensemble_closed_loop(stacked, design_batch, config,
                                     gain_p[w2p], target_p[w2p],
-                                    norm)["glucose"]
+                                    norm, basal=basal_p[w2p],
+                                    rate_cap=MAX_RATE)["glucose"]
 
     opt_pp = optimize_protocol(
         pp_rollout,
-        init_gain=np.full(P, DEFAULT_GAIN, np.float32),
-        init_target=np.full(P, DEFAULT_TARGET, np.float32),
+        init_gain=np.full(P, DEFAULT[0], np.float32),
+        init_target=np.full(P, DEFAULT[1], np.float32),
+        init_basal=np.full(P, DEFAULT[2] + 1.0, np.float32),
         steps=args.steps, lr=args.lr, gain_bounds=GAIN_BOUNDS,
-        objective=robust_obj)
+        basal_bounds=BASAL_BOUNDS, objective=robust_obj)
     print(f"personalized protocols (P={P}): gain [{opt_pp['gain'].min():.0f},"
           f" {opt_pp['gain'].max():.0f}] target [{opt_pp['target'].min():.2f}"
-          f", {opt_pp['target'].max():.2f}]")
+          f", {opt_pp['target'].max():.2f}] basal "
+          f"[{opt_pp['basal'].min():.0f}, {opt_pp['basal'].max():.0f}]")
 
     # ---- deployment validation on the FRESH validation patients -----------
-    _, val_default, _ = cohort_batch(VAL_SEED, tag="val")
-    _, val_opt, _ = cohort_batch(VAL_SEED, opt["gain"], opt["target"],
-                                 tag="val")
-    _, val_cvar, _ = cohort_batch(VAL_SEED, opt_cvar["gain"],
-                                  opt_cvar["target"], tag="val")
+    def deploy_truth(seed, res, tag, fname=None):
+        _, t, _ = cohort_batch(seed, (res["gain"], res["target"],
+                                      res["basal"]), tag=tag, fname=fname)
+        return true_risk(t)
+
+    deploy = {
+        "default_protocol": true_risk(val_fact_truth),
+        "optimized_protocol": deploy_truth(VAL_SEED, opt, "val"),
+        "cvar_optimized_protocol": deploy_truth(VAL_SEED, opt_cvar, "val"),
+        "design_default": true_risk(design_truth),
+        "design_optimized_population": deploy_truth(DESIGN_SEED, opt,
+                                                    "design"),
+    }
     # personalized protocols were fit on DESIGN patients; deploying them on
     # new patients is undefined — validate on the design cohort's own
     # simulator truth instead (the personalization use case: the patient
     # being treated IS the one the protocol was tuned for)
-    Path("/tmp/icu_dose_design_personalized.parquet").unlink(missing_ok=True)
-    _, des_pp, _ = cohort_batch(DESIGN_SEED, opt_pp["gain"], opt_pp["target"],
-                                fname="icu_dose_design_personalized")
-    _, des_opt, _ = cohort_batch(DESIGN_SEED, opt["gain"], opt["target"])
-    deploy = {
-        "default_protocol": true_risk(val_default),
-        "optimized_protocol": true_risk(val_opt),
-        "cvar_optimized_protocol": true_risk(val_cvar),
-        "design_default": true_risk(design_truth),
-        "design_optimized_population": true_risk(des_opt),
-        "design_personalized": true_risk(des_pp),
-    }
+    Path("/tmp/icu_dysg_design_personalized.parquet").unlink(missing_ok=True)
+    _, des_pp, _ = cohort_batch(
+        DESIGN_SEED, (opt_pp["gain"], opt_pp["target"], opt_pp["basal"]),
+        fname="icu_dysg_design_personalized")
+    deploy["design_personalized"] = true_risk(des_pp)
     print("deployment validation:", json.dumps(deploy, indent=1))
 
     out = {
         "protocol": {
             "design_seed": DESIGN_SEED, "val_seed": VAL_SEED,
-            "train_cohort": args.train_cohort,
+            "cohort": "dysglycemic", "train_cohort": "dysglycemic",
             "n_patients": args.patients, "horizon_h": HORIZON_H,
-            "cohort_h": COHORT_H, "default": [DEFAULT_GAIN, DEFAULT_TARGET],
+            "cohort_h": COHORT_H, "default": list(DEFAULT),
+            "max_rate": MAX_RATE,
             "grid": [list(k) for k in GRID],
             "objective": "glycemic_risk (hypo 3.9 x25, hyper 10.0)",
             "delta_corrected": True,
             "robust_lambdas": [1.0, 2.0, 4.0],
             "gain_bounds": list(GAIN_BOUNDS),
+            "basal_bounds": list(BASAL_BOUNDS),
+            "true_risk_spread": spread,
         },
         "ranking_validation": arms,
         "optimized": {**{k: v for k, v in opt.items() if k != "risk"},
@@ -352,6 +405,7 @@ def main(argv=None):
             "n_patients": int(P),
             "gain": [round(float(x), 1) for x in opt_pp["gain"]],
             "target": [round(float(x), 3) for x in opt_pp["target"]],
+            "basal": [round(float(x), 1) for x in opt_pp["basal"]],
             "init_risk": opt_pp["init_risk"],
             "final_risk": opt_pp["final_risk"],
         },

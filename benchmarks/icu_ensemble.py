@@ -41,10 +41,14 @@ def main(argv=None):
                     "see RESULTS.md intervention study); 'mech' = causal "
                     "mechanistic routing via learnable k_ex, NN blinded")
     ap.add_argument("--train-cohort", default="factual",
-                    choices=["factual", "varied"],
+                    choices=["factual", "varied", "dysglycemic"],
                     help="'varied' trains on the protocol-varied cohort "
                     "(per-patient gains/targets; identifies the dose "
-                    "response — see generate_icu_cohort_varied)")
+                    "response — see generate_icu_cohort_varied); "
+                    "'dysglycemic' trains on the protocol-varied "
+                    "DYSGLYCEMIC subpopulation (beta-cell failure + wide "
+                    "insulin-sensitivity spread + basal-axis variation — "
+                    "the dosing-study regime, generate_icu_cohort_dysglycemic)")
     args = ap.parse_args(argv)
 
     import jax
@@ -75,18 +79,26 @@ def main(argv=None):
     }
     config = config_from_dict(cfg)
 
-    varied = args.train_cohort == "varied"
-    data_path = REPO / "data" / ("icu_cohort_varied.parquet" if varied
-                                 else "icu_cohort.parquet")
+    cohort_file = {"factual": "icu_cohort.parquet",
+                   "varied": "icu_cohort_varied.parquet",
+                   "dysglycemic": "icu_cohort_dysglycemic.parquet"}
+    data_path = REPO / "data" / cohort_file[args.train_cohort]
     if not data_path.exists():
         from hybrid_ode_tpu.data.mimic import (
             generate_icu_cohort,
+            generate_icu_cohort_dysglycemic,
             generate_icu_cohort_varied,
         )
 
         print(f"generating {args.train_cohort} ICU cohort (80 x 72 h)...")
-        gen = generate_icu_cohort_varied if varied else generate_icu_cohort
-        gen(path=str(data_path), n_patients=80, hours=72.0, seed=0)
+        if args.train_cohort == "dysglycemic":
+            generate_icu_cohort_dysglycemic(path=str(data_path), n_patients=80,
+                                            hours=72.0, seed=0,
+                                            varied_protocol=True)
+        else:
+            gen = (generate_icu_cohort_varied if args.train_cohort == "varied"
+                   else generate_icu_cohort)
+            gen(path=str(data_path), n_patients=80, hours=72.0, seed=0)
     ds = create_data_arrays(str(data_path), sequence_length=61, stride=24)
     tr, va, te = split_dataset(ds, seed=42, level="subject")
     print(f"windows: train {len(tr)} / val {len(va)} / test {len(te)}")
@@ -104,13 +116,16 @@ def main(argv=None):
     from hybrid_ode_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
     tag = ("" if args.exog_insulin == "nn" else f"_{args.exog_insulin}") \
-        + ("_varied" if varied else "")
+        + ("" if args.train_cohort == "factual" else f"_{args.train_cohort}")
     ckpt = REPO / "checkpoints" / f"icu_ensemble{tag}" / "ensemble_model"
     t0 = time.time()
     if args.reuse and ckpt.exists():
         best_params, meta = load_checkpoint(str(ckpt))
         best_val = np.asarray(meta["best_val"])
-        wall = float("nan")
+        # wall of the ORIGINAL training run (artifact-hygiene: never NaN;
+        # None -> JSON null when an old checkpoint predates the field)
+        wall = meta.get("train_wall_s")
+        wall = float(wall) if wall is not None else None
         print(f"reusing ICU ensemble checkpoint (K={meta['n_members']})")
     else:
         best_params, best_val, _ = train_ensemble(
@@ -121,6 +136,7 @@ def main(argv=None):
         wall = time.time() - t0
         save_checkpoint(str(ckpt), best_params,
                         {"config": cfg, "n_members": K,
+                         "train_wall_s": round(wall, 1),
                          "best_val": [float(x) for x in best_val]})
         print(f"trained {K} members x {args.epochs} epochs in {wall:.1f}s; "
               f"best val losses {np.round(best_val, 4)}")
@@ -205,7 +221,7 @@ def main(argv=None):
         "exog_insulin": args.exog_insulin,
         "train_cohort": args.train_cohort,
         "epochs": args.epochs,
-        "train_wall_s": round(wall, 1),
+        "train_wall_s": round(wall, 1) if wall is not None else None,
         "clinical_uq": uq,
         "best_val_losses": [round(float(x), 4) for x in best_val],
         "glucose_rmse_mmol_per_member": per_member,

@@ -186,6 +186,11 @@ def generate_icu_cohort(
     dose_scale=1.0,            # float or (n_patients,) protocol-gain multiplier
     protocol_gain=900.0,       # float or (n_patients,) per-patient gains
     protocol_target=7.0,       # float or (n_patients,) per-patient targets
+    protocol_basal=0.0,        # float or (n_patients,) basal infusion, pmol/h
+    protocol_max_rate=7000.0,  # infusion-rate cap, pmol/h
+    secretion_scale=1.0,       # float or (n_patients,) beta-cell failure factor
+    carb_scale=1.0,            # float or (n_patients,) enteral-feed multiplier
+    param_scales=None,         # {param: float|(n_patients,)} 4GI multipliers
 ):
     """Synthetic ICU glucose-management cohort with REAL dynamics.
 
@@ -260,6 +265,19 @@ def generate_icu_cohort(
             base = base * np.exp(jitter_cv[name] * rng.standard_normal(N)
                                  - 0.5 * jitter_cv[name] ** 2)
         params[name] = jnp.asarray(base, jnp.float32)   # (N,)
+    # Severity knobs — all rng-FREE (no extra draws), so dysglycemic cohorts
+    # at a fixed seed stay exactly rng-paired with the standard cohort and
+    # with every protocol counterfactual (the dosing-study contract below).
+    # `param_scales` multiplies named 4GI parameters per patient (e.g. a
+    # wide CLglci spread creates insulin-sensitive, hypo-prone patients);
+    # `secretion_scale` < 1 is progressive beta-cell failure (the production
+    # term in `fourgi_field` — these patients NEED exogenous insulin).
+    for name, sc in (param_scales or {}).items():
+        sc = np.broadcast_to(np.asarray(sc, np.float64), (N,))
+        params[name] = params[name] * jnp.asarray(sc, jnp.float32)
+    params["secretion_scale"] = jnp.asarray(
+        np.broadcast_to(np.asarray(secretion_scale, np.float64), (N,)),
+        jnp.float32)
 
     # --- exogenous carb schedule (enteral blocks + dextrose boluses) ------
     carb = np.zeros((N, T), np.float64)                 # mmol glucose / h
@@ -275,6 +293,8 @@ def generate_icu_cohort(
             tb = rng.uniform(0, hours - 0.25)
             i0 = int(tb / dt_h)
             carb[i, i0: i0 + 3] += 25.0 / 0.25          # 25 mmol over 15 min
+    # rng-free severity multiplier (heavier enteral feeding) — see above
+    carb *= np.broadcast_to(np.asarray(carb_scale, np.float64), (N,))[:, None]
 
     # --- unmodeled physiology: circadian + stress episodes ----------------
     circ_amp = rng.uniform(0.08, 0.20, N)
@@ -300,7 +320,8 @@ def generate_icu_cohort(
         idx = jnp.clip(
             jnp.searchsorted(ts_j, t, side="right") - 1, 0, T - 2
         )
-        dy = fourgi_field(t, y, p, {"meal_rate": carb_row[idx]})
+        dy = fourgi_field(t, y, p, {"meal_rate": carb_row[idx],
+                                    "secretion_scale": p["secretion_scale"]})
         KINglc = p["BSLglc"] * (p["CLglc"] + p["CLglci"] * p["BSLins"])
         dy = dy.at[0].add(KINglc * (mod_row[idx] - 1.0))  # circadian+stress
         dy = dy.at[1].add(ins_rate)                       # IV insulin, pmol/h
@@ -343,6 +364,16 @@ def generate_icu_cohort(
     protocol_gain = np.broadcast_to(np.asarray(protocol_gain, np.float64), (N,))
     glucose_target = np.broadcast_to(
         np.asarray(protocol_target, np.float64), (N,))
+    # Basal component: a continuous background infusion that does NOT stop
+    # when charted glucose crosses the target — the classic ICU
+    # over-insulinization mechanism (basal rides through enteral feed
+    # interruptions), so basal-heavy protocol arms carry REAL hypoglycemia
+    # risk. rate = clip(basal + gain * (G - target), 0, max_rate); the model
+    # rollout mirrors this law exactly (models/protocol.py
+    # `closed_loop_rollout`). Default 0 keeps every pre-existing cohort
+    # byte-identical (pure proportional scale).
+    protocol_basal = np.broadcast_to(
+        np.asarray(protocol_basal, np.float64), (N,))
     dose_scale = np.broadcast_to(np.asarray(dose_scale, np.float64), (N,))
     for c in range(n_chunks):
         i0 = c * steps_per_hour
@@ -361,8 +392,9 @@ def generate_icu_cohort(
         # same patients, carb schedules, stress episodes, charting events
         # and assay noise; only the insulin pathway differs.
         new_rate = np.clip(
-            dose_scale * protocol_gain * (G_meter - glucose_target),
-            0.0, 7000.0)
+            dose_scale * (protocol_basal
+                          + protocol_gain * (G_meter - glucose_target)),
+            0.0, protocol_max_rate)
         ins_rate = jnp.asarray(new_rate, jnp.float32)
 
     conc = {
@@ -420,7 +452,11 @@ def generate_icu_cohort(
                   "hours": hours, "seed": seed, "obs_gap_min": obs_gap_min,
                   "dose_scale": np.asarray(dose_scale).tolist(),
                   "protocol_gain": np.asarray(protocol_gain).tolist(),
-                  "protocol_target": np.asarray(glucose_target).tolist()},
+                  "protocol_target": np.asarray(glucose_target).tolist(),
+                  "protocol_basal": np.asarray(protocol_basal).tolist(),
+                  "protocol_max_rate": float(protocol_max_rate),
+                  "secretion_scale":
+                      np.asarray(params["secretion_scale"]).tolist()},
     )
     return df
 
@@ -477,3 +513,72 @@ def generate_icu_cohort_varied(
     return generate_icu_cohort(path=path, n_patients=n_patients, hours=hours,
                                seed=seed, protocol_gain=gains,
                                protocol_target=targets, **kw)
+
+
+def dysglycemic_severity(n_patients: int, seed: int = 0):
+    """Per-patient severity draws for the dysglycemic ICU subpopulation.
+
+    Drawn from an rng stream derived from (but independent of) `seed`, so
+    the physiology/charting randomness of `generate_icu_cohort` stays
+    exactly paired across severity settings and protocol counterfactuals.
+
+    Returns (secretion_scale, param_scales, carb_scale):
+      * secretion_scale ~ U(0.05, 0.30): progressive beta-cell failure —
+        these patients re-equilibrate hyperglycaemic without exogenous
+        insulin (withhold arms have REAL hyper risk);
+      * param_scales['CLglci'] ~ logN(0, 0.55): a wide insulin-sensitivity
+        spread — the sensitive tail is hypo-prone under aggressive sliding
+        scales (low-target/high-gain arms have REAL hypo risk);
+      * carb_scale ~ U(1.0, 1.6): heavier enteral feeding.
+    """
+    srng = np.random.default_rng(seed + 20_000)
+    secretion = srng.uniform(0.05, 0.30, n_patients)
+    sens = np.exp(0.55 * srng.standard_normal(n_patients))
+    carb = srng.uniform(1.0, 1.6, n_patients)
+    return secretion, {"CLglci": sens}, carb
+
+
+def generate_icu_cohort_dysglycemic(
+    path: Optional[str] = None,
+    n_patients: int = 80,
+    hours: float = 72.0,
+    seed: int = 0,
+    varied_protocol: bool = False,
+    **kw,
+):
+    """ICU cohort of DYSGLYCEMIC patients — the protocol-evaluation regime.
+
+    Measured motivation (round-4 dosing study, results/dose_optimization.json
+    r4): on the standard cohort the patients' intact endogenous secretion
+    closed-loop compensates every sliding scale — true risk across a
+    12-protocol grid was flat to ~4 significant figures (0.0314 +- 0.00002),
+    so protocol ranking was statistically meaningless. This subpopulation
+    (all-T2DM admissions with beta-cell failure, a wide insulin-sensitivity
+    spread and heavy feeding — `dysglycemic_severity`) genuinely NEEDS
+    exogenous insulin: withholding lets hyperglycemia ride, aggressive
+    low-target scales drive the insulin-sensitive tail hypoglycemic, and the
+    true risk over a protocol grid spans an order of magnitude (the spread
+    precondition `benchmarks/dose_optimize.py` gates on).
+
+    `varied_protocol=True` additionally samples per-patient sliding scales
+    (as `generate_icu_cohort_varied`) — the identification-friendly TRAINING
+    regime; leave False for evaluation cohorts where one candidate protocol
+    is applied to everyone.
+    """
+    secretion, pscales, carb = dysglycemic_severity(n_patients, seed)
+    kw.setdefault("protocol_max_rate", 20000.0)
+    if varied_protocol:
+        # per-patient (gain, target, basal) spread covering the whole
+        # protocol design space, INCLUDING the basal axis — the dose
+        # response must be identified over the insulin range the
+        # counterfactual arms will use (0..max_rate), not just around one
+        # deployed scale (measured: factual-cohort training leaves the
+        # response ~6x attenuated, RESULTS.md causal-routing study)
+        prng = np.random.default_rng(seed + 10_000)
+        kw.setdefault("protocol_gain", 900.0 * prng.uniform(0.25, 3.0, n_patients))
+        kw.setdefault("protocol_target", prng.uniform(5.0, 9.0, n_patients))
+        kw.setdefault("protocol_basal", prng.uniform(0.0, 12000.0, n_patients))
+    return generate_icu_cohort(
+        path=path, n_patients=n_patients, hours=hours, seed=seed,
+        t2dm_fraction=1.0, secretion_scale=secretion, param_scales=pscales,
+        carb_scale=carb, **kw)

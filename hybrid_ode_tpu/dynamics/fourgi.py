@@ -157,7 +157,20 @@ def fourgi_field(
         - (p["CLglc"] / p["VCglc"]) * Gc
         - (p["CLglci"] * InsE / p["VCglc"]) * Gc
     )
-    dIns = KINins * (1.0 + GLPINS_S * safe_Cglc ** p["GLCINS_S"]) - (p["CLins"] / p["VCins"]) * Ins
+    # Optional beta-cell failure severity: `secretion_scale` < 1 multiplies
+    # the endogenous insulin PRODUCTION term only (clearance untouched),
+    # breaking the 4GI's baseline self-consistency on purpose — the patient
+    # re-equilibrates hyperglycaemic and genuinely needs exogenous insulin.
+    # DEVIATION (extension): the reference generator (`generate4GI.py`) has
+    # no severity axis; this is the hook behind the dysglycemic ICU cohort
+    # (`data/mimic.py generate_icu_cohort_dysglycemic`) where insulin
+    # protocols have real, spread-out outcomes (see RESULTS.md dosing study).
+    sec_scale = inputs.get("secretion_scale")
+    if sec_scale is None:
+        sec_scale = 1.0
+    dIns = sec_scale * KINins * (
+        1.0 + GLPINS_S * safe_Cglc ** p["GLCINS_S"]
+    ) - (p["CLins"] / p["VCins"]) * Ins
     dGLP = KINglp * (1.0 + FDGLP_S) - p["VM_GLP"] * Cglp / (p["KM_GLP"] + Cglp)
     dGlg = KINglg * (1.0 + FDGLG_S) * glcEFFglg - (p["CLglg"] / p["VCglg"]) * Glg
     K612 = p["Qgip"] / p["VCgip"]

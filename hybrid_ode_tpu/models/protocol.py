@@ -54,6 +54,7 @@ def closed_loop_rollout(
     check_every: int = 12,
     rate_cap: float = 7000.0,
     rate_scale: float = 2000.0,
+    basal: jnp.ndarray = 0.0,
 ) -> Dict[str, jnp.ndarray]:
     """Roll the hybrid model forward under a closed-loop sliding scale.
 
@@ -74,6 +75,9 @@ def closed_loop_rollout(
         rate_cap: max infusion rate, pmol/h (generator parity: 7000).
         rate_scale: export scale of the tVNS channel (generator parity:
             rate/2000 is O(1), data/mimic.py:394).
+        basal: background infusion, pmol/h — scalar or (B,). Continues
+            below target (generator parity: `protocol_basal`,
+            data/mimic.py); basal-heavy protocols carry real hypo risk.
 
     Returns:
         dict with 'trajectory' (B, T, 6) z-space, 'glucose' (B, T) mmol/L,
@@ -111,7 +115,7 @@ def closed_loop_rollout(
     meal_c = chunk_slices(meal)
 
     def protocol(G_mmol):
-        rate = jnp.clip(gain * (G_mmol - target), 0.0, rate_cap)
+        rate = jnp.clip(basal + gain * (G_mmol - target), 0.0, rate_cap)
         return rate / rate_scale  # tVNS export scale
 
     dt_h = ts[0, 1] - ts[0, 0]
@@ -279,6 +283,8 @@ def optimize_protocol(
     lr: float = 0.05,
     target_bounds: Tuple[float, float] = (4.5, 9.0),
     gain_bounds: Optional[Tuple[float, float]] = None,
+    init_basal: Optional[Any] = None,
+    basal_bounds: Tuple[float, float] = (0.0, 15000.0),
 ) -> Dict[str, Any]:
     """Gradient-optimize (gain, target) through a model rollout.
 
@@ -301,36 +307,51 @@ def optimize_protocol(
             default protocol's; RESULTS.md dosing study) whenever the
             model under-responds to insulin, so protocol studies should
             pass the clinically admissible range (e.g. (0, 3600)).
+        init_basal: optional starting basal infusion (pmol/h, scalar or
+            (B,)). When given, the protocol space is 3D — the rollout is
+            called as rollout(gain, target, basal) and the returned dict
+            gains a 'basal' entry — with basal sigmoid-boxed to
+            `basal_bounds` (the basal axis is where the hypoglycemia tail
+            lives, so an unbounded parameterization is never appropriate).
+            None (default) keeps the legacy 2D rollout(gain, target).
 
     Returns:
-        dict with 'gain', 'target' (optimized floats), 'risk' trace
-        (steps+1,), and 'init_risk'/'final_risk'.
+        dict with 'gain', 'target' (optimized floats; plus 'basal' when
+        init_basal is given), 'risk' trace (steps+1,), and
+        'init_risk'/'final_risk'.
     """
     lo, hi = target_bounds
+
+    def box(val, bounds):
+        blo, bhi = bounds
+        x0 = jnp.clip((jnp.asarray(val, jnp.float32) - blo) / (bhi - blo),
+                      1e-3, 1 - 1e-3)
+        return jnp.log(x0 / (1 - x0))
+
+    def unbox(logit, bounds):
+        blo, bhi = bounds
+        return blo + (bhi - blo) * jax.nn.sigmoid(logit)
 
     def unpack(z):
         if gain_bounds is None:
             gain = jnp.exp(z["log_gain"])
         else:
-            glo, ghi = gain_bounds
-            gain = glo + (ghi - glo) * jax.nn.sigmoid(z["logit_gain"])
-        target = lo + (hi - lo) * jax.nn.sigmoid(z["logit_target"])
-        return gain, target
+            gain = unbox(z["logit_gain"], gain_bounds)
+        target = unbox(z["logit_target"], target_bounds)
+        if init_basal is None:
+            return gain, target
+        return gain, target, unbox(z["logit_basal"], basal_bounds)
 
-    t0 = jnp.clip((jnp.asarray(init_target, jnp.float32) - lo) / (hi - lo),
-                  1e-3, 1 - 1e-3)
-    z = {"logit_target": jnp.log(t0 / (1 - t0))}
+    z = {"logit_target": box(init_target, (lo, hi))}
     if gain_bounds is None:
         z["log_gain"] = jnp.log(jnp.asarray(init_gain, jnp.float32))
     else:
-        glo, ghi = gain_bounds
-        g0 = jnp.clip((jnp.asarray(init_gain, jnp.float32) - glo) / (ghi - glo),
-                      1e-3, 1 - 1e-3)
-        z["logit_gain"] = jnp.log(g0 / (1 - g0))
+        z["logit_gain"] = box(init_gain, gain_bounds)
+    if init_basal is not None:
+        z["logit_basal"] = box(init_basal, basal_bounds)
 
     def loss(z):
-        gain, target = unpack(z)
-        return objective(rollout(gain, target))
+        return objective(rollout(*unpack(z)))
 
     opt = optax.adam(lr)
     state = opt.init(z)
@@ -346,12 +367,18 @@ def optimize_protocol(
         z, state, val = update(z, state)
         trace.append(float(val))  # risk at the pre-update parameters
     trace.append(float(jax.jit(loss)(z)))  # risk at the final parameters
-    gain, target = unpack(z)
-    scalar = jnp.ndim(gain) == 0 and jnp.ndim(target) == 0
-    return {
-        "gain": float(gain) if scalar else np.asarray(gain),
-        "target": float(target) if scalar else np.asarray(target),
+    unpacked = unpack(z)
+
+    def to_py(x):
+        return float(x) if jnp.ndim(x) == 0 else np.asarray(x)
+
+    out = {
+        "gain": to_py(unpacked[0]),
+        "target": to_py(unpacked[1]),
         "risk": trace,
         "init_risk": trace[0],
         "final_risk": trace[-1],
     }
+    if init_basal is not None:
+        out["basal"] = to_py(unpacked[2])
+    return out

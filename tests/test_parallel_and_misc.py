@@ -1032,11 +1032,15 @@ def test_intervention_mech_arm_beats_confounded_routing():
 
 
 def test_dose_optimization_artifact_ranks_and_deploys():
-    """Dosing-optimization gate (results/dose_optimization.json): the causal
-    ensemble's model-predicted protocol risks rank the TRUE risks (Spearman
-    > 0.5 across the 5x5 grid), the causal arm out-ranks the confounded arm,
-    and the gradient-optimized protocol does not worsen true outcomes on the
-    fresh validation patients."""
+    """Dosing-optimization gate (results/dose_optimization.json, dysglycemic
+    ICU subpopulation). Preconditions make the gate statistically
+    meaningful (round-4 lesson: on the standard cohort true risk was flat to
+    ~4 s.f., so ANY ranking score was noise): the grid's true risks must
+    genuinely spread (max/min >= 3x). Then the causal ensemble must rank the
+    true risks — Spearman >= 0.7 with the factual arm EXCLUDED (its
+    delta-corrected risk equals truth by construction) and a
+    patient-resampling bootstrap CI excluding 0 — and the gradient-optimized
+    protocol must not worsen true outcomes on the fresh validation patients."""
     import json
 
     path = (Path(__file__).resolve().parents[1] / "results"
@@ -1044,8 +1048,13 @@ def test_dose_optimization_artifact_ranks_and_deploys():
     if not path.exists():
         pytest.skip("run benchmarks/dose_optimize.py first")
     r = json.loads(path.read_text())
+    # spread precondition: without it the ranking metric is meaningless
+    spread = r["protocol"]["true_risk_spread"]
+    assert spread["ratio"] >= 3.0, "true protocol risks are flat - redesign"
     mech = r["ranking_validation"]["mech"]
-    assert mech["spearman_risk"] > 0.5
+    assert mech["spearman_risk"] >= 0.7
+    boot = mech["spearman_corrected_bootstrap"]
+    assert boot["ci95"][0] > 0.0, "bootstrap CI must exclude 0"
     if "nn" in r["ranking_validation"]:
         assert mech["spearman_risk"] > r["ranking_validation"]["nn"]["spearman_risk"]
     opt = r["optimized"]
@@ -1083,3 +1092,69 @@ def test_per_patient_protocol_arrays(tmp_path):
                             steps=5, lr=0.05)
     assert res["gain"].shape == (3,) and res["target"].shape == (3,)
     assert res["final_risk"] <= res["init_risk"] + 1e-9
+
+
+def test_dysglycemic_cohort_and_basal_protocol(tmp_path):
+    """Round-5 dosing-study regime: the dysglycemic subpopulation has real
+    protocol-dependent outcomes (withhold arms ride hyperglycemic; the basal
+    protocol component continues below target, so basal-heavy arms genuinely
+    overshoot), severity knobs are rng-free (cohorts stay exactly paired
+    counterfactuals across protocol AND severity settings), and basal=0
+    keeps pre-existing cohorts byte-identical."""
+    from hybrid_ode_tpu.data.mimic import (
+        generate_icu_cohort,
+        generate_icu_cohort_dysglycemic,
+    )
+    from hybrid_ode_tpu.models.protocol import glycemic_risk, optimize_protocol
+
+    # basal=0 is the identity: byte-identical to the pre-basal generator law
+    a = generate_icu_cohort(path=str(tmp_path / "a.parquet"), n_patients=2,
+                            hours=5.0, seed=3)
+    b = generate_icu_cohort(path=str(tmp_path / "b.parquet"), n_patients=2,
+                            hours=5.0, seed=3, protocol_basal=0.0)
+    np.testing.assert_array_equal(a["glucose_true_mmol_L"],
+                                  b["glucose_true_mmol_L"])
+
+    # rng-pairing across severity: charting events match the standard cohort
+    dys = generate_icu_cohort_dysglycemic(path=str(tmp_path / "d.parquet"),
+                                          n_patients=3, hours=6.0, seed=11)
+    std = generate_icu_cohort(path=str(tmp_path / "s.parquet"), n_patients=3,
+                              hours=6.0, seed=11, t2dm_fraction=1.0)
+    np.testing.assert_array_equal(np.isfinite(dys["glucose_mmol_L"]),
+                                  np.isfinite(std["glucose_mmol_L"]))
+
+    # basal continues below target: paired basal arm doses MORE insulin and
+    # drives glucose lower than the pure proportional arm
+    no_b = generate_icu_cohort_dysglycemic(
+        path=str(tmp_path / "nb.parquet"), n_patients=3, hours=8.0, seed=11,
+        protocol_gain=900.0, protocol_target=7.0, protocol_basal=0.0)
+    hi_b = generate_icu_cohort_dysglycemic(
+        path=str(tmp_path / "hb.parquet"), n_patients=3, hours=8.0, seed=11,
+        protocol_gain=900.0, protocol_target=7.0, protocol_basal=12000.0)
+    np.testing.assert_array_equal(no_b["meal_indicator"], hi_b["meal_indicator"])
+    assert hi_b["tvns"].mean() > no_b["tvns"].mean()
+    assert (hi_b["glucose_true_mmol_L"].mean()
+            < no_b["glucose_true_mmol_L"].mean())
+    # and the basal arm's infusion never fully stops once running: insulin
+    # flows even in hours where charted glucose sits below target
+    below = hi_b["glucose_true_mmol_L"] < 7.0
+    assert float(hi_b.loc[below, "tvns"].max()) > 0.0
+
+    # dysglycemic patients genuinely NEED insulin: withholding is worse
+    wd = generate_icu_cohort_dysglycemic(
+        path=str(tmp_path / "wd.parquet"), n_patients=3, hours=8.0, seed=11,
+        protocol_gain=0.0, protocol_basal=0.0)
+    r_withhold = float(glycemic_risk(wd["glucose_true_mmol_L"].to_numpy()))
+    r_dosed = float(glycemic_risk(no_b["glucose_true_mmol_L"].to_numpy()))
+    assert r_withhold > r_dosed
+
+    # 3D optimizer: basal is sigmoid-boxed and pulled out of the hypo regime
+    def rollout(gain, target, basal):
+        return jnp.full((3, 8), 1.0) * (target - basal / 1000.0)
+
+    res = optimize_protocol(rollout, init_gain=900.0, init_target=7.0,
+                            init_basal=8000.0, steps=40, lr=0.3,
+                            gain_bounds=(0.0, 3600.0),
+                            basal_bounds=(0.0, 15000.0))
+    assert res["final_risk"] < res["init_risk"]
+    assert 0.0 <= res["basal"] < 8000.0
