@@ -33,6 +33,11 @@ def main(argv=None):
     ap.add_argument("--members", type=int, default=8)
     ap.add_argument("--epochs", type=int, default=400)
     ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=3.0e-3,
+                    help="per-member Adam lr. The dysglycemic cohort needs "
+                    "~1e-3: its wider glucose range and 0..10 tvns feature "
+                    "scale diverge 3/8 members at the clinical default 3e-3 "
+                    "(measured, round 5)")
     ap.add_argument("--reuse", action="store_true",
                     help="load checkpoints/icu_ensemble instead of retraining")
     ap.add_argument("--exog-insulin", default="nn", choices=["nn", "mech", "both"],
@@ -73,7 +78,7 @@ def main(argv=None):
                   "context_dim": 16, "use_pallas": False,  # ensemble vmaps weights
                   "exog_insulin": args.exog_insulin},
         "training": {"epochs": args.epochs, "batch_size": args.batch_size,
-                     "learning_rate": 3.0e-3, "lambda1": 0.0, "lambda2": 0.01,
+                     "learning_rate": args.lr, "lambda1": 0.0, "lambda2": 0.01,
                      "gradient_clip": 5.0, "train_ode_params": True},
         "ablation": {"no_nn": False, "no_bayes": True, "no_physics": True},
     }

@@ -297,6 +297,12 @@ def forward(
         adjoint=config.adjoint,
     )
     kw.update(solver_overrides)
+    if kw["mode"] == "sync":
+        # batch synchronization is meaningless for one trajectory; B=1 scan
+        # is the identical per-sample semantics (batched_forward intercepts
+        # mode='sync' BEFORE vmapping, so this branch serves direct
+        # single-trajectory callers only)
+        kw["mode"] = "scan"
     return odeint(field, y0, ts, (params, controls), **kw)
 
 
@@ -325,6 +331,32 @@ def batched_forward(
     ctrl_axes = None if controls is None else Controls(
         ts=0, signals={k: 0 for k in controls.signals}
     )
+    mode = solver_overrides.get("mode", config.mode)
+    if mode == "sync":
+        # batch-SYNCHRONIZED adaptive stepping: one shared controller for
+        # the whole batch (accept on the batch-max error norm), two-pass
+        # gradients on the accepted mesh — no per-sample lockstep waste
+        # (solvers/sync.py; measured vs mode='scan' in
+        # results/adaptive_bound.json round 5)
+        from hybrid_ode_tpu.solvers.sync import odeint_erk_sync
+        from hybrid_ode_tpu.solvers.tableaus import TABLEAUS
+
+        if config.solver not in TABLEAUS:
+            raise ValueError(
+                f"mode='sync' supports the explicit adaptive solvers "
+                f"{sorted(TABLEAUS)}, got {config.solver!r}")
+
+        def field(t, y, args):
+            p, c = args
+            return hybrid_field(t, y, p, c, config)
+
+        return odeint_erk_sync(
+            field, y0, ts, (params, controls), TABLEAUS[config.solver],
+            rtol=config.rtol, atol=config.atol,
+            args_axes=(None, ctrl_axes),
+            max_steps_per_interval=config.max_steps_per_interval,
+            return_stats=solver_overrides.get("return_stats", False),
+        )
     fn = lambda y0_, ts_, c_: forward(params, y0_, ts_, c_, config, **solver_overrides)
     return jax.vmap(fn, in_axes=(0, 0, ctrl_axes))(y0, ts, controls)  # incl.
     # (preds, StepStats) pairs when return_stats=True rides solver_overrides

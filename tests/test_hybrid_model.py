@@ -404,3 +404,61 @@ def test_cvar_risk_upper_bounds_mean_risk():
     np.testing.assert_allclose(cvar_all, mean_risk, rtol=1e-6)
     grad = jax.grad(lambda x: cvar_glycemic_risk(x, alpha=0.25))(g)
     assert float(jnp.abs(grad).sum()) > 0
+
+
+def test_batched_forward_sync_mode_matches_scan():
+    """mode='sync' (batch-synchronized adaptive stepping, solvers/sync.py)
+    must reproduce the per-sample scan trajectories within tolerance and
+    feed hybrid_loss identical-to-4-decimals losses and aligned gradients."""
+    from hybrid_ode_tpu.models.hybrid import (
+        batched_forward,
+        controls_from_batch,
+        hybrid_loss,
+    )
+
+    B, T = 6, 9
+    rng = np.random.default_rng(0)
+    base = np.array([8.0, 100.0, 90.0, 20.0, 0.0, 1.2])
+    batch = {
+        "initial_state": np.abs(
+            base[None] * (1 + 0.05 * rng.standard_normal((B, 6)))
+        ).astype(np.float32),
+        "observations": np.abs(
+            base[None, None] * (1 + 0.08 * rng.standard_normal((B, T, 6)))
+        ).astype(np.float32),
+        "time_points": np.broadcast_to(
+            np.linspace(0, 1.0, T, dtype=np.float32), (B, T)).copy(),
+        "external_inputs": {"meal": np.zeros((B, T), np.float32),
+                            "tVNS": np.zeros((B, T), np.float32)},
+        "mask": np.ones((B, T), np.float32),
+    }
+    batch["external_inputs"]["meal"][:, 3] = 2.0
+    cfg_scan = HybridConfig(solver="dopri5", rtol=1e-5, atol=1e-7,
+                            mode="scan", nn_hidden=8, nn_layers=2)
+    cfg_sync = HybridConfig(solver="dopri5", rtol=1e-5, atol=1e-7,
+                            mode="sync", nn_hidden=8, nn_layers=2)
+    params = init_hybrid_params(jax.random.PRNGKey(1), cfg_scan)
+    ctrl = controls_from_batch(batch)
+    y0 = jnp.asarray(batch["initial_state"])
+    ts = jnp.asarray(batch["time_points"])
+    p_scan = batched_forward(params, y0, ts, ctrl, cfg_scan)
+    p_sync = batched_forward(params, y0, ts, ctrl, cfg_sync)
+    np.testing.assert_allclose(np.asarray(p_sync), np.asarray(p_scan),
+                               rtol=2e-4, atol=2e-4)
+
+    key = jax.random.PRNGKey(0)
+    l_scan, _ = hybrid_loss(params, batch, key, cfg_scan)
+    l_sync, m = hybrid_loss(params, batch, key, cfg_sync)
+    assert float(m["solver_success"]) == 1.0
+    np.testing.assert_allclose(float(l_sync), float(l_scan), rtol=1e-4)
+
+    g_scan = jax.grad(lambda p: hybrid_loss(p, batch, key, cfg_scan)[0])(params)
+    g_sync = jax.grad(lambda p: hybrid_loss(p, batch, key, cfg_sync)[0])(params)
+    for grp in ("ode", "nn"):
+        a = jnp.concatenate([x.ravel()
+                             for x in jax.tree_util.tree_leaves(g_scan[grp])])
+        b = jnp.concatenate([x.ravel()
+                             for x in jax.tree_util.tree_leaves(g_sync[grp])])
+        cos = float(a @ b) / (float(jnp.linalg.norm(a))
+                              * float(jnp.linalg.norm(b)) + 1e-30)
+        assert cos > 0.999, grp

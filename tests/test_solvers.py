@@ -365,3 +365,100 @@ def test_backsolve_seminorm_matches_full_norm_grads(x64):
         np.testing.assert_allclose(
             float(g_semi[k]), float(g_full[k]), rtol=1e-4, atol=1e-10,
             err_msg=f"param {k}")
+
+
+# --------------------------------------------------------------------------
+# Batch-synchronized adaptive stepping (solvers/sync.py, round 5)
+# --------------------------------------------------------------------------
+
+def _batched_forced_decay(t, y, a):
+    return -a * y + jnp.sin(3.0 * t)
+
+
+@pytest.mark.parametrize("solver", ["dopri5", "bosh3", "dop853"])
+def test_sync_matches_per_sample_adaptive(solver, x64):
+    """Shared-controller solve must agree with the tight per-sample scan
+    solve on per-sample output grids and batched args."""
+    from hybrid_ode_tpu.solvers.explicit import odeint_erk
+    from hybrid_ode_tpu.solvers.sync import odeint_erk_sync
+    from hybrid_ode_tpu.solvers.tableaus import TABLEAUS
+
+    tab = TABLEAUS[solver]
+    # bosh3's order-2 error estimate needs ~100 steps/interval at 1e-7 —
+    # run the low-order method at a tolerance it is meant for
+    rtol, atol = (1e-5, 1e-7) if solver == "bosh3" else (1e-7, 1e-9)
+    B, n, T = 6, 3, 11
+    rng = np.random.default_rng(0)
+    lam = jnp.asarray(rng.uniform(0.3, 2.0, (B, n)))
+    y0 = jnp.asarray(rng.uniform(0.5, 2.0, (B, n)))
+    ts = jnp.broadcast_to(jnp.linspace(0.0, 4.0, T), (B, T)) * jnp.asarray(
+        rng.uniform(0.8, 1.2, (B, 1)))  # per-sample clocks
+
+    ys, stats = odeint_erk_sync(_batched_forced_decay, y0, ts, lam, tab,
+                                rtol=rtol, atol=atol, args_axes=0,
+                                max_steps_per_interval=64,
+                                total_step_budget=64 * (T - 1),
+                                return_stats=True)
+    assert bool(stats.success)
+    # scipy is the oracle (a per-sample scan reference at very tight rtol
+    # silently exhausts max_steps_per_interval and integrates short)
+    ys_ref = np.empty((B, T, n))
+    for i in range(B):
+        for d in range(n):
+            sol = solve_ivp(
+                lambda t, y, a=float(lam[i, d]): -a * y + np.sin(3.0 * t),
+                (float(ts[i, 0]), float(ts[i, -1])), [float(y0[i, d])],
+                t_eval=np.asarray(ts[i]), rtol=1e-10, atol=1e-12)
+            ys_ref[i, :, d] = sol.y[0]
+    tol = 30.0 * rtol
+    np.testing.assert_allclose(np.asarray(ys), ys_ref, rtol=tol,
+                               atol=tol / 100)
+
+
+def test_sync_gradients_match_finite_differences(x64):
+    """Two-pass gradients (differentiable re-integration on the accepted
+    mesh) against central finite differences, for y0 and batched args."""
+    from hybrid_ode_tpu.solvers.sync import odeint_erk_sync
+    from hybrid_ode_tpu.solvers.tableaus import TABLEAUS
+
+    tab = TABLEAUS["dopri5"]
+    B, n, T = 4, 2, 7
+    rng = np.random.default_rng(1)
+    lam = jnp.asarray(rng.uniform(0.3, 1.5, (B, n)))
+    y0 = jnp.asarray(rng.uniform(0.5, 2.0, (B, n)))
+    ts = jnp.broadcast_to(jnp.linspace(0.0, 2.0, T), (B, T))
+
+    def loss(y0_, lam_):
+        ys = odeint_erk_sync(_batched_forced_decay, y0_, ts, lam_, tab,
+                             rtol=1e-8, atol=1e-10, args_axes=0,
+                             total_step_budget=32 * (T - 1))
+        return jnp.sum(ys[:, -1] ** 2)
+
+    g_y0, g_lam = jax.grad(loss, argnums=(0, 1))(y0, lam)
+    eps = 1e-5
+    for (arr, g, i, j) in ((y0, g_y0, 2, 1), (lam, g_lam, 1, 0)):
+        if arr is y0:
+            fd = (loss(y0.at[i, j].add(eps), lam)
+                  - loss(y0.at[i, j].add(-eps), lam)) / (2 * eps)
+        else:
+            fd = (loss(y0, lam.at[i, j].add(eps))
+                  - loss(y0, lam.at[i, j].add(-eps))) / (2 * eps)
+        np.testing.assert_allclose(float(g[i, j]), float(fd), rtol=1e-4,
+                                   atol=1e-10)
+
+
+def test_sync_budget_overflow_flags_failure():
+    """Dropping accepted steps past total_step_budget must clear
+    StepStats.success (the static-shape contract in the module docstring)."""
+    from hybrid_ode_tpu.solvers.sync import odeint_erk_sync
+    from hybrid_ode_tpu.solvers.tableaus import TABLEAUS
+
+    B, n, T = 3, 2, 9
+    y0 = jnp.ones((B, n), jnp.float32)
+    ts = jnp.broadcast_to(jnp.linspace(0.0, 3.0, T), (B, T))
+    lam = jnp.full((B, n), 1.0, jnp.float32)
+    _, stats = odeint_erk_sync(_batched_forced_decay, y0, ts, lam,
+                               TABLEAUS["dopri5"], rtol=1e-6, atol=1e-8,
+                               args_axes=0, total_step_budget=2,
+                               return_stats=True)
+    assert not bool(stats.success)
