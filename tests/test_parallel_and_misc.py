@@ -1158,3 +1158,35 @@ def test_dysglycemic_cohort_and_basal_protocol(tmp_path):
                             basal_bounds=(0.0, 15000.0))
     assert res["final_risk"] < res["init_risk"]
     assert 0.0 <= res["basal"] < 8000.0
+
+
+def test_results_artifacts_are_finite():
+    """Artifact hygiene (VERDICT r4 weak #6): every committed results/*.json
+    must parse and contain only finite numbers. Exception: values under a
+    key path containing 'FAILED' — documented failed-design records (e.g.
+    causal_routing_cpu_fallback.json's protocol_grid_24h_FAILED arm keeps
+    the diverged model risks on the record deliberately). JSON null is
+    allowed (unknown metadata), NaN/Inf never."""
+    import json
+    import math
+
+    base = Path(__file__).resolve().parents[1] / "results"
+    offenders = []
+
+    def walk(x, path, fname):
+        if "FAILED" in path:
+            return
+        if isinstance(x, dict):
+            for k, v in x.items():
+                walk(v, f"{path}.{k}", fname)
+        elif isinstance(x, list):
+            for i, v in enumerate(x):
+                walk(v, f"{path}[{i}]", fname)
+        elif isinstance(x, float) and not math.isfinite(x):
+            offenders.append(f"{fname}:{path}={x}")
+
+    files = sorted(base.glob("*.json"))
+    assert files, "no artifacts found"
+    for p in files:
+        walk(json.loads(p.read_text()), "", p.name)
+    assert not offenders, offenders
