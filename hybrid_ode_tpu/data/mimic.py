@@ -566,6 +566,10 @@ def generate_icu_cohort_dysglycemic(
     is applied to everyone.
     """
     secretion, pscales, carb = dysglycemic_severity(n_patients, seed)
+    if path is None:
+        # never default into the STANDARD cohort's filename (a pathless
+        # dysglycemic call must not clobber data/icu_cohort.parquet)
+        path = "data/icu_cohort_dysglycemic.parquet"
     kw.setdefault("protocol_max_rate", 20000.0)
     if varied_protocol:
         # per-patient (gain, target, basal) spread covering the whole

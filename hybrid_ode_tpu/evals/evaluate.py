@@ -81,6 +81,10 @@ def evaluate_model(
     obs_sigma: float = 0.0,
     ensemble: bool = False,
     val_ds: Optional[GlucoseDataset] = None,
+    identify_steps: int = 0,
+    identify_points: Optional[int] = None,
+    encoder=None,
+    return_arrays: bool = False,
 ) -> Dict[str, float]:
     """Evaluate on a dataset; uncertainty from the posterior when available.
 
@@ -94,7 +98,16 @@ def evaluate_model(
     ensemble: `params` is a member-stacked pytree (CLI --ensemble /
     parallel.ensemble checkpoints) — predictions are the ensemble mean,
     uncertainty the member spread (+ obs_sigma in quadrature), and the
-    calibration metrics are included like the variational path."""
+    calibration metrics are included like the variational path.
+
+    identify_steps > 0 (ensemble + context-conditioned models only): the
+    IDENTIFIED-ensemble estimator (VERDICT r4 #5 productization) — each
+    member's subject codes are refined at test time on the window's first
+    `config.context_points` observations (`identify_points` overrides the
+    horizon) before rolling out. This is the framework's best-measured
+    estimator (results/ensemble_id.json); pass a shared amortized
+    `encoder` for the semi-amortized variant
+    (results/ensemble_semi_id.json)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     preds_all, unc_all, targ_all, mask_all = [], [], [], []
 
@@ -102,7 +115,13 @@ def evaluate_model(
         lambda p, y0, ts, c: batched_forward(p, y0, ts, c, config)
     )
     if ensemble:
-        from hybrid_ode_tpu.parallel.ensemble import ensemble_predictive
+        from hybrid_ode_tpu.parallel.ensemble import (
+            ensemble_predictive,
+            identified_ensemble_predictive,
+        )
+    elif identify_steps:
+        raise ValueError("identify_steps requires ensemble=True "
+                         "(stacked-params checkpoints)")
 
     point_sigma = None
     if val_ds is not None and variational is None and not ensemble:
@@ -118,10 +137,15 @@ def evaluate_model(
             controls = with_context(params, b, controls, config)
         nb = int(valid.sum())
         if ensemble:
-            preds, unc = ensemble_predictive(
-                params, b, config,
-                noise_sigma=obs_sigma if np.any(np.asarray(obs_sigma) > 0) else None,
-            )
+            sigma = obs_sigma if np.any(np.asarray(obs_sigma) > 0) else None
+            if identify_steps:
+                preds, unc = identified_ensemble_predictive(
+                    params, b, config, id_steps=identify_steps,
+                    points=identify_points, encoder=encoder,
+                    noise_sigma=sigma)
+            else:
+                preds, unc = ensemble_predictive(
+                    params, b, config, noise_sigma=sigma)
         elif variational is not None:
             key, sk = jax.random.split(key)
             mean, std = variational.posterior_predictive(
@@ -189,7 +213,41 @@ def evaluate_model(
     metrics["nrmse"] = float(metrics["rmse"] / max(np.mean(target_std), 1e-12))
     for i, name in enumerate(STATE_NAMES):
         metrics[f"nrmse_{name.lower()}"] = float(rmse_ps[i] / max(target_std[i], 1e-12))
+    if return_arrays:
+        return metrics, (preds, unc, targets, mask)
     return metrics
+
+
+def glucose_truth_rmse(
+    preds: np.ndarray,
+    test_ds: GlucoseDataset,
+    data_path: str,
+) -> float:
+    """Physical-units glucose RMSE against the generator's NOISELESS truth
+    column (`glucose_true_mmol_L`) — the protocol behind the reference's
+    0.45 mmol/L headline (`/root/reference/manuscript.tex:690`: RMSE vs the
+    simulated ground truth, not vs noisy observations).
+
+    preds: (N_windows, T, n) in the DATASET's normalized coordinates, window
+    order = dataset order (batch_iterator shuffle=False). Truth is aligned
+    per window by nearest file-grid time."""
+    import pandas as pd
+
+    df = (pd.read_csv(data_path) if str(data_path).endswith(".csv")
+          else pd.read_parquet(data_path))
+    if "glucose_true_mmol_L" not in df:
+        raise ValueError(f"{data_path} has no glucose_true_mmol_L column")
+    tcol = next(c for c in ("time_hours", "time_h", "time") if c in df)
+    by_subj = {sid: (sub[tcol].to_numpy(), sub["glucose_true_mmol_L"].to_numpy())
+               for sid, sub in df.groupby("subject_id")}
+    g_pred = preds[..., 0] * float(test_ds.state_std[0]) + float(test_ds.state_mean[0])
+    se, cnt = 0.0, 0
+    for w in range(len(test_ds)):
+        t_file, g_true = by_subj[test_ds.subject_ids[w]]
+        idx = np.abs(t_file[None, :] - test_ds.time_points[w][:, None]).argmin(1)
+        se += float(((g_pred[w] - g_true[idx]) ** 2).sum())
+        cnt += len(idx)
+    return float(np.sqrt(se / max(cnt, 1)))
 
 
 def evaluate_checkpoint(
@@ -198,11 +256,13 @@ def evaluate_checkpoint(
     config: Optional[HybridConfig] = None,
     batch_size: int = 32,
     val_ds: Optional[GlucoseDataset] = None,
+    **eval_kw,
 ) -> Dict[str, float]:
     """Rebuild the model from a checkpoint's embedded config and evaluate
     (parity: `evaluate.py:291-335`). Pass `val_ds` to get moment-matched
     predictive noise (and meaningful calibration columns) for point
-    checkpoints."""
+    checkpoints; `identify_steps=`/`identify_points=` for the
+    identified-ensemble estimator (stacked checkpoints only)."""
     from hybrid_ode_tpu.utils.checkpoint import load_checkpoint
 
     state, meta = load_checkpoint(checkpoint_path)
@@ -213,13 +273,17 @@ def evaluate_checkpoint(
         config = config_from_dict(meta.get("config", {}),
                                   **({"use_pallas": False} if is_ensemble else {}))
     metrics = evaluate_model(params, test_ds, config, batch_size,
-                             ensemble=is_ensemble, val_ds=val_ds)
+                             ensemble=is_ensemble, val_ds=val_ds, **eval_kw)
+    if eval_kw.get("return_arrays"):
+        metrics, arrays = metrics
     metrics["checkpoint_epoch"] = meta.get("epoch", -1)
     val_loss = meta.get("val_loss")
     if val_loss is None and meta.get("best_val"):
         # ensemble checkpoints store per-member best-val losses instead
         val_loss = float(np.mean(meta["best_val"]))
     metrics["checkpoint_val_loss"] = -1 if val_loss is None else val_loss
+    if eval_kw.get("return_arrays"):
+        return metrics, arrays
     return metrics
 
 
@@ -268,10 +332,38 @@ def main(argv=None) -> None:
                          "posterior predictive (calibration metrics included; "
                          "parity: reference evaluate.py:222-241)")
     ap.add_argument("--posterior-samples", type=int, default=100)
+    ap.add_argument("--identify-steps", type=int, default=0,
+                    help="ensemble checkpoints: per-member test-time "
+                         "identification steps before rollout (the "
+                         "identified-ensemble estimator — the framework's "
+                         "best-measured recipe, results/ensemble_id.json)")
+    ap.add_argument("--identify-points", type=int, default=None,
+                    help="identification-window length (observations); "
+                         "default = the model's trained context_points")
+    ap.add_argument("--norm-from", type=str, default=None,
+                    help="normalize --data with THIS file's statistics "
+                         "(fresh-cohort protocol: deploy in the training "
+                         "normalization)")
+    ap.add_argument("--no-split", action="store_true",
+                    help="evaluate every window of --data (fresh-cohort "
+                         "protocol) instead of the seed-42 test split")
+    ap.add_argument("--vs-truth", action="store_true",
+                    help="additionally report physical glucose RMSE against "
+                         "the generator's noiseless glucose_true_mmol_L "
+                         "column (the manuscript-headline protocol)")
     args = ap.parse_args(argv)
 
-    ds = create_data_arrays(args.data, args.sequence_length, args.stride)
-    _, val_ds, test_ds = split_dataset(ds, seed=42)
+    norm_stats = None
+    if args.norm_from:
+        ref_ds = create_data_arrays(args.norm_from, args.sequence_length,
+                                    args.stride)
+        norm_stats = (ref_ds.state_mean, ref_ds.state_std)
+    ds = create_data_arrays(args.data, args.sequence_length, args.stride,
+                            norm_stats=norm_stats)
+    if args.no_split:
+        val_ds, test_ds = None, ds
+    else:
+        _, val_ds, test_ds = split_dataset(ds, seed=42)
     if args.vi_checkpoint:
         from hybrid_ode_tpu.inference.vi import VariationalInference
 
@@ -282,9 +374,21 @@ def main(argv=None) -> None:
             obs_sigma=vi.noise_sigma,
         )
     else:
-        metrics = evaluate_checkpoint(args.checkpoint, test_ds, val_ds=val_ds)
+        out = evaluate_checkpoint(
+            args.checkpoint, test_ds, val_ds=val_ds,
+            identify_steps=args.identify_steps,
+            identify_points=args.identify_points,
+            return_arrays=args.vs_truth)
+        if args.vs_truth:
+            metrics, (preds, _, _, _) = out
+            metrics["glucose_rmse_vs_truth_mmol"] = glucose_truth_rmse(
+                preds, test_ds, args.data)
+        else:
+            metrics = out
     save_evaluation_results(metrics, args.output)
-    print(f"RMSE: {metrics['rmse']:.4f}  MAE: {metrics['mae']:.4f}  NRMSE: {metrics['nrmse']:.4f}")
+    print(f"RMSE: {metrics['rmse']:.4f}  MAE: {metrics['mae']:.4f}  NRMSE: {metrics['nrmse']:.4f}"
+          + (f"  glucose-vs-truth: {metrics['glucose_rmse_vs_truth_mmol']:.4f} mmol/L"
+             if "glucose_rmse_vs_truth_mmol" in metrics else ""))
 
 
 if __name__ == "__main__":

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from hybrid_ode_tpu.dynamics.controls import Controls
 from hybrid_ode_tpu.models.hybrid import (
     HybridConfig,
     batched_forward,
@@ -401,3 +402,93 @@ def amortize_ensemble_encoder(
             "target_std": float(jnp.std(targets)),
             "n_windows": int(B), "n_members": int(K)}
     return best, info
+
+
+def identify_ensemble_context(
+    stacked: Dict[str, Any],
+    batch: Mapping[str, Any],
+    config: HybridConfig,
+    *,
+    steps: int = 150,
+    lr: float = 0.02,
+    prior_std: float = 0.3,
+    points: Optional[int] = None,
+    init: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Per-member test-time identification: vmap of
+    `models.hybrid.identify_context` over the member axis — each member
+    refines its OWN (B, ctx_dim) codes against the window's first
+    observations with that member frozen. Returns (K, B, ctx_dim).
+
+    init: optional (K, B, ctx_dim) starting codes (e.g.
+    `encode_ensemble_context` output) for the SEMI-amortized path. This is
+    the identification stage of the framework's best-measured estimator
+    (results/ensemble_id.json, results/ensemble_semi_id.json)."""
+    from hybrid_ode_tpu.models.hybrid import identify_context
+
+    ident = lambda p, i: identify_context(p, batch, config, steps=steps,
+                                          lr=lr, prior_std=prior_std,
+                                          points=points, init=i)
+    if init is None:
+        return jax.vmap(lambda p: ident(p, None))(stacked)
+    return jax.vmap(ident)(stacked, init)
+
+
+def identified_ensemble_predictive(
+    stacked: Dict[str, Any],
+    batch: Mapping[str, Any],
+    config: HybridConfig,
+    *,
+    id_steps: int = 150,
+    id_lr: float = 0.02,
+    prior_std: float = 0.3,
+    points: Optional[int] = None,
+    encoder: Optional[Mapping[str, jnp.ndarray]] = None,
+    noise_sigma: Optional[jnp.ndarray] = None,
+):
+    """Predictive mean/std of the IDENTIFIED ensemble — the framework's
+    best-measured estimator, productized (VERDICT r4 #5): per-member
+    test-time identification of the subject codes, then per-member rollouts
+    conditioned on them, ensemble-mean + member-spread (+ noise_sigma in
+    quadrature).
+
+    encoder: optional shared amortized-encoder params
+    (`amortize_ensemble_encoder` checkpoint) — switches to the
+    SEMI-amortized path: one MLP pass initializes every member's codes and
+    `id_steps` can drop to ~15 at matched quality (measured,
+    results/ensemble_semi_id.json). Requires config.context_points > 0.
+
+    Returns (mean (B, T, n), std (B, T, n))."""
+    if config.context_points <= 0:
+        raise ValueError("identified ensemble requires context_points > 0 "
+                         "(params-mode subject conditioning)")
+    import dataclasses
+
+    cfg = dataclasses.replace(config, use_pallas=False) if config.use_pallas else config
+    K = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    init = None
+    if encoder is not None:
+        init = encode_ensemble_context(
+            encoder, jnp.asarray(batch["observations"]),
+            jnp.asarray(batch["time_points"]), cfg.context_points, K,
+            cfg.context_dim, cfg.activation)
+    ctxs = identify_ensemble_context(stacked, batch, cfg, steps=id_steps,
+                                     lr=id_lr, prior_std=prior_std,
+                                     points=points, init=init)
+
+    ts = jnp.asarray(batch["time_points"])
+    ext = batch.get("external_inputs") or {}
+
+    def one(p, ctx):
+        signals = {k: jnp.asarray(v) for k, v in ext.items()}
+        signals["context"] = ctx
+        return batched_forward(
+            p, jnp.asarray(batch["initial_state"]), ts,
+            Controls(ts=ts, signals=signals), cfg)
+
+    trajs = jax.vmap(one)(stacked, ctxs)
+    mean = jnp.mean(trajs, axis=0)
+    var = jnp.var(trajs, axis=0)
+    if noise_sigma is not None:
+        var = var + jnp.asarray(noise_sigma) ** 2
+    return mean, jnp.sqrt(var)
