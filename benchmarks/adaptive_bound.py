@@ -72,6 +72,10 @@ def main():
     variants = {
         "adaptive_dopri5": ht.HybridConfig(solver="dopri5", rtol=1e-5, atol=1e-7,
                                            mode="scan"),
+        # round 5: batch-SYNCHRONIZED adaptive stepping (solvers/sync.py) —
+        # shared controller, two-pass gradients on the accepted mesh
+        "adaptive_dopri5_sync": ht.HybridConfig(solver="dopri5", rtol=1e-5,
+                                                atol=1e-7, mode="sync"),
         "fixed_rk4_xla": ht.HybridConfig(solver="rk4", substeps=4, mode="scan"),
         "fused_rk4_pallas": ht.HybridConfig(solver="rk4", substeps=4, mode="scan",
                                             use_pallas=True),
@@ -99,6 +103,10 @@ def main():
 
     out["adaptive_vs_fused_ratio"] = round(
         out["adaptive_dopri5_step_ms"] / out["fused_rk4_pallas_step_ms"], 1)
+    out["adaptive_sync_vs_fused_ratio"] = round(
+        out["adaptive_dopri5_sync_step_ms"] / out["fused_rk4_pallas_step_ms"], 1)
+    out["sync_speedup_vs_per_sample"] = round(
+        out["adaptive_dopri5_step_ms"] / out["adaptive_dopri5_sync_step_ms"], 1)
     # where each headline benchmark actually spends its solver time
     out["headline_solver_usage"] = {
         "bench.py (throughput)": "fused rk4 (primary), dopri5 secondary metric only",
