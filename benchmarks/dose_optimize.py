@@ -187,6 +187,10 @@ def main(argv=None):
                      f"icu_ensemble.py --exog-insulin {routing} "
                      f"--train-cohort dysglycemic` first")
         stacked, meta = load_checkpoint(str(ckpt))
+        # drop diverged members (measured: 1/8 mech_blind members at 4x
+        # cohort RMSE would pollute CVaR and the closed-loop ensemble mean)
+        from hybrid_ode_tpu.parallel.ensemble import prune_members
+        stacked = prune_members(stacked, meta["best_val"])
         cfg = {
             "model": {"nn_hidden": 128, "nn_layers": 4, "solver": "rk4",
                       "substeps": 4, "mode": "scan", "context_points": 12,
@@ -194,7 +198,9 @@ def main(argv=None):
                       "exog_insulin": routing},
             "ablation": {"no_nn": False, "no_bayes": True, "no_physics": True},
         }
-        return stacked, config_from_dict(cfg), int(meta["n_members"])
+        import jax.tree_util as jtu
+        K = jtu.tree_leaves(stacked)[0].shape[0]
+        return stacked, config_from_dict(cfg), int(K)
 
     # ---- 1. protocol grid: model-predicted vs true risk ranking -----------
     val_truths, val_truth_traj = {}, {}
@@ -214,7 +220,13 @@ def main(argv=None):
     nonfactual = [i for i, k in enumerate(GRID) if k != DEFAULT]
 
     arms = {}
-    routings = ["mech"] + ([] if args.skip_nn_arm else ["nn"])
+    # mech_blind is the causal arm (round 5): plain 'mech' routing still
+    # lets the NN read the insulin STATE — a confounder proxy under the
+    # closed loop — and its identified dose response came out INVERTED on
+    # this cohort (spearman -0.23, kept on the record below); 'mech_blind'
+    # masks the state and carries the response through the sign-definite
+    # mechanistic S_I (models/hybrid.py HybridConfig docs)
+    routings = ["mech_blind", "mech"] + ([] if args.skip_nn_arm else ["nn"])
     for routing in routings:
         stacked, config, K = load_arm(routing)
         print(f"[{routing}] loaded K={K} ensemble")
@@ -288,7 +300,7 @@ def main(argv=None):
               f"true best {arms[routing]['true_best_protocol']}")
 
     # ---- 2. gradient optimization through the causal ensemble -------------
-    stacked, config, K = load_arm("mech")
+    stacked, config, K = load_arm("mech_blind")
     design_batch, design_truth, design_sid = cohort_batch(DESIGN_SEED)
     print("design cohort factual:", true_risk(design_truth))
 

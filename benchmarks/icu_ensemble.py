@@ -40,7 +40,7 @@ def main(argv=None):
                     "(measured, round 5)")
     ap.add_argument("--reuse", action="store_true",
                     help="load checkpoints/icu_ensemble instead of retraining")
-    ap.add_argument("--exog-insulin", default="nn", choices=["nn", "mech", "both"],
+    ap.add_argument("--exog-insulin", default="nn", choices=["nn", "mech", "mech_blind", "both"],
                     help="insulin-rate routing (HybridConfig.exog_insulin): "
                     "'nn' = reference-parity NN feature (the confounded arm, "
                     "see RESULTS.md intervention study); 'mech' = causal "

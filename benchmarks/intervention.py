@@ -65,7 +65,7 @@ def main(argv=None):
     ap.add_argument("--hours", type=float, default=72.0)
     ap.add_argument("--scales", default="0.0,0.5,1.0,1.5,2.0")
     ap.add_argument("--batch-size", type=int, default=128)
-    ap.add_argument("--exog-insulin", default="nn", choices=["nn", "mech", "both"],
+    ap.add_argument("--exog-insulin", default="nn", choices=["nn", "mech", "mech_blind", "both"],
                     help="which ICU-ensemble arm to evaluate: 'nn' = the "
                     "reference-parity NN-feature routing (measured to be "
                     "confounded), 'mech' = causal mechanistic routing "

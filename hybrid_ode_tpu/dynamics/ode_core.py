@@ -141,8 +141,18 @@ def mechanistic_field(
     k_GE = p["k_GE0"] * (1.0 - GD_pow / (_safe_pow(p["IGD_50"], p["g"]) + GD_pow))
     # FFA kinetics
     dFFA = -p["p_7"] * FFA - p["p_8"] * I * FFA + p["p_9"] * G * FFA
-    # Glucose balance
-    dG = meal - 0.01 * (I - p["I_b"]) + 0.005 * (Glu - p["Glu_b"]) - k_GE * G
+    # Glucose balance. Insulin sensitivity: fixed 0.01 (reference parity,
+    # `models/ode_core.py` glucose balance) unless a trainable "S_I" is
+    # present — then |S_I| so the insulin->glucose coupling is SIGN-DEFINITE
+    # (physiology: insulin never raises glucose). This matters causally: on
+    # ICU cohorts insulin is dosed in proportion to glucose (closed loop),
+    # so an unconstrained learner flips the association positive (measured,
+    # RESULTS.md round-5 causal-routing study); the magnitude of a monotone
+    # structural term, by contrast, is identified from randomized protocol
+    # variation. Used by HybridConfig.exog_insulin='mech_blind'.
+    s_i = p.get("S_I")
+    si_eff = 0.01 if s_i is None else jnp.abs(s_i)
+    dG = meal - si_eff * (I - p["I_b"]) + 0.005 * (Glu - p["Glu_b"]) - k_GE * G
     # GE placeholder
     dGE = jnp.zeros_like(G)
 

@@ -96,6 +96,19 @@ class HybridConfig:
     #            association; counterfactual dose response flows through
     #            insulin-state physiology the NN observes causally.
     #   'both' — mechanistic routing + NN still sees the raw rate.
+    #   'mech_blind' — full causal masking (round 5). 'mech' is not enough
+    #            on cohorts where insulin is mostly exogenous (the
+    #            dysglycemic ICU subpopulation): the NN still sees the
+    #            insulin STATE, which under a sliding scale is a proxy for
+    #            "glucose was just high", and the learned glucose response
+    #            to insulin comes out POSITIVE (measured: open-loop probe,
+    #            RESULTS.md round-5 dosing study). Here the NN is blinded
+    #            to the insulin state too, and the mechanistic
+    #            insulin->glucose coupling becomes the trainable
+    #            sign-definite S_I (|.|-constrained, dynamics/ode_core.py)
+    #            so the interventional pathway is monotone by construction
+    #            and its magnitude is identified from randomized protocol
+    #            variation.
     exog_insulin: str = "nn"
     # fused Pallas trajectory kernel (forward + custom-VJP backward) for the
     # rk4 solver: the whole integration (and its reverse-time adjoint) runs
@@ -174,6 +187,13 @@ def init_hybrid_params(
         # unit of the O(1) rate signal); identified from the observed insulin
         # channel. Init 1.0: positive causal prior, data sets the scale.
         params["ode"]["k_ex"] = jnp.asarray(1.0, dtype)
+    if config.exog_insulin == "mech_blind" and "S_I" not in params["ode"]:
+        # trainable sign-definite insulin sensitivity (|S_I| in the glucose
+        # balance, ode_core.py): with the NN blinded to the insulin state,
+        # this is the ONLY insulin->glucose pathway, so its magnitude is
+        # the model's interventional dose response. Init at the reference's
+        # fixed coupling (0.01).
+        params["ode"]["S_I"] = jnp.asarray(0.01, dtype)
     if config.context_points > 0:
         # context encoder: flattened first-k observations (+ their times,
         # relative to window start) -> latent subject code
@@ -257,17 +277,34 @@ def hybrid_field(
         # feature and tVNS from the inputs (`models/hybrid_ode_nn.py:125-129`).
         glp1 = y[..., 3]
         tvns = inputs.get("tVNS", jnp.zeros_like(glp1))
-        if config.exog_insulin == "mech":
+        y_nn = y
+        if config.exog_insulin in ("mech", "mech_blind"):
             # NN blinded to the raw rate — counterfactual response must flow
             # through the (observed, causal) insulin state
             tvns = jnp.zeros_like(glp1)
+        if config.exog_insulin == "mech_blind":
+            # ...and to the insulin STATE itself: under a closed-loop
+            # protocol that state is a confounder proxy (see HybridConfig);
+            # the response is carried by the sign-definite mechanistic S_I
+            y_nn = y.at[..., 1].set(0.0)
         if (config.context_points > 0 and config.context_mode == "features"
                 and context is None):
             # unconditioned call sites: neutral (zero) context
             context = jnp.zeros((config.context_dim,), y.dtype)
-        dy = dy + residual_apply(
-            params["nn"], t, y, glp1, tvns, config.activation, extra=context
+        dy_nn = residual_apply(
+            params["nn"], t, y_nn, glp1, tvns, config.activation, extra=context
         )
+        if config.exog_insulin == "mech_blind":
+            # the NN must not write the insulin DERIVATIVE either: under a
+            # sliding scale the dosing signal is reconstructible from the
+            # glucose features the NN legitimately sees, so an insulin-
+            # channel residual absorbs the exogenous appearance and k_ex
+            # collapses toward 0 (measured: k_ex -> 0.076 with only the
+            # input masked, RESULTS.md round-5 dosing study). Insulin
+            # dynamics are purely mechanistic here; fitting the observed
+            # insulin channel then identifies k_ex directly.
+            dy_nn = dy_nn.at[..., 1].set(0.0)
+        dy = dy + dy_nn
     return dy
 
 

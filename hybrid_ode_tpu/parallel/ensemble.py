@@ -492,3 +492,34 @@ def identified_ensemble_predictive(
     if noise_sigma is not None:
         var = var + jnp.asarray(noise_sigma) ** 2
     return mean, jnp.sqrt(var)
+
+
+def prune_members(
+    stacked: Dict[str, Any],
+    best_val,
+    factor: float = 2.0,
+    min_keep: int = 2,
+) -> Dict[str, Any]:
+    """Drop diverged ensemble members by validation loss.
+
+    Deep-ensemble training occasionally loses a member to a bad
+    seed/lr interaction (measured: 1/8 members at 4x the cohort RMSE on
+    the dysglycemic ICU cohort, round 5) — and every downstream consumer
+    of the stacked pytree (ensemble mean, CVaR-over-members, closed-loop
+    protocol rollouts) is polluted by it. Keeps members whose best
+    validation loss is <= factor * median(best_val); always keeps at
+    least `min_keep` (the best ones) so the ensemble axis survives.
+
+    Returns the pruned stacked pytree (leading axis = kept members, in
+    original order)."""
+    import numpy as np
+
+    bv = np.asarray(best_val, np.float64)
+    keep = np.where(bv <= factor * np.median(bv))[0]
+    if len(keep) < min_keep:
+        keep = np.argsort(bv)[:min_keep]
+        keep.sort()
+    if len(keep) == len(bv):
+        return stacked
+    idx = jnp.asarray(keep)
+    return jax.tree_util.tree_map(lambda x: x[idx], stacked)

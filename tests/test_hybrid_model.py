@@ -462,3 +462,48 @@ def test_batched_forward_sync_mode_matches_scan():
         cos = float(a @ b) / (float(jnp.linalg.norm(a))
                               * float(jnp.linalg.norm(b)) + 1e-30)
         assert cos > 0.999, grp
+
+
+def test_mech_blind_causal_masking():
+    """exog_insulin='mech_blind' (round 5): the NN neither reads the insulin
+    state nor writes the insulin derivative; insulin dynamics are purely
+    mechanistic (k_ex route), and the glucose-insulin coupling |S_I| is
+    sign-definite — the full causal mask behind the dosing study."""
+    from hybrid_ode_tpu.models.hybrid import hybrid_field
+
+    cfg = HybridConfig(solver="rk4", substeps=2, nn_hidden=8, nn_layers=2,
+                       exog_insulin="mech_blind")
+    p = init_hybrid_params(jax.random.PRNGKey(0), cfg)
+    assert "S_I" in p["ode"] and "k_ex" in p["ode"]
+    p = jax.tree_util.tree_map(lambda x: x + 0.05 if x.ndim >= 1 else x, p)
+
+    y = jnp.array([8.0, 100.0, 90.0, 20.0, 0.0, 1.2])
+    y2 = y.at[1].set(250.0)
+    cfg_m = HybridConfig(solver="rk4", substeps=2, nn_hidden=8, nn_layers=2,
+                         exog_insulin="mech_blind", use_nn=False)
+    # NN contribution invariant to the insulin state
+    d_full = hybrid_field(0.0, y2, p, None, cfg) - hybrid_field(0.0, y, p, None, cfg)
+    d_mech = hybrid_field(0.0, y2, p, None, cfg_m) - hybrid_field(0.0, y, p, None, cfg_m)
+    np.testing.assert_allclose(np.asarray(d_full), np.asarray(d_mech),
+                               rtol=1e-5, atol=1e-6)
+    # NN writes nothing to dI: full-field dI == mech-only dI pointwise
+    f_full = hybrid_field(0.0, y, p, None, cfg)
+    f_mech = hybrid_field(0.0, y, p, None, cfg_m)
+    np.testing.assert_allclose(float(f_full[1]), float(f_mech[1]), rtol=1e-6)
+    # ...while other channels DO carry NN residual (perturbed weights)
+    assert float(jnp.abs(f_full - f_mech)[jnp.array([0, 2, 3, 5])].max()) > 1e-4
+    # sign-definite insulin sensitivity: higher insulin can only lower dG
+    for s in (0.02, -0.02):
+        p2 = {**p, "ode": {**p["ode"], "S_I": jnp.asarray(s)}}
+        assert (hybrid_field(0.0, y2, p2, None, cfg_m)[0]
+                < hybrid_field(0.0, y, p2, None, cfg_m)[0])
+    # exogenous rate enters ONLY the mechanistic insulin compartment
+    from hybrid_ode_tpu.dynamics.controls import Controls
+    ts = jnp.array([0.0, 1.0])
+    c = Controls(ts=ts, signals={"tVNS": jnp.array([5.0, 5.0]),
+                                 "meal": jnp.zeros(2)})
+    c0 = Controls(ts=ts, signals={"tVNS": jnp.zeros(2), "meal": jnp.zeros(2)})
+    d_dose = hybrid_field(0.5, y, p, c, cfg) - hybrid_field(0.5, y, p, c0, cfg)
+    expected = 5.0 * float(p["ode"]["k_ex"])
+    np.testing.assert_allclose(float(d_dose[1]), expected, rtol=1e-5)
+    assert float(jnp.abs(d_dose).sum()) == pytest.approx(abs(expected), rel=1e-5)

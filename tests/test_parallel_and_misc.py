@@ -1051,12 +1051,15 @@ def test_dose_optimization_artifact_ranks_and_deploys():
     # spread precondition: without it the ranking metric is meaningless
     spread = r["protocol"]["true_risk_spread"]
     assert spread["ratio"] >= 3.0, "true protocol risks are flat - redesign"
-    mech = r["ranking_validation"]["mech"]
-    assert mech["spearman_risk"] >= 0.7
-    boot = mech["spearman_corrected_bootstrap"]
+    causal = r["ranking_validation"]["mech_blind"]
+    assert causal["spearman_risk"] >= 0.7
+    boot = causal["spearman_corrected_bootstrap"]
     assert boot["ci95"][0] > 0.0, "bootstrap CI must exclude 0"
-    if "nn" in r["ranking_validation"]:
-        assert mech["spearman_risk"] > r["ranking_validation"]["nn"]["spearman_risk"]
+    # causal masking must out-rank BOTH partially-causal and confounded arms
+    for other in ("mech", "nn"):
+        if other in r["ranking_validation"]:
+            assert (causal["spearman_risk"]
+                    > r["ranking_validation"][other]["spearman_risk"]), other
     opt = r["optimized"]
     assert opt["final_risk"] <= opt["init_risk"] + 1e-9
     dep = r["deployment_validation"]
