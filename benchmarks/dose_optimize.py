@@ -117,6 +117,7 @@ def main(argv=None):
     from hybrid_ode_tpu.data.mimic import generate_icu_cohort_dysglycemic
     from hybrid_ode_tpu.models.hybrid import config_from_dict
     from hybrid_ode_tpu.models.protocol import (
+        calibrate_dose_response,
         counterfactual_delta_correction,
         cvar_glycemic_risk,
         robust_delta_risk,
@@ -202,6 +203,55 @@ def main(argv=None):
         K = jtu.tree_leaves(stacked)[0].shape[0]
         return stacked, config_from_dict(cfg), int(K)
 
+    # ---- 0. causal dose-response calibration (training data ONLY) --------
+    # Joint training under-identifies k_ex even with full causal masking
+    # (collapsed to ~0.08 here); the varied training cohort's randomized
+    # per-patient protocols are the identifying lever. See
+    # calibrate_dose_response — regression of observed glucose on model-
+    # predicted protocol effects across the 80 training patients.
+    calib_info = {}
+
+    def calibrate(routing, stacked, config):
+        tr_batch = ds_tr.batch(np.arange(len(ds_tr)))
+        uniq_tr = np.unique(np.asarray(ds_tr.subject_ids))
+        w2p_tr = np.searchsorted(uniq_tr, np.asarray(ds_tr.subject_ids))
+        # per-patient protocols: regenerate the generator's seed rule
+        # (generate_icu_cohort_dysglycemic varied_protocol, seed 0)
+        prng = np.random.default_rng(0 + 10_000)
+        gains_p = 900.0 * prng.uniform(0.25, 3.0, 80)
+        targets_p = prng.uniform(5.0, 9.0, 80)
+        basals_p = prng.uniform(0.0, 12000.0, 80)
+        obs_mmol = (np.asarray(tr_batch["observations"][..., 0])
+                    * norm[1][0] + norm[0][0])
+        t0 = time.time()
+        res = calibrate_dose_response(
+            stacked, tr_batch, config, norm,
+            gain_w=jnp.asarray(gains_p[w2p_tr], jnp.float32),
+            target_w=jnp.asarray(targets_p[w2p_tr], jnp.float32),
+            basal_w=jnp.asarray(basals_p[w2p_tr], jnp.float32),
+            observed_glucose=jnp.asarray(obs_mmol, jnp.float32),
+            observed_mask=jnp.asarray(tr_batch["mask"], jnp.float32),
+            subject_idx=w2p_tr, reference_protocol=DEFAULT,
+            rate_cap=MAX_RATE,
+            # 2SLS: protocol assignment is randomized per patient, so the
+            # (gain, target, basal) matrix is a valid instrument set; plain
+            # OLS is severity-confounded (sicker patients have both larger
+            # predicted protocol effects and higher observed glucose)
+            instruments=np.stack([gains_p, targets_p, basals_p], axis=1))
+        calib_info[routing] = {
+            "scale": round(res["scale"], 3),
+            "slopes": {str(k): v for k, v in res["slopes"].items()},
+            "n_patients": res["n_patients"],
+            "wall_s": round(time.time() - t0, 1),
+            "data": "training cohort only (seed 0), observed charting "
+                    "times; protocol assignment randomized per patient",
+        }
+        print(f"[{routing}] dose-response calibration: scale "
+              f"{res['scale']:.2f} | slopes "
+              f"{ {k: v['slope'] for k, v in res['slopes'].items()} }",
+              flush=True)
+        return res["stacked_calibrated"]
+
     # ---- 1. protocol grid: model-predicted vs true risk ranking -----------
     val_truths, val_truth_traj = {}, {}
     for arm in GRID:
@@ -230,26 +280,40 @@ def main(argv=None):
     for routing in routings:
         stacked, config, K = load_arm(routing)
         print(f"[{routing}] loaded K={K} ensemble")
+        if routing == "mech_blind":
+            stacked = calibrate(routing, stacked, config)
 
         @jax.jit
-        def model_glucose(gain, target, basal, s=stacked, c=config):
+        def model_glucose(gain, target, basal, off, s=stacked, c=config):
             return ensemble_closed_loop(s, val_batch, c, gain, target, norm,
-                                        basal=basal,
+                                        basal=basal, glucose_offset=off,
                                         rate_cap=MAX_RATE)["glucose"]
 
         t0 = time.time()
+        # In-loop bias anchoring (round-5 fix): a real sliding scale reacts
+        # to MEASURED glucose, so the simulated protocol law must read
+        # bias-corrected predictions. Without this, the model's level bias
+        # is AMPLIFIED by the loop (predicts low -> law doses more ->
+        # predicts lower), which inverted the ranking to Spearman -0.18 on
+        # this cohort. The offset is fit on factual observations ONLY
+        # (truth under the deployed protocol - ensemble-mean factual
+        # prediction), then held fixed across every counterfactual arm.
+        zero_off = jnp.zeros_like(jnp.asarray(val_fact_truth))
+        g_fact0 = np.asarray(model_glucose(
+            *map(jnp.asarray, DEFAULT), zero_off))
+        anchor = jnp.asarray(val_fact_truth - g_fact0.mean(axis=0))
         # factual-protocol rollout anchors the delta correction: each arm's
         # predicted counterfactual delta rides on the OBSERVED factual
         # trajectory (model prediction error cancels pairwise)
-        g_fact = np.asarray(model_glucose(*map(jnp.asarray, DEFAULT)))
+        g_fact = np.asarray(model_glucose(*map(jnp.asarray, DEFAULT), anchor))
         pred, model_pp = {}, {}
         for arm in GRID:
-            gl = np.asarray(model_glucose(*map(jnp.asarray, arm)))
+            gl = np.asarray(model_glucose(*map(jnp.asarray, arm), anchor))
             corr = counterfactual_delta_correction(gl, g_fact,
                                                    val_fact_truth[None])
             pred[arm] = {
-                "risk": float(robust_delta_risk(gl, g_fact,
-                                                val_fact_truth[None])),
+                "risk_robust": float(robust_delta_risk(gl, g_fact,
+                                                       val_fact_truth[None])),
                 "risk_corrected": float(glycemic_risk(corr)),
                 "risk_raw": float(glycemic_risk(gl)),
                 "tir": float(time_in_range(corr)),
@@ -260,31 +324,38 @@ def main(argv=None):
         true_pp = np.stack([per_patient_risk(val_truth_traj[k], val_sid,
                                              uniq_val) for k in GRID])
         mod_pp = np.stack([model_pp[k] for k in GRID])
-        pr = np.array([pred[k]["risk"] for k in GRID])
+        pr_rob = np.array([pred[k]["risk_robust"] for k in GRID])
         pr_corr = np.array([pred[k]["risk_corrected"] for k in GRID])
         pr_raw = np.array([pred[k]["risk_raw"] for k in GRID])
         nf = nonfactual
         boot = bootstrap_spearman(true_pp[nf], mod_pp[nf])
         arms[routing] = {
-            # GATE metrics: factual arm EXCLUDED (its delta-corrected risk
-            # equals truth by construction — advisor r4 circularity finding)
-            "spearman_risk": spearman(tr_all[nf], pr[nf]),
+            # GATE metric: plain (lambda=1) delta-corrected risk, factual
+            # arm EXCLUDED (its corrected risk equals truth by construction
+            # — advisor r4 circularity finding). The robust lambda-max risk
+            # is an OPTIMIZER objective, not a ranking metric: worst-case
+            # inflation inverts even a perfect model's ranking on a cohort
+            # whose true optimum is aggressive (robust_delta_risk docs).
+            "spearman_risk": spearman(tr_all[nf], pr_corr[nf]),
             "spearman_risk_corrected": spearman(tr_all[nf], pr_corr[nf]),
+            "spearman_risk_robust": spearman(tr_all[nf], pr_rob[nf]),
             "spearman_risk_raw": spearman(tr_all[nf], pr_raw[nf]),
             "spearman_corrected_bootstrap": boot,
             # full-grid variants kept on the record
-            "spearman_risk_incl_factual": spearman(tr_all, pr),
+            "spearman_risk_incl_factual": spearman(tr_all, pr_corr),
             "pearson_log_risk": float(np.corrcoef(
-                np.log10(tr_all[nf] + 1e-6), np.log10(pr[nf] + 1e-6))[0, 1]),
+                np.log10(tr_all[nf] + 1e-6),
+                np.log10(pr_corr[nf] + 1e-6))[0, 1]),
             "all_rollouts_finite": all(p["finite"] for p in pred.values()),
             "true_best_protocol": list(GRID[int(np.argmin(tr_all))]),
             "model_best_protocol":
-                list(GRID[nf[int(np.argmin(pr[nf]))]]),
+                list(GRID[nf[int(np.argmin(pr_corr[nf]))]]),
             "grid_wall_s": round(wall, 1),
             "grid": [{"gain": g, "target": t, "basal": b,
                       "factual": (g, t, b) == DEFAULT,
                       "true_risk": val_truths[(g, t, b)]["risk"],
-                      "model_risk_robust": round(pred[(g, t, b)]["risk"], 5),
+                      "model_risk_robust":
+                          round(pred[(g, t, b)]["risk_robust"], 5),
                       "model_risk_corrected":
                           round(pred[(g, t, b)]["risk_corrected"], 5),
                       "model_risk_raw": round(pred[(g, t, b)]["risk_raw"], 5),
@@ -292,21 +363,37 @@ def main(argv=None):
                       "true_tir": val_truths[(g, t, b)]["tir"]}
                      for g, t, b in GRID],
         }
-        print(f"[{routing}] spearman robust {arms[routing]['spearman_risk']:.3f}"
-              f" corrected {arms[routing]['spearman_risk_corrected']:.3f} "
-              f"(CI {boot['ci95']}) raw "
+        print(f"[{routing}] spearman corrected "
+              f"{arms[routing]['spearman_risk']:.3f} "
+              f"(CI {boot['ci95']}) robust "
+              f"{arms[routing]['spearman_risk_robust']:.3f} raw "
               f"{arms[routing]['spearman_risk_raw']:.3f} | "
               f"model best {arms[routing]['model_best_protocol']} "
               f"true best {arms[routing]['true_best_protocol']}")
 
     # ---- 2. gradient optimization through the causal ensemble -------------
     stacked, config, K = load_arm("mech_blind")
+    if "mech_blind" in calib_info:  # reuse the measured scale
+        stacked = dict(stacked)
+        stacked["ode"] = dict(stacked["ode"])
+        stacked["ode"]["k_ex"] = (stacked["ode"]["k_ex"]
+                                  * calib_info["mech_blind"]["scale"])
+    else:
+        stacked = calibrate("mech_blind", stacked, config)
     design_batch, design_truth, design_sid = cohort_batch(DESIGN_SEED)
     print("design cohort factual:", true_risk(design_truth))
+
+    # same in-loop bias anchoring as the grid, fit on the design cohort's
+    # factual observations (see the ranking section)
+    des_fact0 = ensemble_closed_loop(
+        stacked, design_batch, config, *map(jnp.asarray, DEFAULT[:2]), norm,
+        basal=jnp.asarray(DEFAULT[2]), rate_cap=MAX_RATE)["glucose"]
+    des_anchor = jnp.asarray(design_truth) - jnp.mean(des_fact0, axis=0)
 
     def rollout(gain, target, basal):
         return ensemble_closed_loop(stacked, design_batch, config,
                                     gain, target, norm, basal=basal,
+                                    glucose_offset=des_anchor,
                                     rate_cap=MAX_RATE)["glucose"]
 
     # delta-corrected objective: the factual rollout is a constant anchor
@@ -354,6 +441,7 @@ def main(argv=None):
         return ensemble_closed_loop(stacked, design_batch, config,
                                     gain_p[w2p], target_p[w2p],
                                     norm, basal=basal_p[w2p],
+                                    glucose_offset=des_anchor,
                                     rate_cap=MAX_RATE)["glucose"]
 
     opt_pp = optimize_protocol(
@@ -403,7 +491,9 @@ def main(argv=None):
             "grid": [list(k) for k in GRID],
             "objective": "glycemic_risk (hypo 3.9 x25, hyper 10.0)",
             "delta_corrected": True,
-            "robust_lambdas": [1.0, 2.0, 4.0],
+            "in_loop_bias_anchoring": True,
+            "causal_calibration": calib_info,
+            "robust_lambdas": [0.5, 1.0, 2.0],
             "gain_bounds": list(GAIN_BOUNDS),
             "basal_bounds": list(BASAL_BOUNDS),
             "true_risk_spread": spread,

@@ -48,6 +48,11 @@ def main(argv=None):
     ap.add_argument("--samples", type=int, default=300)
     ap.add_argument("--max-depth", type=int, default=6)
     ap.add_argument("--predictive-samples", type=int, default=100)
+    ap.add_argument("--include-nn", choices=["last", "full"], default="last",
+                    help="'last' = zero-init output layer only (~1k dims); "
+                         "'full' = ALL NN weights jointly with the 7 ODE "
+                         "params (~13k dims, VERDICT r4 #7; reference "
+                         "priors at /root/reference/inference/mcmc.py:60-81)")
     args = ap.parse_args(argv)
 
     import jax
@@ -89,6 +94,9 @@ def main(argv=None):
     print("noise sigma per state (floored):", np.round(sigma, 4), flush=True)
 
     # ---- sample: condition on the full train split ----
+    include_nn = True if args.include_nn == "full" else "last"
+    arm_key = ("nuts_full_joint" if args.include_nn == "full"
+               else "nuts_last_layer")
     train_batch = tr.batch(np.arange(len(tr)))
     t0 = time.time()
     out = run_nuts(params, train_batch, config,
@@ -96,7 +104,7 @@ def main(argv=None):
                    num_samples=args.samples, num_warmup=args.warmup,
                    n_chains=args.chains, max_depth=args.max_depth,
                    noise_sigma=jnp.asarray(sigma, jnp.float32),
-                   include_nn="last")
+                   include_nn=include_nn)
     wall_sample = time.time() - t0
 
     # diagnostics on the 7 ODE marginals
@@ -147,16 +155,20 @@ def main(argv=None):
 
     pv, uv, tv, mv = collect(va)
     pt, ut, tt, mt = collect(te)
-    np.savez(REPO / "results" / "uq_arrays_nuts_last_layer.npz",
+    np.savez(REPO / "results" / f"uq_arrays_{arm_key}.npz",
              pv=pv, uv=uv, tv=tv, mv=mv, pt=pt, ut=ut, tt=tt, mt=mt)
 
     # same recalibration convention as the VI arms (floor 0.96 on val)
     s_vec = fit_per_state_recalibration(pv, uv, tv, mask=mv,
                                         min_coverage_95=0.96)
 
+    n_dim = 7 + sum(int(np.prod(np.shape(v))) for k, v in params["nn"].items()
+                    ) if args.include_nn == "full" else None
     arm = {
-        "sampler": f"NUTS include_nn='last', {args.chains} chains x "
-                   f"({args.warmup}+{args.samples}), max_depth {args.max_depth}",
+        "sampler": f"NUTS include_nn={args.include_nn!r}, {args.chains} "
+                   f"chains x ({args.warmup}+{args.samples}), "
+                   f"max_depth {args.max_depth}"
+                   + (f", dim {n_dim}" if n_dim else ""),
         "conditioned_on": f"train split ({len(tr)} windows)",
         "noise_sigma_per_state": [round(float(x), 4) for x in sigma],
         "accept_stat": round(accept, 4),
@@ -171,9 +183,9 @@ def main(argv=None):
 
     path = REPO / "results" / "uq_calibration.json"
     results = json.loads(path.read_text()) if path.exists() else {}
-    results["nuts_last_layer"] = arm
+    results[arm_key] = arm
     path.write_text(json.dumps(results, indent=2))
-    print(f"wrote {path}")
+    print(f"wrote {path} [{arm_key}]")
 
 
 if __name__ == "__main__":

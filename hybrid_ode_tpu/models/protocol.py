@@ -55,6 +55,7 @@ def closed_loop_rollout(
     rate_cap: float = 7000.0,
     rate_scale: float = 2000.0,
     basal: jnp.ndarray = 0.0,
+    glucose_offset: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Roll the hybrid model forward under a closed-loop sliding scale.
 
@@ -78,6 +79,17 @@ def closed_loop_rollout(
         basal: background infusion, pmol/h — scalar or (B,). Continues
             below target (generator parity: `protocol_basal`,
             data/mimic.py); basal-heavy protocols carry real hypo risk.
+        glucose_offset: optional (B, T) mmol/L additive correction applied
+            to the model's predicted glucose BEFORE the protocol law reads
+            it (typically `true_factual - model_factual` on the design
+            windows — observational data only). Deployment fidelity: a real
+            sliding scale reacts to MEASURED glucose, not to the model's
+            belief, so the counterfactual dosing law should see
+            bias-anchored glucose. Without it, any level bias in the model
+            is AMPLIFIED by the loop (model predicts low -> law doses more
+            -> predicts lower; measured round 5: gain-3600 arms predicted
+            hypo-dangerous on the dysglycemic cohort while true outcomes
+            improved, inverting the protocol ranking to Spearman -0.18).
 
     Returns:
         dict with 'trajectory' (B, T, 6) z-space, 'glucose' (B, T) mmol/L,
@@ -113,6 +125,9 @@ def closed_loop_rollout(
 
     ts_c = chunk_slices(ts)
     meal_c = chunk_slices(meal)
+    off = (jnp.zeros((B, T), y0.dtype) if glucose_offset is None
+           else jnp.asarray(glucose_offset))
+    off_c = chunk_slices(off)
 
     def protocol(G_mmol):
         rate = jnp.clip(basal + gain * (G_mmol - target), 0.0, rate_cap)
@@ -122,7 +137,7 @@ def closed_loop_rollout(
 
     def step(carry, xs):
         y, rate = carry
-        ts_k, meal_k = xs  # (B, ce+1)
+        ts_k, meal_k, off_k = xs  # (B, ce+1)
         signals = {"meal": meal_k,
                    "tVNS": jnp.broadcast_to(rate[:, None], ts_k.shape)}
         if ctx is not None:
@@ -130,11 +145,12 @@ def closed_loop_rollout(
         traj = batched_forward(params, y, ts_k,
                                Controls(ts=ts_k, signals=signals), config)
         y_end = traj[:, -1]
-        new_rate = protocol(y_end[:, 0] * std0 + mean0)
+        new_rate = protocol(y_end[:, 0] * std0 + mean0 + off_k[:, -1])
         return (y_end, new_rate), (traj[:, 1:], rate)
 
-    rate0 = protocol(y0[:, 0] * std0 + mean0)
-    (_, _), (chunks, rates) = jax.lax.scan(step, (y0, rate0), (ts_c, meal_c))
+    rate0 = protocol(y0[:, 0] * std0 + mean0 + off[:, 0])
+    (_, _), (chunks, rates) = jax.lax.scan(
+        step, (y0, rate0), (ts_c, meal_c, off_c))
     traj = jnp.concatenate(
         [y0[:, None], jnp.moveaxis(chunks, 0, 1).reshape(B, T - 1, -1)], axis=1)
     rates = rates.T * rate_scale  # (B, C) pmol/h
@@ -245,28 +261,30 @@ def robust_delta_risk(
     pred_arm: jnp.ndarray,
     pred_factual: jnp.ndarray,
     observed_factual: jnp.ndarray,
-    lambdas: Tuple[float, ...] = (1.0, 2.0, 4.0),
+    lambdas: Tuple[float, ...] = (0.5, 1.0, 2.0),
     objective: Callable[[jnp.ndarray], jnp.ndarray] = glycemic_risk,
 ) -> jnp.ndarray:
     """Worst-case delta-corrected risk under dose-response uncertainty.
 
     Scores `objective(observed + lambda * (pred_arm - pred_factual))` for
-    each de-attenuation factor lambda and returns the maximum — a robust
-    (distributionally pessimistic) protocol evaluation.
+    each response-scale factor lambda and returns the maximum — a robust
+    (distributionally pessimistic) protocol evaluation for the OPTIMIZER.
 
-    Why: an identified-from-observational-data dose response is attenuated
-    by an imperfectly known factor (measured here: ~2.2x on the varied
-    cohort, ~6x on the factual cohort — RESULTS.md causal-routing study).
-    Plain delta correction therefore UNDERSTATES how far a high-gain
-    protocol drives glucose down, which hides its hypoglycemia tail (the
-    25x-weighted half of `glycemic_risk`) — measured: plain-corrected
-    ranking picked gain 3387/target 4.56, which truly deploys at 2.6x the
-    default risk. Evaluating the worst case over a plausible attenuation
-    set surfaces that tail without needing the true factor: protocols
-    whose predicted deltas are near zero (withhold/high-target arms) are
-    insensitive to lambda, while aggressive arms reveal their downside.
-    Differentiable (max has a well-defined subgradient), so it can be
-    passed straight to `optimize_protocol` as a closure.
+    Why: an identified-from-observational-data dose response is off by an
+    imperfectly known scale in EITHER direction (measured: ~2.2x
+    attenuated on the standard varied cohort, but ~2x OVERSTATED on the
+    dysglycemic cohort before in-loop anchoring — RESULTS.md dosing
+    study), and the 25x hypo weight of `glycemic_risk` makes understating
+    a high-gain protocol's downside catastrophic (measured: a lambda-blind
+    optimizer picked gain 3387/target 4.56, truly deploying at 2.6x the
+    default risk). The symmetric-in-log set {0.5, 1, 2} covers both error
+    directions. NOTE this is an optimization objective, not a ranking
+    metric: on a cohort whose true optimum is an aggressive protocol,
+    worst-case inflation inverts even a PERFECT model's ranking (the
+    max-lambda branch predicts hypo for exactly the truly-best arms), so
+    protocol-ranking validation must use the plain (lambda=1) corrected
+    risk. Differentiable (max has a well-defined subgradient), so it can
+    be passed straight to `optimize_protocol` as a closure.
     """
     delta = pred_arm - pred_factual
     risks = jnp.stack([objective(observed_factual + lam * delta)
@@ -382,3 +400,181 @@ def optimize_protocol(
     if init_basal is not None:
         out["basal"] = to_py(unpacked[2])
     return out
+
+
+def calibrate_dose_response(
+    stacked_params: Mapping[str, Any],
+    batch: Mapping[str, jnp.ndarray],
+    config: HybridConfig,
+    norm: Tuple[jnp.ndarray, jnp.ndarray],
+    gain_w: jnp.ndarray,
+    target_w: jnp.ndarray,
+    basal_w: jnp.ndarray,
+    observed_glucose: jnp.ndarray,
+    observed_mask: jnp.ndarray,
+    subject_idx: np.ndarray,
+    reference_protocol: Tuple[float, float, float] = (900.0, 7.0, 0.0),
+    scales: Tuple[float, ...] = (1.0, 2.0, 4.0, 8.0, 16.0, 32.0),
+    rate_cap: float = 20000.0,
+    check_every: int = 12,
+    instruments: Optional[np.ndarray] = None,
+) -> Dict[str, Any]:
+    """Identify the exogenous-insulin de-attenuation scale from randomized
+    practice variation, and return a k_ex-calibrated ensemble.
+
+    THE problem this solves (measured, RESULTS.md round-5 dosing study):
+    under closed-loop dosing the NN-visible insulin signal is confounded,
+    and even with full causal masking (`exog_insulin='mech_blind'`) joint
+    training under-identifies `k_ex` — the learned dose response is
+    attenuated by an unknown factor (k_ex collapsed to ~0.08 on the
+    dysglycemic cohort; protocol-ranking Spearman stuck at 0.23 because
+    every arm's predicted delta is too small to order the true risks).
+
+    The identifying lever is the TRAINING cohort's per-patient protocol
+    variation (`generate_icu_cohort_*(varied_protocol=True)` — the
+    in-silico analogue of practice variation across units/physicians):
+    protocol assignment is independent of patient state by construction,
+    so a regression of observed outcomes on model-predicted protocol
+    effects across patients is an unconfounded estimate of the response
+    scale (instrumental logic: the randomized protocol is the instrument).
+
+    For each candidate scale s (k_ex <- s * k_ex):
+      m_p(s) = model-predicted effect for patient p of their OWN assigned
+               protocol vs `reference_protocol` (anchored closed-loop
+               rollouts, charting-time masked mean glucose delta, ensemble
+               mean, windows averaged per patient);
+      slope(s) = cov(y_p, m_p) / var(m_p)  over patients,
+               where y_p = patient p's observed masked mean glucose.
+    A perfectly scaled response has slope 1 (the model's predicted effect
+    explains the observed cross-patient protocol contrast 1:1); slope > 1
+    means the response is still attenuated. Returns the log-interpolated
+    s* with slope(s*) = 1, clipped to the scanned range.
+
+    With `instruments` (a (P, d) matrix of per-patient EXOGENOUS protocol
+    features, e.g. [gain, target, basal]) the slope is estimated by 2SLS:
+    m_p is first projected onto the instruments (+intercept), and the
+    slope regresses y on the projection. This matters because the plain
+    OLS slope is severity-confounded — the model's predicted effect of a
+    sliding scale is larger for sicker (higher-glucose) patients, and
+    severity also raises observed glucose, biasing cov(y, m) upward
+    (measured: OLS slope 183 at s=1 on the dysglycemic cohort where the
+    instrumented slope is far smaller). Protocol assignment is randomized,
+    so the projection keeps only the exogenous variation.
+
+    Args:
+        stacked_params: ensemble pytree, leading member axis K.
+        batch: training windows (B, T, ...) with z-scored observations.
+        gain_w/target_w/basal_w: (B,) each window's FACTUAL (assigned)
+            protocol parameters.
+        observed_glucose: (B, T) observed glucose, mmol/L (NaN-free;
+            masked positions may hold anything).
+        observed_mask: (B, T) 1.0 where glucose was actually charted.
+        subject_idx: (B,) integer patient index per window.
+        reference_protocol: common contrast protocol (gain, target, basal).
+
+    Returns dict with 'scale' (s*), 'slopes' per scanned scale,
+    'regression_r2' at s*, 'n_patients', and 'stacked_calibrated' (the
+    input pytree with ode.k_ex multiplied by s*).
+    """
+    g_ref, t_ref, b_ref = (jnp.asarray(x) for x in reference_protocol)
+    mask = jnp.asarray(observed_mask)
+    obs = jnp.asarray(observed_glucose)
+    B = obs.shape[0]
+    P = int(subject_idx.max()) + 1
+    ones_w = np.ones(B)
+    win_per_p = np.zeros(P)
+    np.add.at(win_per_p, subject_idx, ones_w)
+
+    def per_patient(vals_w):
+        acc = np.zeros(P)
+        np.add.at(acc, subject_idx, np.asarray(vals_w))
+        return acc / np.maximum(win_per_p, 1.0)
+
+    def masked_mean_t(g):
+        # (..., B, T) -> (..., B): charting-time mean per window
+        return (g * mask).sum(-1) / jnp.maximum(mask.sum(-1), 1.0)
+
+    y_w = np.asarray(masked_mean_t(obs))
+    y_p = per_patient(y_w)
+
+    def scaled(s):
+        out = {k: (dict(v) if isinstance(v, dict) else v)
+               for k, v in stacked_params.items()}
+        out["ode"] = dict(out["ode"])
+        out["ode"]["k_ex"] = out["ode"]["k_ex"] * s
+        return out
+
+    @jax.jit
+    def effects(s):
+        ps = scaled(s)
+        def roll(gain, target, basal, off):
+            return ensemble_closed_loop(
+                ps, batch, config, gain, target, norm, basal=basal,
+                glucose_offset=off, rate_cap=rate_cap,
+                check_every=check_every)["glucose"]
+        zero = jnp.zeros_like(obs)
+        g_own0 = roll(gain_w, target_w, basal_w, zero)
+        anchor = obs - jnp.mean(g_own0, axis=0)
+        g_own = roll(gain_w, target_w, basal_w, anchor)
+        g_rf = roll(g_ref, t_ref, b_ref, anchor)
+        return masked_mean_t(jnp.mean(g_own, 0) - jnp.mean(g_rf, 0))
+
+    Z = None
+    if instruments is not None:
+        zr = np.asarray(instruments, np.float64)
+        zr = (zr - zr.mean(0)) / np.maximum(zr.std(0), 1e-12)
+        Z = np.concatenate([np.ones((P, 1)), zr], axis=1)
+
+    slopes, details = {}, {}
+    for s in scales:
+        m_p = per_patient(np.asarray(effects(jnp.asarray(float(s)))))
+        mc = m_p - m_p.mean()
+        yc = y_p - y_p.mean()
+        extra = {}
+        if Z is not None:
+            # 2SLS: keep only the instrument-projected (exogenous) part of
+            # the model effect, then regress the outcome on the projection
+            coef, *_ = np.linalg.lstsq(Z, mc, rcond=None)
+            m_hat = Z @ coef
+            var_mh = float((m_hat * m_hat).mean())
+            slope = float((m_hat * yc).mean() / max(var_mh, 1e-12))
+            fs_r2 = var_mh / max(float((mc * mc).mean()), 1e-12)
+            extra["first_stage_r2"] = round(fs_r2, 4)
+            resid = yc - slope * m_hat
+        else:
+            var_m = float((mc * mc).mean())
+            slope = float((mc * yc).mean() / max(var_m, 1e-12))
+            resid = yc - slope * mc
+        r2 = 1.0 - float((resid**2).mean()) / max(float((yc**2).mean()), 1e-12)
+        slopes[float(s)] = slope
+        details[float(s)] = {"slope": round(slope, 4), "r2": round(r2, 4),
+                             "effect_sd_mmol": round(float(m_p.std()), 4),
+                             **extra}
+
+    # solve slope(s) = 1 in log-s: slope is ~c/s in the linear regime, so
+    # interpolate log(slope) vs log(s) between the bracketing grid points
+    ss = np.array(sorted(slopes))
+    sl = np.array([slopes[s] for s in ss])
+    pos = sl > 0
+    if not pos.any():
+        s_star = float(ss[0])  # response sign-inverted: do not inflate
+    else:
+        ls, lsl = np.log(ss[pos]), np.log(sl[pos])
+        if (lsl > 0).all():
+            s_star = float(ss[pos][-1])          # still attenuated at max
+        elif (lsl < 0).all():
+            s_star = float(ss[pos][0])           # already over-responsive
+        else:
+            i = int(np.where(lsl <= 0)[0][0])
+            if i == 0:
+                s_star = float(ss[pos][0])
+            else:
+                x0, x1, y0_, y1_ = ls[i - 1], ls[i], lsl[i - 1], lsl[i]
+                s_star = float(np.exp(x0 + (0.0 - y0_) * (x1 - x0)
+                                      / (y1_ - y0_)))
+    return {
+        "scale": s_star,
+        "slopes": details,
+        "n_patients": int(P),
+        "stacked_calibrated": scaled(jnp.asarray(s_star)),
+    }

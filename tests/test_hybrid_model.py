@@ -281,6 +281,109 @@ def test_closed_loop_rollout_protocol_law():
             > float(out["glucose"][:, -1].mean()))
 
 
+def test_closed_loop_rollout_glucose_offset_anchoring():
+    """In-loop bias anchoring (round-5 dosing fix): `glucose_offset` shifts
+    the glucose the PROTOCOL LAW reads (deployment fidelity — a real
+    sliding scale reacts to measured glucose, not to the model's belief)
+    without touching the reported trajectory semantics. With a large
+    positive offset the law sees hyperglycemia and doses at t=0 even when
+    the model's predicted glucose sits at target."""
+    from hybrid_ode_tpu.models.protocol import closed_loop_rollout
+
+    cfg = HybridConfig(solver="rk4", substeps=2, nn_hidden=8, nn_layers=2,
+                       mode="scan", exog_insulin="mech")
+    params = init_hybrid_params(jax.random.PRNGKey(0), cfg)
+    params["ode"]["k_ex"] = jnp.asarray(10.0)
+    batch = _protocol_batch()
+    batch["initial_state"] = batch["initial_state"].at[:, 0].set(7.0)
+    norm = (np.zeros(6), np.ones(6))
+    B, T = batch["time_points"].shape
+
+    base = closed_loop_rollout(params, batch, cfg, gain=900.0, target=7.0,
+                               norm=norm, check_every=4)
+    # at-target initial glucose -> zero dose at the first check
+    assert float(base["rates"][:, 0].max()) == 0.0
+
+    off = jnp.full((B, T), 4.0)
+    anch = closed_loop_rollout(params, batch, cfg, gain=900.0, target=7.0,
+                               norm=norm, check_every=4, glucose_offset=off)
+    # law reads 7 + 4 = 11 mmol/L -> rate = clip(900*(11-7), 0, 7000)
+    np.testing.assert_allclose(np.asarray(anch["rates"][:, 0]),
+                               np.clip(900.0 * 4.0, 0.0, 7000.0), rtol=1e-5)
+    # the extra insulin feeds back into the model state (causal k_ex path)
+    assert (float(anch["glucose"][:, -1].mean())
+            < float(base["glucose"][:, -1].mean()))
+    # zero offset is exactly the un-anchored rollout
+    zero = closed_loop_rollout(params, batch, cfg, gain=900.0, target=7.0,
+                               norm=norm, check_every=4,
+                               glucose_offset=jnp.zeros((B, T)))
+    np.testing.assert_allclose(np.asarray(zero["trajectory"]),
+                               np.asarray(base["trajectory"]), rtol=1e-6)
+
+
+def test_calibrate_dose_response_recovers_known_attenuation():
+    """calibrate_dose_response identifies a known k_ex attenuation from
+    randomized practice variation: observations are generated by the SAME
+    hybrid model with k_ex_true under per-window varied protocols; the
+    ensemble under test carries k_ex_true/4. The regression of observed
+    glucose on model-predicted protocol effects must locate scale ~4 and
+    the calibrated pytree must carry the rescaled k_ex."""
+    import jax.tree_util as jtu
+
+    from hybrid_ode_tpu.models.protocol import (
+        calibrate_dose_response,
+        closed_loop_rollout,
+    )
+
+    cfg = HybridConfig(solver="rk4", substeps=2, nn_hidden=8, nn_layers=2,
+                       mode="scan", exog_insulin="mech_blind")
+    params_true = init_hybrid_params(jax.random.PRNGKey(0), cfg)
+    k_true = 12.0
+    params_true["ode"]["k_ex"] = jnp.asarray(k_true)
+    norm = (np.zeros(6), np.ones(6))
+
+    B, hours, sph = 12, 4, 4
+    T = hours * sph + 1
+    ts = jnp.broadcast_to(jnp.linspace(0.0, float(hours), T), (B, T))
+    rng = np.random.default_rng(3)
+    y0 = jnp.asarray(
+        np.stack([PHYS * (1 + 0.15 * rng.standard_normal(6)) for _ in range(B)])
+    ).at[:, 0].add(4.0)  # hyperglycemic: protocols actually dose
+    batch = {
+        "initial_state": y0,
+        "observations": jnp.broadcast_to(y0[:, None], (B, T, 6)),
+        "time_points": ts,
+        "external_inputs": {"meal": jnp.zeros((B, T))},
+        "mask": jnp.ones((B, T)),
+    }
+    # randomized practice variation: per-window (gain, target)
+    gain_w = jnp.asarray(900.0 * rng.uniform(0.25, 3.0, B))
+    target_w = jnp.asarray(rng.uniform(5.0, 9.0, B))
+    basal_w = jnp.zeros(B)
+
+    # "observed" = truth-model closed loop under each window's OWN protocol
+    obs = closed_loop_rollout(params_true, batch, cfg, gain_w, target_w,
+                              norm=norm, check_every=sph, basal=basal_w,
+                              rate_cap=20000.0)["glucose"]
+
+    stacked = jtu.tree_map(
+        lambda a: jnp.broadcast_to(a, (2,) + jnp.shape(a)), params_true)
+    stacked["ode"] = dict(stacked["ode"])
+    stacked["ode"]["k_ex"] = jnp.full((2,), k_true / 4.0)
+
+    res = calibrate_dose_response(
+        stacked, batch, cfg, norm, gain_w, target_w, basal_w,
+        observed_glucose=obs, observed_mask=jnp.ones((B, T)),
+        subject_idx=np.arange(B), scales=(1.0, 2.0, 4.0, 8.0),
+        rate_cap=20000.0, check_every=sph)
+    assert 2.5 < res["scale"] < 6.5, res["slopes"]
+    # slope at the true scale is ~1, and attenuation shows slope > 1 at s=1
+    assert res["slopes"][1.0]["slope"] > 1.2
+    np.testing.assert_allclose(
+        np.asarray(res["stacked_calibrated"]["ode"]["k_ex"]),
+        (k_true / 4.0) * res["scale"], rtol=1e-6)
+
+
 def test_optimize_protocol_descends_and_is_differentiable():
     """optimize_protocol reduces the glycemic risk through the rollout and
     respects the target box."""
