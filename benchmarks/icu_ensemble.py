@@ -54,6 +54,28 @@ def main(argv=None):
                     "DYSGLYCEMIC subpopulation (beta-cell failure + wide "
                     "insulin-sensitivity spread + basal-axis variation — "
                     "the dosing-study regime, generate_icu_cohort_dysglycemic)")
+    ap.add_argument("--two-stage", action="store_true",
+                    help="stage 1: mechanistic-only system identification "
+                    "(no_nn=True, all ODE params train) in PHYSICAL-CORE "
+                    "mode with PK-informed insulin-pathway inits; stage 2: "
+                    "ODE params FROZEN, zero-init NN trains on the "
+                    "residual (loss continuous across the handoff). Fixes "
+                    "two measured round-5 failures of joint z-space "
+                    "training: (a) the mech core evaluated on z-scored "
+                    "states with physiologic baselines (I_b=60 vs insulin "
+                    "in +-2 z-units) degenerates into constant drifts and "
+                    "trains S_I to exactly 0 — the model had NO insulin->"
+                    "glucose response at all; (b) the PK-true k_ex ~ "
+                    "2000/V_I (hundreds, from the generator's documented "
+                    "tvns = rate_pmol_h/2000 scaling and textbook insulin "
+                    "V_d ~ 5 L) is unreachable by raw-space Adam from init "
+                    "1.0 in ~4k steps (moves <= lr*steps ~ 4). With the "
+                    "physical core + PK init the residual dose-response "
+                    "scale error is O(1.5x) and calibrate_dose_response "
+                    "trims it (vs the measured ~150x under (a)+(b), "
+                    "results/dose_optimization.json causal_calibration r5)")
+    ap.add_argument("--stage1-epochs", type=int, default=None,
+                    help="mech-only identification epochs (default epochs//2)")
     args = ap.parse_args(argv)
 
     import jax
@@ -114,9 +136,17 @@ def main(argv=None):
                for b in batch_iterator(tr, args.batch_size, shuffle=False)]
     val_batches = [pad_batch(b, args.batch_size)[0]
                    for b in batch_iterator(va, args.batch_size, shuffle=False)]
+    # two-stage stage 2 trains the NN + ONLY the insulin-pathway params
+    # (S_I, k_ex): the insulin-blind NN explains production/stress/circadian
+    # while the dose pathway is the ONLY term that can explain dose-related
+    # glucose falls — that joint fit is what identifies S_I (measured: a
+    # mech-only stage 1 trains S_I to exactly 0.0 because the 6-state core
+    # has no endogenous-production term, so killing the insulin coupling is
+    # the best pure-mech fit; checkpoints r5 icu_ensemble_mech_blind).
     opt = make_optimizer(cfg["training"]["learning_rate"], args.epochs,
                          len(batches), cfg["training"]["gradient_clip"],
-                         train_ode_params=True)
+                         train_ode_params=(["S_I", "k_ex"] if args.two_stage
+                                           else True))
 
     from hybrid_ode_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
@@ -133,15 +163,49 @@ def main(argv=None):
         wall = float(wall) if wall is not None else None
         print(f"reusing ICU ensemble checkpoint (K={meta['n_members']})")
     else:
+        # two-stage: physical-core mode (mech field on de-normalized states)
+        # + PK-informed insulin-pathway inits — see --two-stage help. The
+        # k_ex init is first-principles, not generator-derived: the rate
+        # feature is documented as rate_pmol_h/2000 (data/mimic.py:441), so
+        # k_ex0 = 2000 / V_d with textbook insulin V_d ~ 5 L; k_I0 = 2/h is
+        # the textbook plasma-insulin half-life (~20 min).
+        ode0 = ({"k_ex": 400.0, "k_I": 2.0} if args.two_stage else None)
+        nstats = ((ds.state_mean, ds.state_std) if args.two_stage else None)
+        start = init_ensemble(jax.random.PRNGKey(0), config, K,
+                              ode_params=ode0, norm_stats=nstats)
+        if args.two_stage:
+            s1 = args.stage1_epochs or max(100, args.epochs // 2)
+            cfg1 = json.loads(json.dumps(cfg))
+            cfg1["ablation"]["no_nn"] = True
+            config1 = config_from_dict(cfg1)
+            # stage 1 must NOT train the insulin pathway: without a
+            # production term the pure-mech fit structurally prefers
+            # S_I = 0 (measured — see the stage-2 optimizer note above);
+            # S_I/k_ex stay at their PK-informed inits until stage 2.
+            s1_names = [n for n in start["ode"]
+                        if n not in ("S_I", "k_ex")]
+            opt1 = make_optimizer(cfg["training"]["learning_rate"], s1,
+                                  len(batches),
+                                  cfg["training"]["gradient_clip"],
+                                  train_ode_params=s1_names)
+            start, bv1, _ = train_ensemble(
+                start, opt1, config1, batches, val_batches,
+                jax.random.PRNGKey(11), s1, lambda1=0.0, lambda2=0.01,
+                use_physics=False,
+            )
+            print(f"stage 1 (mech-only system ID, {s1} epochs): best val "
+                  f"{np.round(bv1, 4)}; k_ex "
+                  f"{np.round(np.asarray(start['ode']['k_ex']), 3)}; S_I "
+                  f"{np.round(np.asarray(start['ode'].get('S_I', 0.0)), 4)}")
         best_params, best_val, _ = train_ensemble(
-            init_ensemble(jax.random.PRNGKey(0), config, K),
-            opt, config, batches, val_batches, jax.random.PRNGKey(1),
+            start, opt, config, batches, val_batches, jax.random.PRNGKey(1),
             args.epochs, lambda1=0.0, lambda2=0.01, use_physics=False,
         )
         wall = time.time() - t0
         save_checkpoint(str(ckpt), best_params,
                         {"config": cfg, "n_members": K,
                          "train_wall_s": round(wall, 1),
+                         "two_stage": bool(args.two_stage),
                          "best_val": [float(x) for x in best_val]})
         print(f"trained {K} members x {args.epochs} epochs in {wall:.1f}s; "
               f"best val losses {np.round(best_val, 4)}")
@@ -225,6 +289,7 @@ def main(argv=None):
         "n_members": K,
         "exog_insulin": args.exog_insulin,
         "train_cohort": args.train_cohort,
+        "two_stage": bool(args.two_stage),
         "epochs": args.epochs,
         "train_wall_s": round(wall, 1) if wall is not None else None,
         "clinical_uq": uq,

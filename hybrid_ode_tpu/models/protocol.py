@@ -547,9 +547,13 @@ def calibrate_dose_response(
             resid = yc - slope * mc
         r2 = 1.0 - float((resid**2).mean()) / max(float((yc**2).mean()), 1e-12)
         slopes[float(s)] = slope
-        details[float(s)] = {"slope": round(slope, 4), "r2": round(r2, 4),
-                             "effect_sd_mmol": round(float(m_p.std()), 4),
-                             **extra}
+        # non-finite entries (rollout blow-up at an over-inflated scale) are
+        # recorded as null, not NaN — artifact-finiteness convention; a
+        # non-finite slope also cannot be used for interpolation below
+        fin = lambda x, nd: round(float(x), nd) if np.isfinite(x) else None
+        details[float(s)] = {"slope": fin(slope, 4), "r2": fin(r2, 4),
+                             "effect_sd_mmol": fin(m_p.std(), 4),
+                             **{k: fin(v, 4) for k, v in extra.items()}}
 
     # solve slope(s) = 1 in log-s: slope is ~c/s in the linear regime, so
     # interpolate log(slope) vs log(s) between the bracketing grid points
