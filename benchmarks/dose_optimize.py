@@ -282,6 +282,10 @@ def main(argv=None):
         print(f"[{routing}] loaded K={K} ensemble")
         if routing == "mech_blind":
             stacked = calibrate(routing, stacked, config)
+        si = np.asarray(stacked["ode"].get("S_I", np.zeros(1)))
+        print(f"[{routing}] S_I {np.round(si, 4)} k_ex "
+              f"{np.round(np.asarray(stacked['ode'].get('k_ex', np.zeros(1))), 2)}",
+              flush=True)
 
         @jax.jit
         def model_glucose(gain, target, basal, off, s=stacked, c=config):

@@ -447,8 +447,13 @@ def calibrate_dose_response(
                where y_p = patient p's observed masked mean glucose.
     A perfectly scaled response has slope 1 (the model's predicted effect
     explains the observed cross-patient protocol contrast 1:1); slope > 1
-    means the response is still attenuated. Returns the log-interpolated
-    s* with slope(s*) = 1, clipped to the scanned range.
+    means the response is still attenuated. The returned s* is the
+    LINEAR-REGIME estimate slope(1) — under local effect-linearity in k_ex
+    that is exactly the scale at which slope(s*) = 1, and unlike solving
+    slope(s) = 1 on the scanned curve it cannot be dragged onto the
+    clamp-saturation plateau (see the selection comment below; measured
+    failure: scan-cap 32x, grid ranking destroyed). The larger scan scales
+    remain as published saturation diagnostics.
 
     With `instruments` (a (P, d) matrix of per-patient EXOGENOUS protocol
     features, e.g. [gain, target, basal]) the slope is estimated by 2SLS:
@@ -555,29 +560,36 @@ def calibrate_dose_response(
                              "effect_sd_mmol": fin(m_p.std(), 4),
                              **{k: fin(v, 4) for k, v in extra.items()}}
 
-    # solve slope(s) = 1 in log-s: slope is ~c/s in the linear regime, so
-    # interpolate log(slope) vs log(s) between the bracketing grid points
+    # LINEAR-REGIME scale estimate: s* = slope at the trained scale (s=1).
+    # If the model's effect were linear in k_ex, "attenuated 5.7x at s=1"
+    # means the true scale is 5.7 — the same number "solve slope(s)=1"
+    # would find. But the two estimators diverge hard when the scanned
+    # rollouts SATURATE (measured, round 5): at large s the trajectories
+    # slam into the solver's z-space state clamp, effects stop growing,
+    # slope(s) plateaus just above 1, and the slope(s)=1 solver rides that
+    # artificial plateau to the scan cap (picked 32x -> k_ex ~ 12,800 and
+    # every dosed grid arm clamped to the same floor; protocol ranking
+    # Spearman collapsed to -0.04). The linear-regime estimate stays in
+    # the regime where the regression is meaningful; on the dysglycemic
+    # cohort it recovers s* = 5.7, matching the generator's first-
+    # principles PK ratio (true k_ex = rate_scale / V_d_effective = 2000
+    # vs trained 400 -> 5x). slope(s*) is reported as `slope_at_scale`
+    # (with the grid's nearest measured point) so saturation remains
+    # visible: >> 1 there means the model cannot reproduce the observed
+    # contrast at ANY scale without clamping — a model defect, not a
+    # calibration target.
     ss = np.array(sorted(slopes))
     sl = np.array([slopes[s] for s in ss])
-    pos = sl > 0
-    if not pos.any():
+    s1 = float(sl[0]) if np.isfinite(sl[0]) else 0.0
+    if s1 <= 0.0:
         s_star = float(ss[0])  # response sign-inverted: do not inflate
     else:
-        ls, lsl = np.log(ss[pos]), np.log(sl[pos])
-        if (lsl > 0).all():
-            s_star = float(ss[pos][-1])          # still attenuated at max
-        elif (lsl < 0).all():
-            s_star = float(ss[pos][0])           # already over-responsive
-        else:
-            i = int(np.where(lsl <= 0)[0][0])
-            if i == 0:
-                s_star = float(ss[pos][0])
-            else:
-                x0, x1, y0_, y1_ = ls[i - 1], ls[i], lsl[i - 1], lsl[i]
-                s_star = float(np.exp(x0 + (0.0 - y0_) * (x1 - x0)
-                                      / (y1_ - y0_)))
+        s_star = s1            # < 1 shrinks an over-responsive pathway
+    near = float(ss[np.argmin(np.abs(np.log(ss) - np.log(max(s_star, 1e-9))))])
     return {
         "scale": s_star,
+        "slope_at_scale": {"nearest_scanned_scale": near,
+                           "slope": details[near]["slope"]},
         "slopes": details,
         "n_patients": int(P),
         "stacked_calibrated": scaled(jnp.asarray(s_star)),
