@@ -560,8 +560,27 @@ def run_nuts(
     engine: str = "xla",
     mesh=None,
     mesh_axis: str = "data",
+    dense_mass: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Posterior over hybrid-model parameters given one data batch.
+
+    dense_mass: Laplace-precondition the 7-dim ODE-parameter block. The
+    posterior over (V_max, K_m, ...) is ridge-shaped (Michaelis-Menten
+    V_max/K_m trade-off), which a DIAGONAL mass matrix cannot whiten —
+    measured round 4: chains stranded across the ridge at split-R-hat
+    7-85 (results/uq_calibration.json nuts_last_layer diagnostics).
+    Instead of plumbing a dense metric through the sampler, the block is
+    whitened by REPARAMETERIZATION: one 7x7 Hessian of the log-posterior
+    at the checkpoint (forward-over-reverse through the ODE solve) gives
+    the local covariance C = H^-1; sampling runs in z with
+    q_ode = q0_ode + chol(C) z, so diagonal-mass NUTS on z is exactly
+    dense-mass NUTS on q (constant Jacobian — no logp correction). The
+    init jitter on the ODE block then acts in POSTERIOR units rather
+    than raw units (0.01 raw is ~5 prior sd for a_GI — the round-4
+    overdispersed inits). Requires engine='xla' (the fused engine's
+    custom_vmap rule batches q directly). DEVIATION: the reference's
+    sampler is a serial RW-Metropolis placeholder with no metric at all
+    (/root/reference/inference/mcmc.py:24-25,127).
 
     Deviation from reference: samples the 7 ODE parameters with the
     reference's informative priors (`inference/mcmc.py:60-68`); NN weights
@@ -671,20 +690,65 @@ def run_nuts(
     elif engine != "xla":
         raise ValueError(f"unknown NUTS engine {engine!r} (use 'xla' or 'fused')")
 
+    dense_info = None
+    sample_logp = logp_fn
+    q0_sample = q0_flat
+    if dense_mass:
+        if engine == "fused":
+            raise ValueError(
+                "dense_mass requires engine='xla': the fused engine's "
+                "custom_vmap rule evaluates the kernel on q directly, so "
+                "the z-space reparameterization never reaches it")
+        template_i = unravel(jnp.arange(dim, dtype=jnp.float32))
+        ode_idx = np.array(
+            [int(np.asarray(template_i[n])) for n in sample_names])
+        k_d = ode_idx.size
+
+        def _lp_ode(v):
+            return logp_fn(q0_flat.at[ode_idx].set(v))
+
+        H = np.asarray(jax.device_get(jax.hessian(_lp_ode)(q0_flat[ode_idx])),
+                       np.float64)
+        H = -0.5 * (H + H.T)  # negative log-posterior curvature, symmetrized
+        w, V = np.linalg.eigh(H)
+        w_floor = max(float(np.abs(w).max()), 1e-12) * 1e-8
+        w = np.clip(w, w_floor, None)  # PD even at saddles
+        cov = (V * (1.0 / w)) @ V.T
+        A_blk = np.linalg.cholesky(cov)
+        logger.info(
+            "dense_mass: ODE-block Hessian eig range [%.3e, %.3e] "
+            "(condition %.1e) — whitening via chol(H^-1)",
+            w.min(), w.max(), w.max() / w.min())
+        A_blk_j = jnp.asarray(A_blk, q0_flat.dtype)
+        c_blk = q0_flat[ode_idx]
+
+        def sample_logp(z, _base=logp_fn):
+            return _base(z.at[ode_idx].set(c_blk + A_blk_j @ z[ode_idx]))
+
+        # z-space origin: ODE block at 0 (= checkpoint values), rest raw
+        q0_sample = q0_flat.at[ode_idx].set(jnp.zeros(k_d, q0_flat.dtype))
+        dense_info = (ode_idx, np.asarray(jax.device_get(c_blk)), A_blk)
+
     key, ik = jax.random.split(key)
-    q_init = q0_flat[None, :] + jitter * jax.random.normal(ik, (n_chains, dim))
+    q_init = q0_sample[None, :] + jitter * jax.random.normal(ik, (n_chains, dim))
 
     logger.info(
-        "NUTS: %d chains x (%d warmup + %d samples), dim=%d, max_depth=%d, engine=%s",
-        n_chains, num_warmup, num_samples, dim, max_depth, engine,
+        "NUTS: %d chains x (%d warmup + %d samples), dim=%d, max_depth=%d, "
+        "engine=%s, dense_mass=%s",
+        n_chains, num_warmup, num_samples, dim, max_depth, engine, dense_mass,
     )
     out = nuts_sample(
-        logp_fn, q_init, key,
+        sample_logp, q_init, key,
         num_samples=num_samples, num_warmup=num_warmup,
         max_depth=max_depth, target_accept=target_accept,
         logp_and_grad_fn=logp_and_grad_fn,
         mesh=mesh, mesh_axis=mesh_axis,
     )
+    if dense_info is not None:
+        idx_d, c_d, A_d = dense_info
+        s = np.array(out["samples"])  # (chains, draws, dim) in z-space
+        s[..., idx_d] = c_d + s[..., idx_d] @ A_d.T
+        out["samples"] = s
 
     # unflatten per-parameter: (chains, draws, dim) -> {name: (chains*draws, ...)}
     # ravel_pytree ordering is deterministic; recover slices via an index map

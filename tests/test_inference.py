@@ -386,3 +386,29 @@ def test_run_nuts_last_layer_and_vector_noise():
                      noise_sigma=jnp.full((6,), 0.5), **kw)
     np.testing.assert_allclose(s_scalar["ode_a_GI"], s_vec["ode_a_GI"],
                                rtol=1e-6)
+
+
+def test_run_nuts_dense_mass():
+    """dense_mass=True whitens the ODE block via the Laplace chol(H^-1)
+    reparameterization (round-5 ridge fix). The back-transform must land
+    samples in q-space: finite, centred near the checkpoint's ODE values
+    at small jitter, and with per-dim spread ~ the local posterior scale
+    (NOT the raw-unit z-scale), for both plain and last-layer modes."""
+    params = init_hybrid_params(jax.random.PRNGKey(0), FAST)
+    batch = _tiny_batch(jax.random.PRNGKey(2), B=2, T=5)
+
+    for inc in (False, "last"):
+        out = run_nuts(params, batch, FAST, key=jax.random.PRNGKey(0),
+                       num_samples=6, num_warmup=6, n_chains=2, max_depth=3,
+                       include_nn=inc, dense_mass=True)
+        for name in ("ode_a_GI", "ode_V_max", "ode_K_m"):
+            s = out[name]
+            assert np.isfinite(s).all()
+        # a_GI prior sd is 0.002: q-space samples must sit at that scale,
+        # not at z-scale O(1) — catches a missing back-transform
+        assert np.abs(out["ode_a_GI"] - float(params["ode"]["a_GI"])).max() < 0.05
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="dense_mass"):
+        run_nuts(params, batch, FAST, engine="fused", dense_mass=True,
+                 num_samples=2, num_warmup=2, n_chains=2)
