@@ -53,6 +53,10 @@ def main(argv=None):
                          "'full' = ALL NN weights jointly with the 7 ODE "
                          "params (~13k dims, VERDICT r4 #7; reference "
                          "priors at /root/reference/inference/mcmc.py:60-81)")
+    ap.add_argument("--dense-mass", action="store_true",
+                    help="Laplace-whiten the 7-dim ODE block (run_nuts "
+                         "dense_mass=True) — fixes the round-4 ridge "
+                         "stranding (split-R-hat 7-85 at diagonal mass)")
     args = ap.parse_args(argv)
 
     import jax
@@ -104,7 +108,7 @@ def main(argv=None):
                    num_samples=args.samples, num_warmup=args.warmup,
                    n_chains=args.chains, max_depth=args.max_depth,
                    noise_sigma=jnp.asarray(sigma, jnp.float32),
-                   include_nn=include_nn)
+                   include_nn=include_nn, dense_mass=args.dense_mass)
     wall_sample = time.time() - t0
 
     # diagnostics on the 7 ODE marginals
@@ -168,6 +172,8 @@ def main(argv=None):
         "sampler": f"NUTS include_nn={args.include_nn!r}, {args.chains} "
                    f"chains x ({args.warmup}+{args.samples}), "
                    f"max_depth {args.max_depth}"
+                   + (", dense-mass (Laplace-whitened ODE block)"
+                      if args.dense_mass else "")
                    + (f", dim {n_dim}" if n_dim else ""),
         "conditioned_on": f"train split ({len(tr)} windows)",
         "noise_sigma_per_state": [round(float(x), 4) for x in sigma],
