@@ -22,6 +22,7 @@ gated on arviz availability, falling back to npz).
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
@@ -635,34 +636,39 @@ def run_nuts(
     controls = with_context(params, batch, controls, config)
     n_factor = obs.shape[-1]
 
-    def logp_fn(q):
-        flat = unravel(q)
-        lp = 0.0
-        for name, (mu, sd) in ODE_PARAM_PRIORS.items():
-            v = flat[f"ode_{name}"]
-            lp = lp + (-0.5 * ((v - mu) / sd) ** 2 - 0.5 * jnp.log(2 * jnp.pi * sd**2))
-        if include_nn:
-            for k, v in flat.items():
-                if k.startswith("nn_"):
-                    lp = lp - 0.5 * jnp.sum(v**2) - 0.5 * v.size * jnp.log(2 * jnp.pi)
-        merged = flat_to_params(flat, params)
-        preds = batched_forward(
-            merged, batch["initial_state"], batch["time_points"], controls, config
-        )
-        # noise_sigma may be a scalar or a per-state (6,) vector (the UQ
-        # benchmarks fit heteroscedastic observation noise); the vector form
-        # reduces to the scalar one when all entries are equal
-        sigma_v = jnp.broadcast_to(jnp.asarray(noise_sigma, preds.dtype),
-                                   (n_factor,))
-        se = ((obs - preds) / sigma_v) ** 2
-        if mask is not None:
-            se = se * mask[..., None]
-            n_per_state = jnp.sum(mask)
-        else:
-            n_per_state = float(np.prod(obs.shape[:-1]))
-        lp = (lp - 0.5 * jnp.sum(se)
-              - 0.5 * n_per_state * jnp.sum(jnp.log(2 * jnp.pi * sigma_v**2)))
-        return jnp.sum(lp)
+    def _logp_with_config(cfg):
+        def logp(q):
+            flat = unravel(q)
+            lp = 0.0
+            for name, (mu, sd) in ODE_PARAM_PRIORS.items():
+                v = flat[f"ode_{name}"]
+                lp = lp + (-0.5 * ((v - mu) / sd) ** 2 - 0.5 * jnp.log(2 * jnp.pi * sd**2))
+            if include_nn:
+                for k, v in flat.items():
+                    if k.startswith("nn_"):
+                        lp = lp - 0.5 * jnp.sum(v**2) - 0.5 * v.size * jnp.log(2 * jnp.pi)
+            merged = flat_to_params(flat, params)
+            preds = batched_forward(
+                merged, batch["initial_state"], batch["time_points"], controls, cfg
+            )
+            # noise_sigma may be a scalar or a per-state (6,) vector (the UQ
+            # benchmarks fit heteroscedastic observation noise); the vector form
+            # reduces to the scalar one when all entries are equal
+            sigma_v = jnp.broadcast_to(jnp.asarray(noise_sigma, preds.dtype),
+                                       (n_factor,))
+            se = ((obs - preds) / sigma_v) ** 2
+            if mask is not None:
+                se = se * mask[..., None]
+                n_per_state = jnp.sum(mask)
+            else:
+                n_per_state = float(np.prod(obs.shape[:-1]))
+            lp = (lp - 0.5 * jnp.sum(se)
+                  - 0.5 * n_per_state * jnp.sum(jnp.log(2 * jnp.pi * sigma_v**2)))
+            return jnp.sum(lp)
+
+        return logp
+
+    logp_fn = _logp_with_config(config)
 
     logp_and_grad_fn = None
     if engine == "fused":
@@ -704,8 +710,14 @@ def run_nuts(
             [int(np.asarray(template_i[n])) for n in sample_names])
         k_d = ode_idx.size
 
+        # forward-over-reverse through the fused Pallas kernel's custom_vjp
+        # is unsupported (its bwd rule has no JVP); take the one-time 7x7
+        # Hessian through the XLA solver path — same math, jvp-transposable
+        logp_h = (_logp_with_config(dataclasses.replace(config, use_pallas=False))
+                  if getattr(config, "use_pallas", False) else logp_fn)
+
         def _lp_ode(v):
-            return logp_fn(q0_flat.at[ode_idx].set(v))
+            return logp_h(q0_flat.at[ode_idx].set(v))
 
         H = np.asarray(jax.device_get(jax.hessian(_lp_ode)(q0_flat[ode_idx])),
                        np.float64)

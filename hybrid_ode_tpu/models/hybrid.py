@@ -387,11 +387,21 @@ def batched_forward(
             p, c = args
             return hybrid_field(t, y, p, c, config)
 
+        # span='auto' free-runs dopri5 across output points with CONTD5
+        # dense output (scipy t_eval parity) — the time-gridded control
+        # signals are passed so kinks (boluses, stepwise rates) become
+        # forced step boundaries (solvers/sync.py _control_kink_stops)
+        time_signals = None
+        if controls is not None:
+            time_signals = [v for v in controls.signals.values()
+                            if hasattr(v, "ndim") and v.ndim >= 1
+                            and v.shape[-1] == ts.shape[-1]]
         return odeint_erk_sync(
             field, y0, ts, (params, controls), TABLEAUS[config.solver],
             rtol=config.rtol, atol=config.atol,
             args_axes=(None, ctrl_axes),
             max_steps_per_interval=config.max_steps_per_interval,
+            stop_signals=time_signals,
             return_stats=solver_overrides.get("return_stats", False),
         )
     fn = lambda y0_, ts_, c_: forward(params, y0_, ts_, c_, config, **solver_overrides)

@@ -447,6 +447,48 @@ def test_sync_gradients_match_finite_differences(x64):
                                    atol=1e-10)
 
 
+def test_sync_global_kink_stops_resolve_gridded_impulse(x64):
+    """span='global' (free-running CONTD5 dense output) must take FEWER
+    shared steps than the T-1 the interval driver is forced to, while
+    still integrating a gridded control impulse exactly: the impulse's
+    grid points become forced step boundaries via stop_signals
+    (solvers/sync.py _control_kink_stops), so no quadrature stage can
+    straddle it unsampled."""
+    from hybrid_ode_tpu.solvers.sync import _control_kink_stops, odeint_erk_sync
+    from hybrid_ode_tpu.solvers.tableaus import TABLEAUS
+
+    B, n, T = 4, 2, 41
+    rng = np.random.default_rng(3)
+    lam = jnp.asarray(rng.uniform(0.3, 1.0, (B, n)))
+    y0 = jnp.asarray(rng.uniform(0.5, 2.0, (B, n)))
+    ts = jnp.broadcast_to(jnp.linspace(0.0, 4.0, T), (B, T))
+    u = np.zeros((B, T))
+    u[:, 13] = 5.0  # gridded impulse, linearly interpolated by the field
+    u_j = jnp.asarray(u)
+
+    def f(t, y, a):
+        lam_i, u_i, ts_i = a
+        return -lam_i * y + jnp.interp(t, ts_i, u_i)
+
+    args = (lam, u_j, ts)
+    kw = dict(rtol=1e-7, atol=1e-9, args_axes=(0, 0, 0), return_stats=True)
+    tab = TABLEAUS["dopri5"]
+
+    stops = _control_kink_stops([u_j], T, jnp.float64)
+    assert float(stops[13]) == 13.0 and float(stops[12]) == 12.0
+    assert float(stops[20]) > T  # smooth point: no forced boundary
+
+    ys_ref, st_ref = odeint_erk_sync(f, y0, ts, args, tab,
+                                     span="interval", **kw)
+    assert bool(st_ref.success)
+    ys_g, st_g = odeint_erk_sync(f, y0, ts, args, tab, span="global",
+                                 stop_signals=[u_j], **kw)
+    assert bool(st_g.success)
+    assert int(st_g.n_accepted) < T - 1  # strictly fewer shared steps
+    np.testing.assert_allclose(np.asarray(ys_g), np.asarray(ys_ref),
+                               rtol=3e-6, atol=3e-8)
+
+
 def test_sync_budget_overflow_flags_failure():
     """Dropping accepted steps past total_step_budget must clear
     StepStats.success (the static-shape contract in the module docstring)."""
