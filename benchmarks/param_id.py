@@ -1,0 +1,174 @@
+"""Deployable beyond-context identification vs the fresh-cohort 0.5 gate.
+
+results/oracle_floor.json (round 5) decomposed the fresh-cohort accuracy
+gate: the 3-basal context mode SATURATES at 0.481 mmol/L even with oracle
+data, while per-window refinement of ALL mechanistic parameters reaches the
+0.387 family floor. This benchmark measures the DEPLOYABLE counterpart —
+`identify_ensemble_params` on the same noisy 36-point identification
+windows the shipped estimator uses (no oracle access):
+
+  stage 1  identify_ensemble_context   (the ensemble_id.py recipe)
+  stage 2  identify_ensemble_params    (per-window log-scale deltas on all
+                                        17 mech params, zero-centered trust
+                                        region)
+
+The trust-region width is selected on a SEPARATE selection cohort
+(--select-seed, default 77) and the headline is reported on the standard
+evaluation cohort (--eval-seed 123, the ensemble_id.py protocol) — no
+tuning on the reported cohort.
+
+Reference anchor: the 0.45 +- 0.03 claim at /root/reference/manuscript.tex:690
+(README < 0.5, /root/reference/README.md:187). Writes results/param_id.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--members", type=int, default=8)
+    ap.add_argument("--points", type=int, default=36)
+    ap.add_argument("--id-steps", type=int, default=150)
+    ap.add_argument("--param-steps", type=int, default=150)
+    ap.add_argument("--prior-stds", default="0.05,0.1,0.2")
+    ap.add_argument("--select-seed", type=int, default=77)
+    ap.add_argument("--select-subjects", type=int, default=24)
+    ap.add_argument("--eval-seed", type=int, default=123)
+    ap.add_argument("--eval-subjects", type=int, default=50)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
+    from hybrid_ode_tpu.data.dataset import GlucoseDataset, create_data_arrays
+    from hybrid_ode_tpu.data.fourgi_gen import generate_4gi_dataset
+    from hybrid_ode_tpu.dynamics.controls import Controls
+    from hybrid_ode_tpu.models.hybrid import (
+        batched_forward, config_from_dict, forward_with_param_deltas)
+    from hybrid_ode_tpu.parallel.ensemble import (
+        identify_ensemble_context, identify_ensemble_params)
+    from hybrid_ode_tpu.utils.checkpoint import load_checkpoint
+
+    ckpt = REPO / "checkpoints" / "ensemble_id" / "ensemble_model"
+    stacked, meta = load_checkpoint(str(ckpt))
+    config = config_from_dict(meta["config"])
+    print(f"ensemble_id checkpoint: K={meta['n_members']}")
+
+    ds = create_data_arrays(str(REPO / "data" / "4gi_dataset.csv"))
+
+    def fresh_cohort(seed, n_subjects):
+        path = f"/tmp/4gi_cohort_pid_{seed}.csv"
+        df = generate_4gi_dataset(path, seed=seed, n_subjects=n_subjects)
+        raw = create_data_arrays(path)
+        phys = raw.observations * raw.state_std + raw.state_mean
+        renorm = (phys - ds.state_mean) / ds.state_std
+        fresh = GlucoseDataset(
+            initial_state=renorm[:, 0].astype(np.float32),
+            observations=renorm.astype(np.float32),
+            time_points=raw.time_points, meal=raw.meal,
+            tvns=raw.tvns, mask=raw.mask,
+            state_mean=ds.state_mean, state_std=ds.state_std,
+            subject_ids=raw.subject_ids, loss_weights=ds.loss_weights)
+        truth = {sid: sub for sid, sub in df.groupby("subject_id")}
+        tarr = np.stack([truth[fresh.subject_ids[w]]
+                         ["glucose_true_mmol_L"].to_numpy()
+                         for w in range(len(fresh))])
+        return fresh, tarr
+
+    def glucose_rmse(preds_k, tarr):
+        g = preds_k[..., 0] * float(ds.state_std[0]) + float(ds.state_mean[0])
+        return float(np.sqrt(np.mean((g.mean(0) - tarr) ** 2)))
+
+    def run_arms(seed, n_subjects, prior_stds):
+        fresh, tarr = fresh_cohort(seed, n_subjects)
+        batch = fresh.batch(np.arange(len(fresh)))
+        ts_j = jnp.asarray(fresh.time_points)
+        signals = {"meal": jnp.asarray(fresh.meal),
+                   "tVNS": jnp.asarray(fresh.tvns)}
+
+        t0 = time.time()
+        ctxs = identify_ensemble_context(
+            stacked, batch, config, steps=args.id_steps, lr=0.02,
+            prior_std=0.3, points=args.points)
+
+        def ctx_rollout(p, ctx):
+            c = Controls(ts=ts_j, signals={**signals, "context": ctx})
+            return batched_forward(p, jnp.asarray(batch["initial_state"]),
+                                   ts_j, c, config)
+
+        preds_ctx = np.asarray(jax.vmap(ctx_rollout)(stacked, ctxs))
+        out = {"context_only": round(glucose_rmse(preds_ctx, tarr), 4),
+               "context_wall_s": round(time.time() - t0, 1)}
+        print(f"seed {seed}: context_only {out['context_only']}")
+
+        for ps in prior_stds:
+            t0 = time.time()
+            deltas = identify_ensemble_params(
+                stacked, batch, config, contexts=ctxs,
+                steps=args.param_steps, lr=0.02, prior_std=ps,
+                points=args.points)
+
+            def d_rollout(p, ctx, d):
+                c = Controls(ts=ts_j, signals={**signals, "context": ctx})
+                return forward_with_param_deltas(
+                    p, d, jnp.asarray(batch["initial_state"]), ts_j, c,
+                    config)
+
+            preds = np.asarray(jax.vmap(d_rollout)(stacked, ctxs, deltas))
+            key = f"param_refined_prior{ps}"
+            out[key] = round(glucose_rmse(preds, tarr), 4)
+            out[f"{key}_wall_s"] = round(time.time() - t0, 1)
+            print(f"seed {seed}: {key} {out[key]} ({out[f'{key}_wall_s']}s)")
+        return out
+
+    prior_stds = [float(x) for x in args.prior_stds.split(",")]
+    sel = run_arms(args.select_seed, args.select_subjects, prior_stds)
+    best_ps = min(prior_stds,
+                  key=lambda ps: sel[f"param_refined_prior{ps}"])
+    print(f"selected prior_std={best_ps} on seed {args.select_seed}")
+    ev = run_arms(args.eval_seed, args.eval_subjects, [best_ps])
+
+    headline = ev[f"param_refined_prior{best_ps}"]
+    results = {
+        "protocol": "ensemble_id.py fresh cohort, glucose RMSE vs noiseless "
+                    "truth, ensemble mean; trust region selected on a "
+                    "separate cohort",
+        "n_members": int(meta["n_members"]),
+        "points": args.points,
+        "id_steps": args.id_steps,
+        "param_steps": args.param_steps,
+        "selection": {"seed": args.select_seed,
+                      "subjects": args.select_subjects, **sel},
+        "selected_prior_std": best_ps,
+        "evaluation": {"seed": args.eval_seed,
+                       "subjects": args.eval_subjects, **ev},
+        "fresh_rmse_context_only": ev["context_only"],
+        "fresh_rmse_param_refined": headline,
+        "reference_claim": 0.45,
+        "gate": 0.5,
+        "gate_met": bool(headline < 0.5),
+        "_context": {
+            "oracle_floor": 0.3869,
+            "oracle_context_saturation": 0.4814,
+            "source": "results/oracle_floor.json"},
+    }
+    out_path = REPO / "results" / "param_id.json"
+    out_path.write_text(json.dumps(results, indent=2))
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()

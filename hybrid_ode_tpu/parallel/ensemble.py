@@ -434,6 +434,37 @@ def identify_ensemble_context(
     return jax.vmap(ident)(stacked, init)
 
 
+def identify_ensemble_params(
+    stacked: Dict[str, Any],
+    batch: Mapping[str, Any],
+    config: HybridConfig,
+    *,
+    contexts: Optional[jnp.ndarray] = None,
+    steps: int = 150,
+    lr: float = 0.02,
+    prior_std: float = 0.1,
+    points: Optional[int] = None,
+) -> jnp.ndarray:
+    """Per-member test-time refinement of ALL mechanistic parameters:
+    vmap of `models.hybrid.identify_params` over the member axis. Each
+    member b gets (B, P) log-scale deltas on its own sorted ODE-parameter
+    set (optionally on top of per-member `contexts` (K, B, ctx_dim) from
+    `identify_ensemble_context`). Returns (K, B, P).
+
+    Rationale: the 3-basal context mode saturates at 0.481 mmol/L on the
+    fresh-cohort oracle protocol while full-parameter refinement reaches
+    the 0.387 family floor (results/oracle_floor.json) — this is the
+    deployable noisy-window counterpart."""
+    from hybrid_ode_tpu.models.hybrid import identify_params
+
+    ident = lambda p, c: identify_params(p, batch, config, context=c,
+                                         steps=steps, lr=lr,
+                                         prior_std=prior_std, points=points)
+    if contexts is None:
+        return jax.vmap(lambda p: ident(p, None))(stacked)
+    return jax.vmap(ident)(stacked, contexts)
+
+
 def identified_ensemble_predictive(
     stacked: Dict[str, Any],
     batch: Mapping[str, Any],
@@ -445,6 +476,9 @@ def identified_ensemble_predictive(
     points: Optional[int] = None,
     encoder: Optional[Mapping[str, jnp.ndarray]] = None,
     noise_sigma: Optional[jnp.ndarray] = None,
+    refine_params: bool = False,
+    param_steps: int = 150,
+    param_prior_std: float = 0.1,
 ):
     """Predictive mean/std of the IDENTIFIED ensemble — the framework's
     best-measured estimator, productized (VERDICT r4 #5): per-member
@@ -457,6 +491,13 @@ def identified_ensemble_predictive(
     SEMI-amortized path: one MLP pass initializes every member's codes and
     `id_steps` can drop to ~15 at matched quality (measured,
     results/ensemble_semi_id.json). Requires config.context_points > 0.
+
+    refine_params: additionally refine per-window log-scale multipliers on
+    ALL mechanistic parameters AFTER context identification
+    (`identify_ensemble_params`; trust region `param_prior_std`) — the
+    beyond-context stage the oracle-floor decomposition calls for
+    (results/oracle_floor.json: context saturates at 0.481, full-parameter
+    refinement reaches 0.387).
 
     Returns (mean (B, T, n), std (B, T, n))."""
     if config.context_points <= 0:
@@ -478,6 +519,27 @@ def identified_ensemble_predictive(
 
     ts = jnp.asarray(batch["time_points"])
     ext = batch.get("external_inputs") or {}
+
+    if refine_params:
+        from hybrid_ode_tpu.models.hybrid import forward_with_param_deltas
+
+        deltas = identify_ensemble_params(
+            stacked, batch, cfg, contexts=ctxs, steps=param_steps,
+            lr=id_lr, prior_std=param_prior_std, points=points)
+
+        def one_d(p, ctx, d):
+            signals = {k: jnp.asarray(v) for k, v in ext.items()}
+            signals["context"] = ctx
+            return forward_with_param_deltas(
+                p, d, jnp.asarray(batch["initial_state"]), ts,
+                Controls(ts=ts, signals=signals), cfg)
+
+        trajs = jax.vmap(one_d)(stacked, ctxs, deltas)
+        mean = jnp.mean(trajs, axis=0)
+        var = jnp.var(trajs, axis=0)
+        if noise_sigma is not None:
+            var = var + jnp.asarray(noise_sigma) ** 2
+        return mean, jnp.sqrt(var)
 
     def one(p, ctx):
         signals = {k: jnp.asarray(v) for k, v in ext.items()}
