@@ -46,11 +46,17 @@ def main(argv=None):
     ap.add_argument("--select-subjects", type=int, default=24)
     ap.add_argument("--eval-seed", type=int, default=123)
     ap.add_argument("--eval-subjects", type=int, default=50)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend for smoke runs (the axon "
+                         "sitecustomize force-registers the TPU platform; "
+                         "JAX_PLATFORMS=cpu alone is not enough)")
     args = ap.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 
     from hybrid_ode_tpu.data.dataset import GlucoseDataset, create_data_arrays
