@@ -17,6 +17,7 @@ Writes results/adaptive_bound.json.
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -44,7 +45,17 @@ def _time_steps(step, params, opt_state, batch, n=10):
     return walls[len(walls) // 2]
 
 
-def main():
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arms", default=None,
+                    help="comma-separated subset of variants to re-measure "
+                         "(e.g. 'adaptive_dopri5_sync,fused_rk4_pallas'); "
+                         "unmeasured arms are carried from the existing "
+                         "artifact and annotated with the host they were "
+                         "measured on (the per-sample lockstep arm costs a "
+                         "~25 min cold compile)")
+    args = ap.parse_args(argv)
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -81,7 +92,20 @@ def main():
                                             use_pallas=True),
     }
 
+    path = REPO / "results" / "adaptive_bound.json"
+    prev = json.loads(path.read_text()) if path.exists() else {}
+    subset = set(args.arms.split(",")) if args.arms else None
     out = {"batch": B, "points": T, "device": str(jax.devices()[0].device_kind)}
+    if subset:
+        for k, v in prev.items():
+            if k.endswith("_step_ms") or k.endswith("_compile_plus_bench_s"):
+                out[k] = v
+        out["_carried_arms"] = sorted(
+            v for v in variants if v not in subset)
+        out["_carried_note"] = ("carried arms were measured earlier the same "
+                                "round on a previous host (same chip kind); "
+                                "re-measured arms: " + ",".join(sorted(subset)))
+        variants = {k: v for k, v in variants.items() if k in subset}
     for name, cfg in variants.items():
         params = ht.init_hybrid_params(jax.random.PRNGKey(1), cfg)
         opt = optax.adam(1e-3)

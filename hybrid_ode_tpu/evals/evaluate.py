@@ -83,6 +83,8 @@ def evaluate_model(
     val_ds: Optional[GlucoseDataset] = None,
     identify_steps: int = 0,
     identify_points: Optional[int] = None,
+    identify_params_steps: int = 0,
+    identify_param_prior: float = 0.2,
     encoder=None,
     return_arrays: bool = False,
 ) -> Dict[str, float]:
@@ -107,7 +109,14 @@ def evaluate_model(
     horizon) before rolling out. This is the framework's best-measured
     estimator (results/ensemble_id.json); pass a shared amortized
     `encoder` for the semi-amortized variant
-    (results/ensemble_semi_id.json)."""
+    (results/ensemble_semi_id.json).
+
+    identify_params_steps > 0: BEYOND-CONTEXT identification — after the
+    context stage, per-window log-scale deltas on all mechanistic
+    parameters are refined against the same identification window
+    (trust region `identify_param_prior`; selected on a separate cohort
+    in results/param_id.json). Measured fresh-cohort 0.606 -> 0.538
+    mmol/L over the context-only estimator."""
     key = key if key is not None else jax.random.PRNGKey(0)
     preds_all, unc_all, targ_all, mask_all = [], [], [], []
 
@@ -142,7 +151,10 @@ def evaluate_model(
                 preds, unc = identified_ensemble_predictive(
                     params, b, config, id_steps=identify_steps,
                     points=identify_points, encoder=encoder,
-                    noise_sigma=sigma)
+                    noise_sigma=sigma,
+                    refine_params=identify_params_steps > 0,
+                    param_steps=identify_params_steps or 150,
+                    param_prior_std=identify_param_prior)
             else:
                 preds, unc = ensemble_predictive(
                     params, b, config, noise_sigma=sigma)
@@ -340,6 +352,15 @@ def main(argv=None) -> None:
     ap.add_argument("--identify-points", type=int, default=None,
                     help="identification-window length (observations); "
                          "default = the model's trained context_points")
+    ap.add_argument("--identify-params-steps", type=int, default=0,
+                    help="beyond-context identification: also refine "
+                         "per-window log-scale deltas on ALL mechanistic "
+                         "parameters (this many steps) after the context "
+                         "stage — measured fresh-cohort 0.606 -> 0.538 "
+                         "mmol/L (results/param_id.json)")
+    ap.add_argument("--identify-param-prior", type=float, default=0.2,
+                    help="trust-region width for the parameter deltas "
+                         "(selected on a separate cohort in param_id.json)")
     ap.add_argument("--norm-from", type=str, default=None,
                     help="normalize --data with THIS file's statistics "
                          "(fresh-cohort protocol: deploy in the training "
@@ -378,6 +399,8 @@ def main(argv=None) -> None:
             args.checkpoint, test_ds, val_ds=val_ds,
             identify_steps=args.identify_steps,
             identify_points=args.identify_points,
+            identify_params_steps=args.identify_params_steps,
+            identify_param_prior=args.identify_param_prior,
             return_arrays=args.vs_truth)
         if args.vs_truth:
             metrics, (preds, _, _, _) = out
