@@ -42,10 +42,22 @@ def main(argv=None):
     ap.add_argument("--id-steps", type=int, default=150)
     ap.add_argument("--param-steps", type=int, default=150)
     ap.add_argument("--prior-stds", default="0.05,0.1,0.2")
+    ap.add_argument("--smooth-w", type=int, default=0,
+                    help="centered moving-average width (odd; 0=off) applied "
+                         "to the NOISY identification observations (and the "
+                         "initial state) before test-time ID. Deployable: "
+                         "uses only the subject's own window. The noiseless "
+                         "evaluation target is untouched.")
     ap.add_argument("--select-seed", type=int, default=77)
     ap.add_argument("--select-subjects", type=int, default=24)
     ap.add_argument("--eval-seed", type=int, default=123)
     ap.add_argument("--eval-subjects", type=int, default=50)
+    ap.add_argument("--skip-eval", action="store_true",
+                    help="selection-cohort arms only (recipe sweeps); does "
+                         "NOT touch the held-out evaluation cohort or write "
+                         "the artifact")
+    ap.add_argument("--out", default=None,
+                    help="artifact path (default results/param_id.json)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend for smoke runs (the axon "
                          "sitecustomize force-registers the TPU platform; "
@@ -98,9 +110,29 @@ def main(argv=None):
         g = preds_k[..., 0] * float(ds.state_std[0]) + float(ds.state_mean[0])
         return float(np.sqrt(np.mean((g.mean(0) - tarr) ** 2)))
 
+    def smooth_obs(obs, w):
+        """Centered moving average (reflect-padded) along the time axis."""
+        if w <= 1:
+            return obs
+        pad = w // 2
+        padded = np.concatenate(
+            [obs[:, pad:0:-1], obs, obs[:, -2:-2 - pad:-1]], axis=1)
+        kern = np.ones(w, dtype=obs.dtype) / w
+        out = np.empty_like(obs)
+        for c in range(obs.shape[-1]):
+            out[..., c] = np.apply_along_axis(
+                lambda r: np.convolve(r, kern, mode="valid"), 1,
+                padded[..., c])
+        return out
+
     def run_arms(seed, n_subjects, prior_stds):
         fresh, tarr = fresh_cohort(seed, n_subjects)
         batch = fresh.batch(np.arange(len(fresh)))
+        if args.smooth_w > 1:
+            batch = dict(batch)
+            sm = smooth_obs(np.asarray(batch["observations"]), args.smooth_w)
+            batch["observations"] = sm
+            batch["initial_state"] = sm[:, 0]
         ts_j = jnp.asarray(fresh.time_points)
         signals = {"meal": jnp.asarray(fresh.meal),
                    "tVNS": jnp.asarray(fresh.tvns)}
@@ -145,6 +177,10 @@ def main(argv=None):
     best_ps = min(prior_stds,
                   key=lambda ps: sel[f"param_refined_prior{ps}"])
     print(f"selected prior_std={best_ps} on seed {args.select_seed}")
+    if args.skip_eval:
+        print(json.dumps({"selection": sel, "selected_prior_std": best_ps,
+                          "smooth_w": args.smooth_w}, indent=1))
+        return
     ev = run_arms(args.eval_seed, args.eval_subjects, [best_ps])
 
     headline = ev[f"param_refined_prior{best_ps}"]
@@ -171,7 +207,9 @@ def main(argv=None):
             "oracle_context_saturation": 0.4814,
             "source": "results/oracle_floor.json"},
     }
-    out_path = REPO / "results" / "param_id.json"
+    results["smooth_w"] = args.smooth_w
+    out_path = (Path(args.out) if args.out
+                else REPO / "results" / "param_id.json")
     out_path.write_text(json.dumps(results, indent=2))
     print(json.dumps(results, indent=1))
 
